@@ -1,0 +1,228 @@
+"""Batched exact Gaussian-process regression, TPU-first.
+
+From-scratch replacement for the per-PC ``sklearn.GaussianProcessRegressor``
+loop in the reference (src/emulator.py:309-315).  The reference fits ``npc``
+independent GPs sequentially, each running scipy L-BFGS-B over kernel
+hyperparameters where every objective evaluation is an O(n^3) Cholesky.
+Here all PCs *and* all optimizer restarts are one vmapped batch: XLA lowers
+the whole hyperparameter search to a single device program of batched
+Gram-matrix builds (MXU matmuls) + batched Cholesky factorizations.
+
+Numerics match sklearn GPR with ``kernel = C * (RBF|Matern1.5) + White``,
+``alpha = 0.1``:
+
+- log marginal likelihood: ``-1/2 y^T K^-1 y - sum log L_ii - n/2 log 2pi``
+  with ``K = kernel(X) + alpha I`` (white noise inside the kernel, alpha on
+  top -- both on the diagonal, exactly as sklearn composes them);
+- hyperparameters optimized in log space under box bounds
+  (:mod:`..ops.lbfgsb`), restarts sampled uniformly in the log-space box
+  (sklearn's restart rule);
+- predictive mean ``k_*^T K^-1 y``; predictive covariance
+  ``k(X_*, X_*) - v^T v`` with ``v = L^-1 k(X, X_*)`` -- includes the white
+  noise level on its diagonal but NOT alpha (sklearn convention).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.kernels import KernelConfig, kernel_fn, kernel_diag, init_kernel_params, default_bounds
+from ..ops.lbfgsb import lbfgsb_minimize
+from ..ops.linalg import cholesky_jittered, solve_lower_triangular
+
+
+class GPConfig(NamedTuple):
+    """Static GP configuration (hashable, safe as a jit static arg)."""
+
+    kernel: KernelConfig = KernelConfig("RBF")
+    alpha: float = 0.1  # fixed diagonal regularization (sklearn GPR alpha)
+
+
+class GPState(NamedTuple):
+    """Trained state for a batch of GPs sharing the same inputs.
+
+    Leading axis of every field is the GP/batch axis (``npc``).
+    """
+
+    params: dict          # {"log_amp": (b,), "log_ls": (b, d), "log_noise": (b,)}
+    x: jnp.ndarray        # (n, d) shared training inputs
+    y: jnp.ndarray        # (b, n) training targets
+    chol: jnp.ndarray     # (b, n, n) Cholesky of K
+    alpha_vec: jnp.ndarray  # (b, n) K^-1 y
+    lml: jnp.ndarray      # (b,) log marginal likelihood at the optimum
+
+
+def _build_k(params, x, config: GPConfig):
+    k = kernel_fn(params, x, config=config.kernel, include_noise=True)
+    return k + config.alpha * jnp.eye(x.shape[0], dtype=x.dtype)
+
+
+def gp_nll(params: dict, x: jnp.ndarray, y: jnp.ndarray, config: GPConfig) -> jnp.ndarray:
+    """Negative log marginal likelihood of one GP (differentiable)."""
+    n = x.shape[0]
+    k = _build_k(params, x, config)
+    chol = cholesky_jittered(k)
+    alpha_vec = solve_lower_triangular(chol, y)
+    quad = jnp.sum(alpha_vec * alpha_vec)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    nll = 0.5 * quad + logdet_half + 0.5 * n * jnp.log(2.0 * jnp.pi)
+    # Guard: non-finite (failed Cholesky at extreme hyperparams) -> huge
+    # finite penalty so L-BFGS line searches reject the step smoothly.
+    return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(1e30, nll.dtype))
+
+
+def _pack(params):
+    return jnp.concatenate([
+        params["log_amp"][None], params["log_ls"], params["log_noise"][None]
+    ])
+
+
+def _unpack(vec, d):
+    return {
+        "log_amp": vec[0],
+        "log_ls": vec[1 : 1 + d],
+        "log_noise": vec[1 + d],
+    }
+
+
+@partial(jax.jit, static_argnames=("config", "nrestarts", "maxiter"))
+def gp_fit(
+    x: jnp.ndarray,
+    y_batch: jnp.ndarray,
+    ptp: jnp.ndarray,
+    *,
+    config: GPConfig = GPConfig(),
+    nrestarts: int = 0,
+    key: jax.Array | None = None,
+    maxiter: int = 200,
+) -> GPState:
+    """Fit ``npc`` independent GPs on shared inputs, all in one device program.
+
+    ``x`` (n, d), ``y_batch`` (npc, n).  ``ptp`` (d,) sets the reference
+    initialization (length scales = parameter ranges) and bounds.  With
+    ``nrestarts > 0``, each GP additionally starts from ``nrestarts`` points
+    sampled uniformly in the log-bound box and the best optimum wins
+    (sklearn ``n_restarts_optimizer`` semantics).
+    """
+    dtype = x.dtype
+    d = x.shape[1]
+    npc = y_batch.shape[0]
+    init = init_kernel_params(ptp, dtype=dtype)
+    lower_p, upper_p = default_bounds(ptp, kind=config.kernel.kind, dtype=dtype)
+    lower = _pack(lower_p)
+    upper = _pack(upper_p)
+    theta0 = _pack(init)
+
+    # Starting points: (nstarts, dim) -- first from the reference default,
+    # the rest uniform in the log box.
+    if nrestarts > 0:
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        u = jax.random.uniform(key, (nrestarts, theta0.shape[0]), dtype=dtype)
+        randoms = lower + u * (upper - lower)
+        starts = jnp.concatenate([theta0[None], randoms], axis=0)
+    else:
+        starts = theta0[None]
+
+    def fit_one(y, t0):
+        def nll_vec(vec):
+            return gp_nll(_unpack(vec, d), x, y, config)
+
+        res = lbfgsb_minimize(nll_vec, t0, lower, upper, maxiter=maxiter)
+        return res.x, res.fun
+
+    # vmap over (PC x restart).
+    fit_grid = jax.vmap(
+        jax.vmap(fit_one, in_axes=(None, 0)), in_axes=(0, None)
+    )
+    thetas, nlls = fit_grid(y_batch, starts)  # (npc, nstarts, dim), (npc, nstarts)
+    best = jnp.argmin(nlls, axis=1)
+    theta_best = jnp.take_along_axis(thetas, best[:, None, None], axis=1)[:, 0, :]
+    params = jax.vmap(lambda v: _unpack(v, d))(theta_best)
+
+    chols, whitened = jax.vmap(lambda p, y: _chol_and_white(p, x, y, config))(
+        params, y_batch
+    )
+    alpha_vecs = jax.vmap(
+        lambda c, w: jax.lax.linalg.triangular_solve(
+            c, w[:, None], left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+    )(chols, whitened)
+    n = x.shape[0]
+    lml = (
+        -0.5 * jnp.sum(whitened * whitened, axis=1)
+        - jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=1)
+        - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    )
+    return GPState(
+        params=params, x=x, y=y_batch, chol=chols, alpha_vec=alpha_vecs, lml=lml
+    )
+
+
+def _chol_and_white(p, x, y, config):
+    k = _build_k(p, x, config)
+    chol = cholesky_jittered(k)
+    w = solve_lower_triangular(chol, y)
+    return chol, w
+
+
+@partial(jax.jit, static_argnames=("config", "full_cov"))
+def gp_predict(
+    state: GPState,
+    xq: jnp.ndarray,
+    *,
+    config: GPConfig = GPConfig(),
+    full_cov: bool = False,
+):
+    """Posterior mean and (co)variance of each GP in the batch at ``xq``.
+
+    Returns ``(mean, var)`` with mean (b, m) and var (b, m), or
+    ``(mean, cov)`` with cov (b, m, m) when ``full_cov``.  The predictive
+    covariance includes the fitted white-noise level on the diagonal but not
+    alpha (sklearn ``predict(return_cov=True)`` convention).  Variances are
+    clipped at zero like sklearn does.
+    """
+
+    def one(params, chol, alpha_vec):
+        kstar = kernel_fn(
+            params, state.x, xq, config=config.kernel, include_noise=False
+        )  # (n, m)
+        mean = kstar.T @ alpha_vec
+        v = solve_lower_triangular(chol, kstar)  # (n, m)
+        if full_cov:
+            kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
+            cov = kqq - v.T @ v
+            return mean, cov
+        kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
+        var = kdiag - jnp.sum(v * v, axis=0)
+        return mean, jnp.maximum(var, 0.0)
+
+    return jax.vmap(one)(state.params, state.chol, state.alpha_vec)
+
+
+def gp_sample(
+    state: GPState,
+    xq: jnp.ndarray,
+    key: jax.Array,
+    n_samples: int,
+    *,
+    config: GPConfig = GPConfig(),
+) -> jnp.ndarray:
+    """Draw joint posterior samples: returns (b, m, n_samples).
+
+    Mirrors sklearn ``sample_y`` (multivariate normal over the query points
+    for each GP independently).
+    """
+    mean, cov = gp_predict(state, xq, config=config, full_cov=True)
+
+    def one(m, c, k):
+        chol = cholesky_jittered(c)
+        z = jax.random.normal(k, (c.shape[0], n_samples), dtype=m.dtype)
+        return m[:, None] + chol @ z
+
+    keys = jax.random.split(key, mean.shape[0])
+    return jax.vmap(one)(mean, cov, keys)
