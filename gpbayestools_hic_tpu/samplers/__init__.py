@@ -1,0 +1,15 @@
+"""L4 calibration and sampling.
+
+- :mod:`.chain` -- :class:`Chain`: device-resident experimental data +
+  emulator ensemble, one jitted ``log_posterior`` (reference: src/mcmc.py).
+- :mod:`.ensemble` -- affine-invariant stretch-move ensemble sampler
+  (emcee semantics) as a jitted ``lax.scan``.
+- :mod:`.ptlmc` -- parallel-tempered Langevin Monte Carlo (surmise PTLMC
+  semantics).
+- :mod:`.smc` -- flow-preconditioned sequential Monte Carlo (pocoMC
+  semantics).
+- :mod:`.flows` -- normalizing flows used by the SMC preconditioner.
+"""
+
+from .chain import Chain  # noqa: F401
+from .ensemble import run_ensemble, EnsembleResult  # noqa: F401

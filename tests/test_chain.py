@@ -1,0 +1,150 @@
+"""Chain + ensemble sampler tests: statistics, parity, contracts, resume."""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpbayestools_hic_tpu.samplers import Chain, run_ensemble
+
+
+def test_ensemble_gaussian_moments():
+    """Stretch move must reproduce a known Gaussian target's moments."""
+    mean = jnp.asarray([1.0, -2.0])
+    std = jnp.asarray([0.5, 2.0])
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(((x - mean) / std) ** 2, axis=-1)
+
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (64, 2)) * 0.1
+    res = run_ensemble(log_prob, x0, 3000, jax.random.PRNGKey(1))
+    samples = np.asarray(res.chain[:, 500:, :]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.1)
+    np.testing.assert_allclose(samples.std(axis=0), std, rtol=0.1)
+    acc = np.asarray(res.acceptance)
+    assert 0.1 < acc.mean() < 0.9
+
+
+def test_ensemble_detailed_shapes():
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (10, 3))
+    res = run_ensemble(log_prob, x0, 20, jax.random.PRNGKey(1))
+    assert res.chain.shape == (10, 20, 3)
+    assert res.log_prob.shape == (10, 20)
+    assert res.final_state.shape == (10, 3)
+
+
+@pytest.fixture
+def chain_setup(tmp_path, rng, training_pickle_factory):
+    """Toy calibration problem: 2 emulators over disjoint observable blocks,
+    synthetic experimental data taken from a known truth point."""
+    from gpbayestools_hic_tpu.models import Emulator
+
+    ndim, nev = 3, 35
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    parfile = tmp_path / "pars.txt"
+    parfile.write_text("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(ndim)))
+
+    emus, blocks = [], []
+    for b, nobs in enumerate([4, 3]):
+        freqs = rng.uniform(1, 2.5, size=(ndim, nobs))
+        base = 2.0 + np.sin(design @ freqs) + (design**2) @ freqs * 0.2
+        err = 0.01 * np.abs(base)
+        pkl = training_pickle_factory(tmp_path / f"train{b}.pkl", design, base, err)
+        emu = Emulator(str(pkl), str(parfile), npc=3)
+        emu.trainEmulatorAutoMask()
+        emus.append(emu)
+        blocks.append((freqs, base))
+
+    truth = np.array([0.4, 0.6, 0.5])
+    exp_obs = []
+    for freqs, _ in blocks:
+        val = 2.0 + np.sin(truth @ freqs) + (truth**2) @ freqs * 0.2
+        exp_obs.append(val)
+    exp_mean = np.concatenate(exp_obs)
+    exp_err = 0.05 * np.abs(exp_mean)
+    exp_pkl = tmp_path / "exp.pkl"
+    with open(exp_pkl, "wb") as f:
+        pickle.dump(
+            {"0": {"obs": np.stack([exp_mean, exp_err], axis=0)}}, f
+        )
+
+    chain = Chain(
+        mcmc_path=str(tmp_path / "mcmc" / "chain.pkl"),
+        expdata_path=str(exp_pkl),
+        model_parafile=str(parfile),
+    )
+    chain.loadEmulator(emus)
+    return chain, truth, tmp_path
+
+
+def test_chain_log_posterior_matches_manual(chain_setup, rng):
+    """Fused posterior == hand assembly: emulator predict + diagonal exp cov
+    + scipy Cholesky loglike + the reference's constant extra_std term."""
+    from scipy import linalg as sla
+
+    chain, truth, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(6, 3))
+    got = chain.log_posterior(X)
+
+    mean, cov = chain._predict(X)
+    expected = np.empty(6)
+    for i in range(6):
+        c = cov[i] + chain.expdata_cov
+        y = mean[i] - chain.expdata.flatten()
+        L = np.linalg.cholesky(c)
+        alpha = sla.cho_solve((L, True), y)
+        expected[i] = -0.5 * y @ alpha - np.log(np.diag(L)).sum() + 2 * np.log(1e-16)
+    np.testing.assert_allclose(got, expected, rtol=1e-8)
+
+
+def test_chain_outside_box(chain_setup):
+    chain, _, _ = chain_setup
+    X = np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [-0.1, 0.5, 0.5]])
+    lp = chain.log_posterior(X)
+    assert np.isfinite(lp[0])
+    assert lp[1] == -np.inf and lp[2] == -np.inf
+    ll = chain.log_likelihood(X, finite=True)
+    assert ll[1] == -1e300 and ll[2] == -1e300
+    prior = chain.log_prior(X)
+    np.testing.assert_allclose(prior[0], 0.0)  # unit box volume -> log 1
+    assert prior[1] == -np.inf
+
+
+def test_chain_run_mcmc_and_resume(chain_setup):
+    """Posterior concentrates near truth; resume appends to the pickle."""
+    chain, truth, tmp_path = chain_setup
+    chain.run_mcmc(nsteps=300, nburnsteps=300, nwalkers=32, nthin=2, seed=0)
+    with open(chain.mcmc_path, "rb") as f:
+        data = pickle.load(f)
+    assert data["chain"].shape == (32, 150, 3)
+
+    post = data["chain"][:, 50:, :].reshape(-1, 3)
+    assert np.all(np.abs(post.mean(axis=0) - truth) < 0.15), (
+        post.mean(axis=0), truth,
+    )
+
+    # resume: skips burn-in, appends thinned production
+    chain.run_mcmc(nsteps=100, nburnsteps=300, nwalkers=32, nthin=2, seed=1)
+    with open(chain.mcmc_path, "rb") as f:
+        data2 = pickle.load(f)
+    assert data2["chain"].shape == (32, 200, 3)
+
+
+def test_chain_rescoring(chain_setup, tmp_path):
+    chain, _, base = chain_setup
+    chain.run_mcmc(nsteps=50, nburnsteps=60, nwalkers=16, nthin=5, seed=0)
+    out = base / "ll.pkl"
+    ll = chain.compute_log_likelihood_for_chain(output_path=str(out))
+    assert ll.shape == (16, 10)
+    with open(out, "rb") as f:
+        saved = pickle.load(f)
+    np.testing.assert_allclose(saved["log_likelihood"], ll)
+    # rescored likelihood equals direct evaluation
+    direct = chain.log_likelihood(chain.chain.reshape(-1, 3)).reshape(16, 10)
+    np.testing.assert_allclose(ll, direct, rtol=1e-10)
