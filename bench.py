@@ -1,0 +1,294 @@
+"""Flagship benchmark: effective samples/sec on the 544-observable posterior.
+
+Reproduces the reference's flagship workload scale (BASELINE.md):
+20 -> 17 effective parameters, 9 emulators with observable blocks summing to
+544 (the likelihood covariance dimension), npc=4 GPs per emulator, ~1000
+training designs.  Measures:
+
+- ensemble-MCMC effective samples per second on this device (ESS via
+  integrated autocorrelation time, emcee-style FFT estimator);
+- ``vs_baseline``: ratio of posterior-evaluation throughput against a
+  reference-style CPU evaluator that mirrors the reference stack's
+  computational pattern (serial Python map over walkers; per-PC numpy GP
+  predict; stitched 544x544 covariance factored with scipy LAPACK
+  dpotrf/dpotrs, exactly src/mcmc.py:23-65's kernel).  ESS-per-evaluation is
+  a sampler property independent of backend, so the ESS/sec ratio equals the
+  evaluation-throughput ratio.
+
+Prints ONE JSON line on stdout; progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# Flagship shape (SURVEY.md section 6): blocks per emulator sum to 544.
+BLOCKS = (28, 28, 12, 170, 14, 21, 28, 73, 170)
+NDIM = 17
+NEV = 1000
+NPC = 4
+NWALKERS = 256
+NSTEPS = 150
+CPU_BASELINE_WALKERS = 3
+
+
+def build_problem(dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.models.gp import GPConfig, GPState, gp_fit
+    from gpbayestools_hic_tpu.ops.kernels import KernelConfig
+
+    rng = np.random.default_rng(0)
+    design = rng.uniform(0, 1, size=(NEV, NDIM)).astype(dtype)
+    truth = rng.uniform(0.35, 0.65, size=NDIM)
+
+    emu_states = []
+    exp_means = []
+    t0 = time.perf_counter()
+    for nobs in BLOCKS:
+        freqs = rng.uniform(0.5, 2.0, size=(NDIM, nobs))
+        base = 2.0 + np.sin(design @ freqs)
+        # project to NPC principal directions as targets (flagship: npc=4)
+        base_std = (base - base.mean(0)) / base.std(0)
+        u, s, vt = np.linalg.svd(base_std, full_matrices=False)
+        z = (u[:, :NPC] * np.sqrt(NEV - 1)).T.astype(dtype)  # whitened scores
+        state = gp_fit(
+            jnp.asarray(design),
+            jnp.asarray(z),
+            jnp.ones(NDIM, dtype=dtype),
+            config=GPConfig(),
+            maxiter=30,
+        )
+        trans = (vt[:NPC] * (s[:NPC, None] / np.sqrt(NEV - 1)) * base.std(0)).astype(dtype)
+        emu_states.append(
+            dict(state=state, trans=jnp.asarray(trans),
+                 mean_shift=jnp.asarray(base.mean(0).astype(dtype)),
+                 scaler_var=jnp.asarray((base.std(0) ** 2).astype(dtype)),
+                 freqs=freqs)
+        )
+        exp_means.append(2.0 + np.sin(truth @ freqs))
+    train_time = time.perf_counter() - t0
+    exp_mean = np.concatenate(exp_means).astype(dtype)
+    exp_var = (0.05 * np.abs(exp_mean)) ** 2
+    return emu_states, exp_mean, exp_var, train_time
+
+
+def make_log_post(emu_states, exp_mean, exp_var, dtype):
+    """Woodbury-form likelihood, mirroring Chain's low-rank fast path:
+    per block, C0 = diag(1e-4 var + exp var) is fixed and the per-walker
+    covariance is C0 + A^T diag(v) A -- exact O(n^2) likelihood."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.models.gp import GPConfig, gp_predict
+
+    offsets = np.cumsum([0] + list(BLOCKS))
+    lo = jnp.zeros(NDIM, dtype=dtype)
+    hi = jnp.ones(NDIM, dtype=dtype)
+
+    blocks = []
+    for e, i0, i1 in zip(emu_states, offsets[:-1], offsets[1:]):
+        a64 = np.asarray(e["trans"], dtype=np.float64)
+        c0_diag = (
+            1e-4 * np.asarray(e["scaler_var"], dtype=np.float64)
+            + np.asarray(exp_var[i0:i1], dtype=np.float64)
+        )
+        logdet_c0 = float(np.sum(np.log(c0_diag)))
+        c0_inv_diag = 1.0 / c0_diag
+        g = a64 * c0_inv_diag[None, :]
+        m_mat = g @ a64.T
+        blocks.append(dict(
+            state=e["state"], trans=e["trans"], mean_shift=e["mean_shift"],
+            exp_block=jnp.asarray(exp_mean[i0:i1]),
+            c0_inv_diag=jnp.asarray(c0_inv_diag, dtype=dtype),
+            g=jnp.asarray(g, dtype=dtype),
+            m=jnp.asarray(m_mat, dtype=dtype),
+            logdet_c0=jnp.asarray(logdet_c0, dtype=dtype),
+            eye=jnp.eye(a64.shape[0], dtype=dtype),
+        ))
+
+    bench_state = {"blocks": blocks, "lo": lo, "hi": hi}
+
+    def log_post(st, x):
+        inside = jnp.all((x > st["lo"]) & (x < st["hi"]), axis=1)
+        xs = jnp.clip(x, st["lo"], st["hi"])
+        ll = jnp.zeros((x.shape[0],), dtype=x.dtype)
+        for b in st["blocks"]:
+            gp_mean, gp_var = gp_predict(b["state"], xs, config=GPConfig())
+            mean = gp_mean.T @ b["trans"] + b["mean_shift"]
+            v = gp_var.T
+            y = mean - b["exp_block"]
+            t = y * b["c0_inv_diag"]
+            q0 = jnp.sum(y * t, axis=1)
+            u = y @ b["g"].T
+            sv = jnp.sqrt(jnp.maximum(v, 0.0))
+            s = b["eye"] + sv[:, :, None] * b["m"] * sv[:, None, :]
+            s_chol = jnp.linalg.cholesky(s)
+            rhs = (sv * u)[:, :, None]
+            w = jax.scipy.linalg.cho_solve((s_chol, True), rhs)[:, :, 0]
+            corr = jnp.sum(sv * u * w, axis=1)
+            logdet = b["logdet_c0"] + 2.0 * jnp.sum(
+                jnp.log(jnp.diagonal(s_chol, axis1=1, axis2=2)), axis=1
+            )
+            lp = -0.5 * (q0 - corr) - 0.5 * logdet
+            ll = ll + jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+        return jnp.where(inside, ll, -jnp.inf)
+
+    return log_post, bench_state
+
+
+def integrated_autocorr_time(chain_1d_batch):
+    """emcee-style tau estimate: FFT autocorrelation of the walker-averaged
+    chain with Sokal's adaptive window (c=5)."""
+    x = chain_1d_batch - chain_1d_batch.mean(axis=1, keepdims=True)
+    n = x.shape[1]
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, n=nfft, axis=1)
+    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n].real
+    acf /= acf[:, :1]
+    rho = acf.mean(axis=0)
+    taus = 2.0 * np.cumsum(rho) - 1.0
+    window = np.arange(len(taus)) < 5.0 * taus
+    idx = np.argmin(window) if not window.all() else len(taus) - 1
+    return max(taus[min(idx, len(taus) - 1)], 1.0)
+
+
+def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
+    """Reference-style evaluator: serial map over walkers, numpy per-PC GP
+    predict, stitched 544x544 covariance, scipy dpotrf/dpotrs."""
+    from scipy.linalg import lapack
+
+    nobs_total = int(np.sum(BLOCKS))
+    offsets = np.cumsum([0] + list(BLOCKS))
+
+    # Pull GP state to numpy (as the reference's sklearn GPs hold it).
+    nps = []
+    for e in emu_states:
+        st = e["state"]
+        nps.append(
+            dict(
+                x=np.asarray(st.x, dtype=np.float64),
+                alpha_vec=np.asarray(st.alpha_vec, dtype=np.float64),
+                chol=np.asarray(st.chol, dtype=np.float64),
+                ls=np.exp(np.asarray(st.params["log_ls"], dtype=np.float64)),
+                amp=np.exp(np.asarray(st.params["log_amp"], dtype=np.float64)),
+                noise=np.exp(np.asarray(st.params["log_noise"], dtype=np.float64)),
+                trans=np.asarray(e["trans"], dtype=np.float64),
+                mean_shift=np.asarray(e["mean_shift"], dtype=np.float64),
+                scaler_var=np.asarray(e["scaler_var"], dtype=np.float64),
+            )
+        )
+
+    def eval_one(theta):
+        mean_full = np.zeros(nobs_total)
+        cov_full = np.zeros((nobs_total, nobs_total))
+        for e, i0, i1 in zip(nps, offsets[:-1], offsets[1:]):
+            npc = e["alpha_vec"].shape[0]
+            gp_mean = np.empty(npc)
+            gp_var = np.empty(npc)
+            for k in range(npc):  # the reference's per-PC GP loop
+                xs = e["x"] / e["ls"][k]
+                q = theta / e["ls"][k]
+                d2 = np.sum((xs - q) ** 2, axis=1)
+                kstar = e["amp"][k] * np.exp(-0.5 * d2)
+                gp_mean[k] = kstar @ e["alpha_vec"][k]
+                v = np.linalg.solve(e["chol"][k], kstar)  # dtrsv equivalent
+                gp_var[k] = e["amp"][k] + e["noise"][k] - v @ v
+            a = e["trans"]
+            mean_full[i0:i1] = gp_mean @ a + e["mean_shift"]
+            cov_full[i0:i1, i0:i1] = (a.T * gp_var @ a) + np.diag(
+                1e-4 * e["scaler_var"]
+            )
+        cov_full[np.diag_indices_from(cov_full)] += exp_var
+        dy = mean_full - exp_mean
+        L, info = lapack.dpotrf(cov_full, clean=False)
+        alpha, info = lapack.dpotrs(L, dy)
+        return -0.5 * dy @ alpha - np.log(L.diagonal()).sum()
+
+    thetas = np.random.default_rng(1).uniform(0.2, 0.8, size=(walkers, NDIM))
+    eval_one(thetas[0])  # warm numpy caches
+    t0 = time.perf_counter()
+    for th in thetas:
+        eval_one(th)
+    dt = time.perf_counter() - t0
+    return walkers / dt
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    dtype = np.float32
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} ({dev.device_kind})")
+
+    log("building flagship problem (9 emulators, 544 observables) ...")
+    emu_states, exp_mean, exp_var, train_time = build_problem(dtype)
+    log(f"GP training (36 GPs, nev={NEV}): {train_time:.1f}s")
+
+    log_post, bench_state = make_log_post(emu_states, exp_mean, exp_var, dtype)
+
+    from gpbayestools_hic_tpu.samplers.ensemble import run_ensemble
+
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
+    key = jax.random.PRNGKey(0)
+
+    # Warmup/compile.
+    log("compiling sampler ...")
+    t0 = time.perf_counter()
+    res = run_ensemble(log_post, x0, 2, key, state=bench_state)
+    res.final_log_prob.block_until_ready()
+    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+
+    log(f"running {NSTEPS} steps x {NWALKERS} walkers ...")
+    t0 = time.perf_counter()
+    res = run_ensemble(log_post, res.final_state, NSTEPS, jax.random.PRNGKey(1),
+                       state=bench_state)
+    res.final_log_prob.block_until_ready()
+    dt = time.perf_counter() - t0
+    steps_per_sec = NSTEPS / dt
+    evals_per_sec = steps_per_sec * NWALKERS  # 2 half-batches per step
+    log(f"sampling: {dt:.2f}s -> {steps_per_sec:.1f} steps/s, "
+        f"{evals_per_sec:.0f} posterior evals/s")
+
+    chain = np.asarray(res.chain)  # (nwalkers, nsteps, ndim)
+    taus = [
+        integrated_autocorr_time(chain[:, :, d]) for d in range(NDIM)
+    ]
+    tau = float(np.max(taus))
+    ess_per_step = NWALKERS / tau
+    ess_per_sec = ess_per_step * steps_per_sec
+    ess_per_eval = ess_per_step / NWALKERS
+    log(f"max tau: {tau:.1f} -> ESS/sec: {ess_per_sec:.1f}")
+
+    log(f"measuring reference-style CPU baseline "
+        f"({CPU_BASELINE_WALKERS} serial evals) ...")
+    cpu_rate = cpu_reference_eval_rate(
+        emu_states, np.asarray(exp_mean, dtype=np.float64),
+        np.asarray(exp_var, dtype=np.float64), CPU_BASELINE_WALKERS,
+    )
+    log(f"reference-style CPU: {cpu_rate:.2f} evals/s")
+    baseline_ess_per_sec = cpu_rate * ess_per_eval
+    vs_baseline = ess_per_sec / baseline_ess_per_sec
+
+    print(json.dumps({
+        "metric": "ess_per_sec_flagship_544obs_17param",
+        "value": round(ess_per_sec, 2),
+        "unit": "effective samples/s",
+        "vs_baseline": round(vs_baseline, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -46,8 +46,10 @@ from .param_pca import (
     ParamPCAGroup,
     ParamPCAState,
     apply_param_pca,
+    apply_param_pca_packed,
     default_groups,
     fit_param_pca,
+    pack_param_pca,
 )
 
 logger = logging.getLogger(__name__)
@@ -201,50 +203,96 @@ class Emulator:
             cov_trunc = cov_trunc + jnp.diag(1e-4 * self.scaler.var)
             self._cov_trunc = cov_trunc
         self._trained = True
-        self._predict_jit = self._build_predict_fn()
+        self._build_predict_fn()
 
     # ---------------------------------------------------------------- predict
+    #
+    # IMPORTANT call convention: every jitted predict program takes the
+    # emulator arrays as an explicit ``state`` pytree ARGUMENT, never as
+    # closure captures.  On this TPU runtime a jitted function that closes
+    # over a device array pays a ~25 ms fixed re-upload penalty per call
+    # (measured; size-independent); passing the same arrays as arguments
+    # costs microseconds.  Static flags (Python bools/configs) stay in the
+    # closure -- they are compile-time constants.
+
+    def _collect_predict_state(self):
+        """Device pytree of everything the predict programs need."""
+        st = {"gp_state": self.gp_state, "scaler": self.scaler}
+        if not self.perform_no_PCA_:
+            st["trans_matrix"] = self._trans_matrix
+            st["var_trans"] = self._var_trans
+            st["cov_trunc"] = self._cov_trunc
+            st["cov_trunc_diag"] = jnp.diagonal(self._cov_trunc)
+        if self.parameterTrafoPCA_:
+            st["pp_packed"] = pack_param_pca(self.param_pca_state)
+        return st
 
     def _build_predict_fn(self):
-        """Assemble the fused predict program; jitted once per training."""
+        """Assemble the fused predict programs (jitted once per training)."""
         no_pca = self.perform_no_PCA_
         exp_diag = self.exp_and_cov_diagonal_
         param_pca = self.parameterTrafoPCA_
         groups = tuple(self.param_pca_groups)
-        pp_state = self.param_pca_state
         gp_config = self.gp_config
         nobs = self.nobs
-        scaler = self.scaler
-        gp_state = self.gp_state
-        if not no_pca:
-            trans_matrix = self._trans_matrix
-            var_trans = self._var_trans
-            cov_trunc = self._cov_trunc
-            pca_mean = scaler.mean
+        npc_used = self._npc_used
 
-        @jax.jit
-        def predict_fn(x, extra_std):
+        def transform_x(state, x):
             if param_pca:
-                x = apply_param_pca(pp_state, groups, x)
-            gp_mean, gp_var = gp_predict(gp_state, x, config=gp_config)
+                return apply_param_pca_packed(state["pp_packed"], groups, x)
+            return x
+
+        def predict_fn(state, x, extra_std):
+            x = transform_x(state, x)
+            gp_mean, gp_var = gp_predict(state["gp_state"], x, config=gp_config)
             # gp_mean/gp_var: (npc, m) -> (m, npc)
             gp_mean = gp_mean.T
             gp_var = gp_var.T + extra_std[:, None] ** 2
+            scaler = state["scaler"]
             if no_pca:
                 mean = gp_mean * scaler.scale + scaler.mean
                 var_phys = gp_var * (scaler.scale**2)
                 cov = jax.vmap(jnp.diag)(var_phys)
             else:
-                npc_used = gp_mean.shape[1]
-                mean = gp_mean @ trans_matrix[:npc_used] + pca_mean
-                cov = (gp_var @ var_trans).reshape(-1, nobs, nobs) + cov_trunc
+                mean = gp_mean @ state["trans_matrix"][:npc_used] + scaler.mean
+                cov = (gp_var @ state["var_trans"]).reshape(-1, nobs, nobs)
+                cov = cov + state["cov_trunc"]
             if exp_diag:
                 mean = jnp.exp(mean)
                 fstd = jnp.sqrt(jnp.diagonal(cov, axis1=1, axis2=2))
                 cov = jax.vmap(jnp.diag)((fstd * mean) ** 2)
             return mean, cov
 
-        return predict_fn
+        def pc_core(state, x):
+            x = transform_x(state, x)
+            gp_mean, gp_var = gp_predict(state["gp_state"], x, config=gp_config)
+            gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
+            scaler = state["scaler"]
+            if no_pca:
+                mean = gp_mean * scaler.scale + scaler.mean
+            else:
+                mean = gp_mean @ state["trans_matrix"][:npc_used] + scaler.mean
+            return mean, gp_var
+
+        def predict_diag(state, x):
+            mean, gp_var = pc_core(state, x)
+            if no_pca:
+                var = gp_var * (state["scaler"].scale ** 2)
+            else:
+                a = state["trans_matrix"][:npc_used]
+                var = gp_var @ (a**2) + state["cov_trunc_diag"]
+            if exp_diag:
+                mean = jnp.exp(mean)
+                var = var * (mean**2)
+            return mean, var
+
+        self.predict_state = self._collect_predict_state()
+        self.predict_fn_pure = predict_fn
+        self.predict_pc_pure = pc_core
+        self.predict_diag_pure = predict_diag
+        self._predict_jit = jax.jit(predict_fn)
+        self._predict_pc_jit = jax.jit(pc_core)
+        self._predict_diag_jit = jax.jit(predict_diag)
 
     def predict(self, X, return_cov: bool = True, extra_std=0):
         """Predict observables at ``X`` (nsamples, ndim).
@@ -259,7 +307,7 @@ class Emulator:
         extra = jnp.broadcast_to(
             jnp.asarray(extra_std, dtype=self._dtype).reshape(-1), (X.shape[0],)
         )
-        mean, cov = self._predict_jit(X, extra)
+        mean, cov = self._predict_jit(self.predict_state, X, extra)
         if return_cov:
             return np.asarray(mean), np.asarray(cov)
         return np.asarray(mean)
@@ -269,7 +317,40 @@ class Emulator:
         jnp arrays (mean, cov) without host transfer."""
         if extra_std is None:
             extra_std = jnp.zeros((X.shape[0],), dtype=self._dtype)
-        return self._predict_jit(X, extra_std)
+        return self._predict_jit(self.predict_state, X, extra_std)
+
+    # ---------------------------------------------------- low-rank structure
+
+    @property
+    def has_lowrank_cov(self) -> bool:
+        """True when the predictive covariance has the fixed-basis low-rank
+        form ``cov(x) = cov_trunc + A^T diag(gp_var(x)) A`` -- the standard
+        PCA mode.  The calibration layer exploits this with Woodbury /
+        matrix-determinant-lemma likelihoods: O(nobs^2) per walker instead of
+        an O(nobs^3) Cholesky, mathematically exact."""
+        return (
+            self._trained
+            and not self.perform_no_PCA_
+            and not self.exp_and_cov_diagonal_
+        )
+
+    def lowrank_parts(self):
+        """Return (A (npc, nobs), cov_trunc (nobs, nobs)) of the fixed
+        covariance decomposition (valid when :attr:`has_lowrank_cov`)."""
+        return self._trans_matrix[: self._npc_used], self._cov_trunc
+
+    def predict_pc_device(self, x):
+        """Device predict returning (mean (m, nobs), gp_var (m, npc)) --
+        the sufficient statistics for the low-rank likelihood."""
+        return self._predict_pc_jit(self.predict_state, x)
+
+    def predict_diag_device(self, x):
+        """Device predict returning (mean (m, nobs), diag var (m, nobs)).
+
+        Exact for the modes whose covariance is diagonal (``perform_no_PCA``,
+        ``exp_and_cov_diagonal``); for the PCA mode it is the exact diagonal
+        of the full covariance (low-rank + truncation)."""
+        return self._predict_diag_jit(self.predict_state, x)
 
     def sample_y(self, X, n_samples: int = 1, random_state=None):
         """Sample model output at ``X``; (nsamples_X, n_samples, nobs).
@@ -440,6 +521,7 @@ class Emulator:
             "gp_y": self.gp_state.y,
             "gp_chol": self.gp_state.chol,
             "gp_alpha": self.gp_state.alpha_vec,
+            "gp_kinv": self.gp_state.kinv,
             "gp_lml": self.gp_state.lml,
             "scaler": self.scaler,
             "pca": self.pca,
@@ -500,6 +582,7 @@ class Emulator:
             y=jnp.asarray(tree["gp_y"]),
             chol=jnp.asarray(tree["gp_chol"]),
             alpha_vec=jnp.asarray(tree["gp_alpha"]),
+            kinv=jnp.asarray(tree["gp_kinv"]),
             lml=jnp.asarray(tree["gp_lml"]),
         )
         self.gp_config = GPConfig(
@@ -545,5 +628,5 @@ class Emulator:
         if self.parameterTrafoPCA_:
             self.PCA_new_design_points = np.asarray(self.gp_state.x)
         self._trained = True
-        self._predict_jit = self._build_predict_fn()
+        self._build_predict_fn()
         return self

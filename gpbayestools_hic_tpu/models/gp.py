@@ -46,6 +46,12 @@ class GPState(NamedTuple):
     """Trained state for a batch of GPs sharing the same inputs.
 
     Leading axis of every field is the GP/batch axis (``npc``).
+
+    ``kinv`` (the explicit K^-1) is precomputed at fit time so that the
+    predictive variance is two MXU matmuls instead of a sequential
+    triangular solve -- on TPU the solve is ~50x slower than the matmul at
+    flagship scale (n=1000, m=128).  K carries the alpha=0.1 + white-noise
+    diagonal, so the inverse is well-conditioned even in f32.
     """
 
     params: dict          # {"log_amp": (b,), "log_ls": (b, d), "log_noise": (b,)}
@@ -53,6 +59,7 @@ class GPState(NamedTuple):
     y: jnp.ndarray        # (b, n) training targets
     chol: jnp.ndarray     # (b, n, n) Cholesky of K
     alpha_vec: jnp.ndarray  # (b, n) K^-1 y
+    kinv: jnp.ndarray     # (b, n, n) explicit K^-1 (for MXU-friendly predict)
     lml: jnp.ndarray      # (b,) log marginal likelihood at the optimum
 
 
@@ -153,13 +160,22 @@ def gp_fit(
         )[:, 0]
     )(chols, whitened)
     n = x.shape[0]
+    eye = jnp.eye(n, dtype=dtype)
+    kinvs = jax.vmap(
+        lambda c: jax.lax.linalg.triangular_solve(
+            c,
+            jax.lax.linalg.triangular_solve(c, eye, left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True,
+        )
+    )(chols)
     lml = (
         -0.5 * jnp.sum(whitened * whitened, axis=1)
         - jnp.sum(jnp.log(jnp.diagonal(chols, axis1=-2, axis2=-1)), axis=1)
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     )
     return GPState(
-        params=params, x=x, y=y_batch, chol=chols, alpha_vec=alpha_vecs, lml=lml
+        params=params, x=x, y=y_batch, chol=chols, alpha_vec=alpha_vecs,
+        kinv=kinvs, lml=lml,
     )
 
 
@@ -187,21 +203,23 @@ def gp_predict(
     clipped at zero like sklearn does.
     """
 
-    def one(params, chol, alpha_vec):
+    def one(params, kinv, alpha_vec):
         kstar = kernel_fn(
             params, state.x, xq, config=config.kernel, include_noise=False
         )  # (n, m)
         mean = kstar.T @ alpha_vec
-        v = solve_lower_triangular(chol, kstar)  # (n, m)
+        # K^-1 k_* as a matmul (MXU) rather than a sequential triangular
+        # solve; see GPState.kinv.
+        w = kinv @ kstar  # (n, m)
         if full_cov:
             kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
-            cov = kqq - v.T @ v
+            cov = kqq - kstar.T @ w
             return mean, cov
         kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
-        var = kdiag - jnp.sum(v * v, axis=0)
+        var = kdiag - jnp.sum(kstar * w, axis=0)
         return mean, jnp.maximum(var, 0.0)
 
-    return jax.vmap(one)(state.params, state.chol, state.alpha_vec)
+    return jax.vmap(one)(state.params, state.kinv, state.alpha_vec)
 
 
 def gp_sample(

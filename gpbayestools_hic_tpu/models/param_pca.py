@@ -242,3 +242,35 @@ def apply_param_pca(
         kept = np.delete(np.arange(current.shape[1]), list(group.indices))
         current = jnp.concatenate([current[:, kept], z], axis=1)
     return current
+
+
+def pack_param_pca(state: ParamPCAState) -> tuple:
+    """Flatten the fitted transform into a pytree of pure arrays.
+
+    PC counts are baked in by pre-slicing the component matrices, so the
+    packed form is jit-traceable as an *argument* (no static ints or bools
+    among the leaves).  Param PCA is fit with ``whiten=False``, so the
+    projection is just ``(scaled - pca_mean) @ comps^T``.
+    """
+    packed = []
+    for scaler, pca, npc in zip(state.scalers, state.pcas, state.npcs):
+        packed.append({
+            "sc_mean": scaler.mean,
+            "sc_scale": scaler.scale,
+            "pca_mean": pca.mean,
+            "comps": pca.components[:npc],
+        })
+    return tuple(packed)
+
+
+def apply_param_pca_packed(packed: tuple, groups: Sequence[ParamPCAGroup], x: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`apply_param_pca` but on the packed-array form, suitable
+    for use inside jitted programs that take the transform as an argument."""
+    current = x
+    for group, g in zip(groups, packed):
+        curves = _eval_group_curves(group, x)
+        scaled = (curves - g["sc_mean"]) / g["sc_scale"]
+        z = (scaled - g["pca_mean"]) @ g["comps"].T
+        kept = np.delete(np.arange(current.shape[1]), list(group.indices))
+        current = jnp.concatenate([current[:, kept], z], axis=1)
+    return current

@@ -78,14 +78,28 @@ def mvn_loglike(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
 
 
+def mvn_loglike_fast(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
+    """Like :func:`mvn_loglike` but without the jitter-rescue second
+    factorization: a non-PD covariance yields NaN -> -inf directly, which is
+    the correct MCMC semantics (rejection).  Use on covariances that carry an
+    explicit diagonal (experimental variances / alpha), where the rescue
+    would only double the Cholesky cost."""
+    chol = jnp.linalg.cholesky(cov)
+    alpha = solve_lower_triangular(chol, y)
+    quad = jnp.sum(alpha * alpha)
+    logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
+    lp = -0.5 * quad - logdet_half
+    return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+
+
 def mvn_loglike_batch(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     """Batched MVN log-likelihood: y (b, n), cov (b, n, n) -> (b,).
 
     One fused device program: batched Cholesky + batched triangular solve +
     reductions.  This is the TPU replacement for the reference's
-    ``map(mvn_loglike, dY, cov)`` Python loop (src/mcmc.py:217).
-    """
-    return jax.vmap(mvn_loglike)(y, cov)
+    ``map(mvn_loglike, dY, cov)`` Python loop (src/mcmc.py:217).  Uses the
+    no-rescue fast path (non-PD -> -inf)."""
+    return jax.vmap(mvn_loglike_fast)(y, cov)
 
 
 def mvn_loglike_diagcov_batch(y: jnp.ndarray, var: jnp.ndarray) -> jnp.ndarray:

@@ -110,41 +110,196 @@ class Chain:
                 f"data has {nobs}"
             )
 
-        def model_predict(x):
+        # The experimental covariance the reference builds is diagonal
+        # (src/mcmc.py:320-322), which makes the total covariance
+        # block-diagonal per emulator: the likelihood then factorizes over
+        # blocks and the full (nobs, nobs) Cholesky (544^3 in the flagship
+        # run) collapses to per-emulator blocks -- mathematically identical,
+        # ~10-100x fewer FLOPs, and never materializes the stitched matrix.
+        # Dense experimental covariance falls back to the stitched path.
+        off = expcov - jnp.diag(jnp.diagonal(expcov))
+        exp_cov_is_diagonal = bool(np.all(np.asarray(off) == 0.0))
+        exp_var = jnp.diagonal(expcov)
+
+        def model_predict(state, x):
             """(m, ndim) -> mean (m, nobs), block-diagonal cov (m, nobs, nobs)."""
             m = x.shape[0]
             mean = jnp.zeros((m, nobs), dtype=dtype)
             cov = jnp.zeros((m, nobs, nobs), dtype=dtype)
-            for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
-                mu_i, cov_i = e.predict_device(x)
+            for e, bstate, i0, i1 in zip(
+                emus, state["blocks"], offsets[:-1], offsets[1:]
+            ):
+                mu_i, cov_i = e.predict_fn_pure(
+                    bstate["emu"], x, jnp.zeros((m,), dtype=dtype)
+                )
                 mean = mean.at[:, i0:i1].set(mu_i)
                 cov = cov.at[:, i0:i1, i0:i1].set(cov_i)
             return mean, cov
 
-        def loglike_core(x):
-            """Unmasked likelihood core for an (m, ndim) batch."""
-            # Clamp inputs to the box for the emulator eval: outside points
-            # are masked to -inf/-1e300 anyway, and clamping keeps extreme
-            # proposals (e.g. SMC latent-space excursions) numerically safe.
-            x_safe = jnp.clip(x, lo, hi)
-            mean, cov = model_predict(x_safe)
-            dy = mean - expdata
-            cov = cov + expcov
+        # --- per-emulator likelihood strategies -----------------------------
+        # In PCA mode the per-walker covariance is cov_trunc + A^T diag(v) A
+        # with A FIXED: only the npc (~4) PC variances v vary per walker.
+        # With C0 = cov_trunc + diag(exp var) precomputed once, Woodbury +
+        # the matrix-determinant lemma give the exact log-likelihood from one
+        # (n x n) matvec and an (npc x npc) solve per walker -- O(n^2)
+        # instead of the reference's O(n^3) per-walker Cholesky
+        # (src/mcmc.py:23-65).  Diagonal-covariance modes (perform_no_PCA,
+        # exp_and_cov_diagonal) use the O(n) diagonal fast path.  Dense
+        # experimental covariance falls back to the stitched Cholesky.
+        #
+        # Call convention: every strategy is a pure fn (block_state, x) so the
+        # jitted programs take ALL arrays as arguments -- closure-captured
+        # device arrays pay a ~25 ms per-call re-upload penalty on this
+        # runtime (see models/emulator.py predict section).
+        exp_var_np = np.asarray(exp_var, dtype=np.float64)
+
+        def make_lowrank_block(e, i0, i1):
+            a_mat, cov_trunc = e.lowrank_parts()
+            a64 = np.asarray(a_mat, dtype=np.float64)
+            c0 = np.asarray(cov_trunc, dtype=np.float64) + np.diag(
+                exp_var_np[i0:i1]
+            )
+            c0_chol = np.linalg.cholesky(c0)
+            logdet_c0 = 2.0 * np.sum(np.log(np.diag(c0_chol)))
+            c0_inv = np.linalg.inv(c0)
+            g = a64 @ c0_inv                     # (npc, n)
+            m_mat = g @ a64.T                    # (npc, npc)
+            npc = a64.shape[0]
+            bstate = {
+                "emu": e.predict_state,
+                "exp_block": expdata[i0:i1],
+                "c0_inv": jnp.asarray(c0_inv, dtype=dtype),
+                "g": jnp.asarray(g, dtype=dtype),
+                "m": jnp.asarray(m_mat, dtype=dtype),
+                "logdet_c0": jnp.asarray(logdet_c0, dtype=dtype),
+                "eye_npc": jnp.eye(npc, dtype=dtype),
+            }
+            predict_pc = e.predict_pc_pure
+
+            def block_ll(bs, x_safe):
+                mean, v = predict_pc(bs["emu"], x_safe)  # (b, n), (b, npc)
+                y = mean - bs["exp_block"]
+                t = y @ bs["c0_inv"]                     # (b, n)  [MXU]
+                q0 = jnp.sum(y * t, axis=1)
+                u = y @ bs["g"].T                        # (b, npc)
+                sv = jnp.sqrt(jnp.maximum(v, 0.0))
+                s = bs["eye_npc"] + sv[:, :, None] * bs["m"] * sv[:, None, :]
+                s_chol = jnp.linalg.cholesky(s)
+                rhs = (sv * u)[:, :, None]
+                w = jax.scipy.linalg.cho_solve((s_chol, True), rhs)[:, :, 0]
+                corr = jnp.sum(sv * u * w, axis=1)
+                logdet = bs["logdet_c0"] + 2.0 * jnp.sum(
+                    jnp.log(jnp.diagonal(s_chol, axis1=1, axis2=2)), axis=1
+                )
+                lp = -0.5 * (q0 - corr) - 0.5 * logdet
+                return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+
+            return block_ll, bstate
+
+        def make_diag_block(e, i0, i1):
+            bstate = {
+                "emu": e.predict_state,
+                "exp_block": expdata[i0:i1],
+                "exp_var_block": exp_var[i0:i1],
+            }
+            predict_diag = e.predict_diag_pure
+
+            def block_ll(bs, x_safe):
+                mean, var = predict_diag(bs["emu"], x_safe)
+                y = mean - bs["exp_block"]
+                total_var = var + bs["exp_var_block"]
+                quad = jnp.sum(y * y / total_var, axis=1)
+                logdet_half = 0.5 * jnp.sum(jnp.log(total_var), axis=1)
+                lp = -0.5 * quad - logdet_half
+                return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+
+            return block_ll, bstate
+
+        def make_cholesky_block(e, i0, i1):
+            bstate = {
+                "emu": e.predict_state,
+                "exp_block": expdata[i0:i1],
+                "exp_var_block": exp_var[i0:i1],
+            }
+            predict_full = e.predict_fn_pure
+
+            def block_ll(bs, x_safe):
+                mu_i, cov_i = predict_full(
+                    bs["emu"], x_safe, jnp.zeros((x_safe.shape[0],), dtype=dtype)
+                )
+                dy = mu_i - bs["exp_block"]
+                cov_i = cov_i + jnp.diag(bs["exp_var_block"])
+                return mvn_loglike_batch(dy, cov_i)
+
+            return block_ll, bstate
+
+        def pick_block(e, i0, i1):
+            if getattr(e, "has_lowrank_cov", False):
+                return make_lowrank_block(e, i0, i1)
+            if getattr(e, "perform_no_PCA_", False) or getattr(
+                e, "exp_and_cov_diagonal_", False
+            ):
+                return make_diag_block(e, i0, i1)
+            return make_cholesky_block(e, i0, i1)
+
+        mode = getattr(self, "likelihood_mode", "auto")
+        block_fns: list = []
+        block_states: list = []
+        if exp_cov_is_diagonal:
+            maker = pick_block if mode == "auto" else make_cholesky_block
+            for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
+                fn, bs = maker(e, i0, i1)
+                block_fns.append(fn)
+                block_states.append(bs)
+        else:
+            for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
+                block_states.append({"emu": e.predict_state})
+
+        self._like_state = {
+            "lo": lo,
+            "hi": hi,
+            "expdata": expdata,
+            "expcov": expcov,
+            "blocks": tuple(block_states),
+            "log_prior_inside": log_prior_inside,
+        }
+
+        def loglike_core_blocked(state, x):
+            """Likelihood factorized over per-emulator covariance blocks."""
+            x_safe = jnp.clip(x, state["lo"], state["hi"])
+            ll = jnp.zeros((x.shape[0],), dtype=dtype)
+            for fn, bs in zip(block_fns, state["blocks"]):
+                ll = ll + fn(bs, x_safe)
+            return ll + _EXTRA_STD_CONST
+
+        def loglike_core_stitched(state, x):
+            """Full stitched-covariance likelihood (dense exp covariance)."""
+            x_safe = jnp.clip(x, state["lo"], state["hi"])
+            mean, cov = model_predict(state, x_safe)
+            dy = mean - state["expdata"]
+            cov = cov + state["expcov"]
             return mvn_loglike_batch(dy, cov) + _EXTRA_STD_CONST
 
-        def log_likelihood(x, finite):
-            inside = jnp.all((x > lo) & (x < hi), axis=1)
-            ll = loglike_core(x)
+        # Clamping note: outside points are masked to -inf/-1e300 anyway, and
+        # clamping keeps extreme proposals (e.g. SMC latent-space excursions)
+        # numerically safe inside the emulator.
+        loglike_core = (
+            loglike_core_blocked if exp_cov_is_diagonal else loglike_core_stitched
+        )
+
+        def log_likelihood(state, x, finite):
+            inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)
+            ll = loglike_core(state, x)
             outside_val = jnp.asarray(-1e300 if finite else -jnp.inf, dtype=dtype)
             return jnp.where(inside, ll, outside_val)
 
-        def log_prior(x):
-            inside = jnp.all((x > lo) & (x < hi), axis=1)
-            return jnp.where(inside, log_prior_inside, -jnp.inf)
+        def log_prior(state, x):
+            inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)
+            return jnp.where(inside, state["log_prior_inside"], -jnp.inf)
 
-        def log_posterior(x):
-            inside = jnp.all((x > lo) & (x < hi), axis=1)
-            ll = loglike_core(x)
+        def log_posterior(state, x):
+            inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)
+            ll = loglike_core(state, x)
             return jnp.where(inside, ll, -jnp.inf)
 
         self._device_fns = {
@@ -157,6 +312,11 @@ class Chain:
         }
         return self._device_fns
 
+    def posterior_with_state(self):
+        """(pure_fn, state) pair for samplers: ``pure_fn(state, x) -> (b,)``."""
+        fns = self.device_fns
+        return fns["log_posterior_traceable"], self._like_state
+
     @property
     def device_fns(self):
         if self._device_fns is None:
@@ -168,7 +328,7 @@ class Chain:
     def _predict(self, X, extra_std=0.0):
         """Concatenated emulator predictions (reference: src/mcmc.py:153-166)."""
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
-        mean, cov = self.device_fns["model_predict"](X)
+        mean, cov = self.device_fns["model_predict"](self._like_state, X)
         return np.asarray(mean), np.asarray(cov)
 
     def log_prior(self, X):
@@ -180,11 +340,13 @@ class Chain:
 
     def log_likelihood(self, X, extra_std_prior_scale: float = 0.001, finite: bool = False):
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
-        return np.asarray(self.device_fns["log_likelihood"](X, finite))
+        return np.asarray(
+            self.device_fns["log_likelihood"](self._like_state, X, finite)
+        )
 
     def log_posterior(self, X, extra_std_prior_scale: float = 0.05):
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
-        return np.asarray(self.device_fns["log_posterior"](X))
+        return np.asarray(self.device_fns["log_posterior"](self._like_state, X))
 
     def log_likelihood_point_by_point(self, X, extra_std_prior_scale: float = 0.001):
         """Kept for API parity; the batch path is identical here
@@ -227,7 +389,7 @@ class Chain:
             logger.error("must specify nburnsteps and nwalkers to start chain")
             return
 
-        log_post = self.device_fns["log_posterior_traceable"]
+        log_post, like_state = self.posterior_with_state()
         dtype = self._dtype
         key = jax.random.PRNGKey(seed)
         logger.info("Starting MCMC ...")
@@ -238,7 +400,7 @@ class Chain:
             key, k1, k2, k3 = jax.random.split(key, 4)
             x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
-            res = run_ensemble(log_post, x0, nburn0, k1)
+            res = run_ensemble(log_post, x0, nburn0, k1, state=like_state)
             self._log_acceptance(res)
 
             logger.info("resampling walker positions")
@@ -253,7 +415,7 @@ class Chain:
 
             nburn1 = nburnsteps - nburn0
             logger.info("running %d walkers for %d steps", nwalkers, nburn1)
-            res = run_ensemble(log_post, x0, nburn1, k2)
+            res = run_ensemble(log_post, x0, nburn1, k2, state=like_state)
             self._log_acceptance(res)
             x0 = res.final_state
             logger.info("burn-in complete, starting production")
@@ -264,7 +426,7 @@ class Chain:
             key, prod_key = jax.random.split(key)
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
-        res = run_ensemble(log_post, x0, nsteps, prod_key)
+        res = run_ensemble(log_post, x0, nsteps, prod_key, state=like_state)
         self._log_acceptance(res)
 
         thinned = np.asarray(res.chain[:, ::nthin, :])
@@ -325,8 +487,9 @@ class Chain:
         from .ptlmc import run_ptlmc
 
         logger.info("Starting MCMC ...")
+        log_post, like_state = self.posterior_with_state()
         theta = run_ptlmc(
-            self.device_fns["log_posterior_traceable"],
+            lambda x: log_post(like_state, x),
             lambda n: jnp.asarray(self.random_pos(n, seed=seed), dtype=self._dtype),
             numtemps=ntemps,
             numchain=nwalkers,
@@ -361,8 +524,11 @@ class Chain:
         from .smc import run_smc
 
         logger.info("Starting preconditioned SMC ...")
+        ll_fn = self.device_fns["log_likelihood_traceable"]
+        like_state = self._like_state
         result = run_smc(
-            log_likelihood=self.device_fns["log_likelihood_traceable"],
+            log_likelihood=lambda state, x, finite: ll_fn(state, x, finite),
+            likelihood_state=like_state,
             prior_lo=jnp.asarray(self.min, dtype=self._dtype),
             prior_hi=jnp.asarray(self.max, dtype=self._dtype),
             n_effective=n_effective,

@@ -57,19 +57,28 @@ def _half_update(key, active, passive, lp_active, log_prob_fn, a):
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "nsteps", "a"))
 def run_ensemble(
-    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    log_prob_fn: Callable[..., jnp.ndarray],
     x0: jnp.ndarray,
     nsteps: int,
     key: jax.Array,
     *,
     a: float = 2.0,
+    state=None,
 ) -> EnsembleResult:
     """Run ``nsteps`` stretch-move updates from walker positions ``x0``.
 
     ``log_prob_fn`` maps (m, ndim) -> (m,) and must be traceable (the whole
     sampler is one compiled program; each step calls it twice on half the
     ensemble).  ``x0`` (nwalkers, ndim) with nwalkers even.
+
+    Pass posterior arrays via ``state`` (then ``log_prob_fn(state, x)``)
+    rather than closing over device arrays -- closure-captured arrays pay a
+    large per-call re-upload penalty on some runtimes (see
+    models/emulator.py).
     """
+    if state is not None:
+        base_fn = log_prob_fn
+        log_prob_fn = lambda x: base_fn(state, x)  # noqa: E731
     nwalkers, ndim = x0.shape
     half = nwalkers // 2
     lp0 = log_prob_fn(x0)
