@@ -489,7 +489,7 @@ class Chain:
         logger.info("Starting MCMC ...")
         log_post, like_state = self.posterior_with_state()
         theta = run_ptlmc(
-            lambda x: log_post(like_state, x),
+            log_post,
             lambda n: jnp.asarray(self.random_pos(n, seed=seed), dtype=self._dtype),
             numtemps=ntemps,
             numchain=nwalkers,
@@ -497,6 +497,7 @@ class Chain:
             maxtemp=maxtemp,
             nstartparameters=nstartparameters,
             key=jax.random.PRNGKey(seed),
+            state=like_state,
         )
         self.chain = np.asarray(theta).reshape((nwalkers, nsteps, self.ndim))
         logger.info("Writing MCMC chains to file...")

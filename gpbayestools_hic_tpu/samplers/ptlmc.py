@@ -1,0 +1,296 @@
+"""Parallel-tempering Langevin Monte Carlo (PTLMC), surmise semantics.
+
+From-scratch rebuild of the sampler the reference vendors from surmise 0.2.1
+(src/mcmc.py:431-693).  Semantics matched:
+
+- temperature ladder ``exp(linspace(log maxtemp, log maxtemp/(numtemps+1),
+  numtemps))`` followed by ``numchain`` ones (src/mcmc.py:491-495);
+- pre-optimization: starts ranked by log-posterior plus ``ndim * N(0,1)^2``
+  noise, per-chain bounded L-BFGS in whitened coordinates
+  (src/mcmc.py:530-571) -- here ALL chains optimize as one vmapped batch --
+  then jitter away from the mode with step-halving acceptance
+  ``delta < 3 * ndim`` (src/mcmc.py:574-591; isotropic whitened jitter here,
+  where the reference uses scipy's inverse-Hessian eigenbasis: same accept
+  rule, curvature shaping comes from the whitening);
+- proposal ``theta' = theta + sqrt(2) * adjrho * (N(0,1) @ hc)`` with
+  ``hc = cov^1/2`` of the optimized starts (src/mcmc.py:608-627), tempered
+  MH acceptance, 5 sequential temperature-swap passes per step
+  (src/mcmc.py:654-658, 679-693), and rho adaptation every 10 tuning steps
+  toward acceptance 0.25 (src/mcmc.py:525-528, 663-667);
+- 2x tuning steps before ``sampperchain`` production steps; only the T=1
+  chains are saved (src/mcmc.py:670).
+
+The whole main loop is one jitted ``lax.scan`` over a
+``(numtemps + numchain, ndim)`` state; the sequential swap pass is a
+``lax.fori_loop`` (order-dependent by construction).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.lbfgsb import lbfgsb_minimize
+
+logger = logging.getLogger(__name__)
+
+
+def _temperature_ladder(numtemps: int, numchain: int, maxtemp: float, dtype):
+    temps = jnp.exp(
+        jnp.linspace(
+            jnp.log(maxtemp), jnp.log(maxtemp) / (numtemps + 1), numtemps
+        )
+    )
+    return jnp.concatenate([temps, jnp.ones(numchain)]).astype(dtype)
+
+
+def _temp_exchange(key, order, lpostf, temps, iters: int):
+    """Sequential parallel-tempering swap pass (reference: src/mcmc.py:679-693).
+
+    ``lpostf`` are UNtempered log posteriors indexed by chain id; ``order``
+    maps ladder slot -> chain id.  Returns the revised order.
+    """
+    n = temps.shape[0]
+    key_rt, key_u = jax.random.split(key)
+    rtv = jax.random.randint(key_rt, (iters * n,), 1, n)
+    log_u = jnp.log(jax.random.uniform(key_u, (iters * n,), dtype=lpostf.dtype))
+
+    def body(i, order):
+        rt = rtv[i]
+        rhoh = 1.0 / temps[rt - 1] - 1.0 / temps[rt]
+        diff = lpostf[order[rt]] - lpostf[order[rt - 1]]
+        do_swap = diff * rhoh > log_u[i]
+        a, b = order[rt - 1], order[rt]
+        order = order.at[rt - 1].set(jnp.where(do_swap, b, a))
+        order = order.at[rt].set(jnp.where(do_swap, a, b))
+        return order
+
+    return lax.fori_loop(0, iters * n, body, order)
+
+
+def run_ptlmc(
+    logpost_fn: Callable[..., jnp.ndarray],
+    draw_fn: Callable[[int], jnp.ndarray],
+    *,
+    numtemps: int = 32,
+    numchain: int = 16,
+    sampperchain: int = 400,
+    maxtemp: float = 30.0,
+    nstartparameters: int = 1000,
+    key: jax.Array,
+    state=None,
+    taracc: float = 0.25,
+    preopt_maxiter: int = 100,
+) -> jnp.ndarray:
+    """Run PTLMC; returns the T=1 chains (numchain, sampperchain, ndim).
+
+    ``logpost_fn(x)`` or ``logpost_fn(state, x)`` maps (m, ndim) -> (m,).
+    ``draw_fn(n)`` draws approximate prior samples (host-side ok).
+    """
+    # Normalize to the (state, x) convention so no device array is ever a
+    # closure capture inside a jitted loop (see models/emulator.py on the
+    # per-call constant re-upload penalty of this runtime).
+    if state is None:
+        base = logpost_fn
+        logpost_fn = lambda s, x: base(x)  # noqa: E731
+        state = ()
+    lp_fn = lambda x: logpost_fn(state, x)  # noqa: E731 (host-side calls only)
+
+    theta0 = jnp.asarray(draw_fn(nstartparameters))
+    dtype = theta0.dtype
+    ndim = theta0.shape[1]
+    totnum = numtemps + numchain
+    temps = _temperature_ladder(numtemps, numchain, maxtemp, dtype)
+
+    # --- pre-optimization -------------------------------------------------
+    logger.info("Begin PTLMC pre-optimization ...")
+    key, k_noise, k_jit = jax.random.split(key, 3)
+    lp0 = lp_fn(theta0)
+    noise = ndim * jax.random.normal(k_noise, (nstartparameters,), dtype) ** 2
+    order0 = jnp.argsort(-(jnp.nan_to_num(lp0, neginf=-1e300)) + noise)
+    starts = theta0[order0[:totnum]]
+
+    thetacen = jnp.mean(starts, axis=0)
+    global_std = jnp.std(starts)
+    thetas = jnp.maximum(jnp.std(starts, axis=0), 1e-8 * global_std)
+    whitened = (starts - thetacen) / thetas
+    bound_l = jnp.maximum(-10.0 * jnp.ones(ndim, dtype), jnp.min(whitened, axis=0))
+    bound_u = jnp.minimum(10.0 * jnp.ones(ndim, dtype), jnp.max(whitened, axis=0))
+
+    logger.info("Begin PTLMC chain optimization (vmapped L-BFGS) ...")
+    xw_opt, l0 = _preopt(
+        logpost_fn, state, whitened, thetacen, thetas, bound_l, bound_u,
+        maxiter=preopt_maxiter,
+    )
+
+    # jitter off the modes: accept stepadj * r while delta < 3 * ndim,
+    # halving stepadj; give up below 1/16 (reference: src/mcmc.py:574-591)
+    r = jax.random.normal(k_jit, (totnum, ndim), dtype)
+    xw_jittered = _jitter(
+        logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u
+    )
+    # chain 0 keeps the raw optimum (reference: notmoved=False when k==0)
+    thetac = thetacen + thetas * xw_jittered
+
+    # --- proposal covariance ---------------------------------------------
+    covmat0 = jnp.cov(thetac.T)
+    if ndim > 1:
+        covmat0 = 0.9 * covmat0 + 0.1 * jnp.diag(jnp.diag(covmat0))
+        w, v = jnp.linalg.eigh(covmat0)
+        hc = v @ jnp.diag(jnp.sqrt(jnp.maximum(w, 0.0))) @ v.T
+    else:
+        hc = jnp.sqrt(covmat0).reshape(1, 1)
+    hc = hc.astype(dtype)
+
+    samptunning = int(np.ceil(sampperchain * 2.0))
+    total_steps = samptunning + sampperchain
+
+    logger.info(
+        "Run PTLMC: %d chains (%d tempered + %d cold), %d tuning + %d "
+        "production steps ...", totnum, numtemps, numchain, samptunning,
+        sampperchain,
+    )
+
+    tau0 = jnp.asarray(-1.0, dtype)
+    rho0 = 2.0 * (1.0 + jnp.tanh(tau0))
+    fval0 = lp_fn(thetac) / temps
+
+    chain = _ptlmc_scan(
+        logpost_fn,
+        state,
+        thetac,
+        fval0,
+        temps,
+        hc,
+        tau0,
+        rho0,
+        key,
+        total_steps=total_steps,
+        samptunning=samptunning,
+        numtemps=numtemps,
+        taracc=taracc,
+    )
+    return chain  # (numchain, sampperchain, ndim)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter",))
+def _preopt(logpost_fn, state, whitened, thetacen, thetas, bound_l, bound_u,
+            *, maxiter: int):
+    def nlp(xw):
+        x = thetacen + thetas * xw
+        return -logpost_fn(state, x[None, :])[0]
+
+    res = jax.vmap(
+        lambda x0: lbfgsb_minimize(nlp, x0, bound_l, bound_u, maxiter=maxiter)
+    )(whitened)
+    return res.x, res.fun
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _jitter(logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u):
+    dtype = xw_opt.dtype
+    ndim = xw_opt.shape[1]
+
+    def nlp(xw):
+        x = thetacen + thetas * xw
+        return -logpost_fn(state, x[None, :])[0]
+
+    def jitter_one(xw, l0v, rv):
+        def cond(carry):
+            stepadj, accepted = carry[0], carry[2]
+            return (~accepted) & (stepadj >= 1.0 / 16.0)
+
+        def body(carry):
+            stepadj, xw_cur, _ = carry
+            trial = jnp.clip(xw + stepadj * rv, bound_l, bound_u)
+            ok = (nlp(trial) - l0v) < 3.0 * ndim
+            return (
+                jnp.where(ok, stepadj, stepadj / 2.0),
+                jnp.where(ok, trial, xw_cur),
+                ok,
+            )
+
+        stepadj, xw_new, _ = lax.while_loop(
+            cond, body, (jnp.asarray(4.0, dtype), xw, jnp.asarray(False))
+        )
+        return xw_new
+
+    out = jax.vmap(jitter_one)(xw_opt, l0, r)
+    # chain 0 keeps the raw optimum (reference: notmoved=False when k==0)
+    return out.at[0].set(xw_opt[0])
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("total_steps", "samptunning", "numtemps", "taracc"),
+)
+def _ptlmc_scan(
+    logpost_fn,
+    state,
+    thetac,
+    fval0,
+    temps,
+    hc,
+    tau0,
+    rho0,
+    key,
+    *,
+    total_steps: int,
+    samptunning: int,
+    numtemps: int,
+    taracc: float,
+):
+    lp_fn = lambda x: logpost_fn(state, x)  # noqa: E731 (state is traced here)
+    dtype = thetac.dtype
+    totnum, ndim = thetac.shape
+    adjrho0 = rho0 * temps ** (1.0 / 3.0)
+
+    def step(carry, inp):
+        k, key = inp
+        thetac, fval, tau, adjrho, numtimes = carry
+        key, k_prop, k_acc, k_swap = jax.random.split(key, 4)
+
+        rvalo = jax.random.normal(k_prop, (totnum, ndim), dtype)
+        rval = jnp.sqrt(2.0) * adjrho[:, None] * (rvalo @ hc)
+        thetap = thetac + rval
+        fvalp = lp_fn(thetap) / temps
+        log_u = jnp.log(jax.random.uniform(k_acc, (totnum,), dtype=dtype))
+        accept = log_u < (fvalp - fval)
+        thetac = jnp.where(accept[:, None], thetap, thetac)
+        fval = jnp.where(accept, fvalp, fval)
+        numtimes = numtimes + jnp.sum(accept) / totnum
+
+        # temperature swaps on untempered log posteriors
+        fvaln = fval * temps
+        order = _temp_exchange(
+            k_swap, jnp.arange(totnum), fvaln, temps, iters=5
+        )
+        fval = fvaln[order] / temps
+        thetac = thetac[order]
+
+        # rho adaptation every 10 tuning steps
+        tune_now = (k < samptunning) & (jnp.mod(k, 10) == 0)
+        tau_new = tau + 1.0 / jnp.sqrt(1.0 + k / 10.0) * (numtimes / 10.0 - taracc)
+        tau = jnp.where(tune_now, tau_new, tau)
+        rho = 2.0 * (1.0 + jnp.tanh(tau))
+        adjrho = jnp.where(tune_now, rho * temps ** (1.0 / 3.0), adjrho)
+        numtimes = jnp.where(tune_now, 0.0, numtimes)
+
+        return (thetac, fval, tau, adjrho, numtimes), thetac[numtemps:]
+
+    keys = jax.random.split(key, total_steps)
+    ks = jnp.arange(total_steps)
+    _, saved = lax.scan(
+        step,
+        (thetac, fval0, tau0, adjrho0, jnp.asarray(0.0, dtype)),
+        (ks, keys),
+    )
+    # keep only production steps; (steps, numchain, ndim) -> (numchain, steps, ndim)
+    return jnp.transpose(saved[samptunning:], (1, 0, 2))
