@@ -12,3 +12,4 @@
 
 from .gp import GPConfig, GPState, gp_fit, gp_predict, gp_nll  # noqa: F401
 from .emulator import Emulator  # noqa: F401
+from .emulator_band import EmulatorBAND  # noqa: F401

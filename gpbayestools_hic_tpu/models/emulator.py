@@ -91,6 +91,7 @@ class Emulator:
         self.npc = npc
         self.nrestarts = nrestarts
         self.seed = seed
+        self.gp_alpha = 0.1  # sklearn GPR alpha (reference: src/emulator.py:310)
         self._dtype = working_dtype()
 
         if training_set_path is not None:
@@ -155,7 +156,7 @@ class Emulator:
         else:
             logger.info("Standardizing data and performing PCA ...")
             self.pca = fit_pca(standardized, whiten=True)
-            npc_used = min(self.npc, self.pca.components.shape[0])
+            npc_used = self._select_npc(self.pca)
             z = pca_transform(self.pca, standardized, npc=npc_used)
             logger.info(
                 "%d PCs explain %.5f of variance",
@@ -171,7 +172,10 @@ class Emulator:
         logger.info("Train GP emulators with %d training points ...", design.shape[0])
 
         ptp = jnp.asarray(self.design_max - self.design_min, dtype=dtype)
-        self.gp_config = GPConfig(kernel=KernelConfig(kernel_type), alpha=0.1)
+        self.gp_config = GPConfig(
+            kernel=KernelConfig(kernel_type), alpha=self.gp_alpha
+        )
+        noise_diag = self._pc_noise_diag(eventMask, npc_used)
         self.gp_state: GPState = gp_fit(
             design,
             z.T,
@@ -180,6 +184,7 @@ class Emulator:
             nrestarts=self.nrestarts,
             key=jax.random.PRNGKey(self.seed),
             maxiter=self.gp_maxiter,
+            noise_diag=noise_diag,
         )
         logger.info("GP LMLs: %s", np.asarray(self.gp_state.lml))
 
@@ -204,6 +209,16 @@ class Emulator:
             self._cov_trunc = cov_trunc
         self._trained = True
         self._build_predict_fn()
+
+    def _select_npc(self, pca) -> int:
+        """Number of PCs to emulate; subclass hook (BAND heads use an
+        explained-variance threshold instead of a fixed count)."""
+        return min(self.npc, pca.components.shape[0])
+
+    def _pc_noise_diag(self, eventMask, npc_used):
+        """Per-(PC, event) known noise variances for the GP Gram diagonal;
+        None for the homoskedastic sklearn head (PCSK overrides)."""
+        return None
 
     # ---------------------------------------------------------------- predict
     #

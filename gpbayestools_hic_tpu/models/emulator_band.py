@@ -1,0 +1,173 @@
+"""PCGP / PCSK / PCGPwImpute emulator heads (surmise-parity API).
+
+Rebuild of the reference's ``EmulatorBAND`` wrapper around surmise 0.2.1
+(src/emulator_BAND.py:18-580).  The surmise methods are re-implemented on
+the same batched-GP core as the sklearn head:
+
+- **PCGP**: PCA-projected GP -- standardize, whitened PCA keeping enough
+  components for ``target_variance`` of the variance, one Matern-1.5 ARD GP
+  per kept PC, truncation covariance for the rest.
+- **PCSK**: PCGP with *stochastic-kriging* known simulation noise: the
+  per-observable, per-design stat errors (``simsd`` in surmise; reference
+  src/emulator_BAND.py:276-282) are propagated through the standardization
+  + PCA weights into per-(PC, design) noise variances added to each GP's
+  Gram diagonal.
+- **PCGPwImpute**: missing observables (NaN) are filled by iterative
+  low-rank SVD imputation before PCGP training.
+- **PCGPwM**: accepted with a warning as an alias of PCGPwImpute (the
+  reference silently falls through, src/emulator_BAND.py:288-292; we log).
+- unknown methods raise ``ValueError`` (the reference constructs the error
+  but forgets to raise it, src/emulator_BAND.py:293-294 -- fixed here, as
+  flagged in SURVEY.md).
+
+API parity with the reference: constructor signature, ``trainEmulator(mask)``
+/ ``trainEmulatorAutoMask()``, ``predict(X, return_cov, extra_std)``
+returning ``(mean (m, nobs), cov (m, nobs, nobs))``,
+``predict_test_emu_errors(x, theta)`` (mean transposed, surmise layout), and
+both ``testEmulatorErrors*`` validators.  Since the predictive covariance
+keeps the fixed-basis low-rank form, the calibration layer's Woodbury fast
+path applies to these heads unchanged.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.scalers import n_components_for_variance
+from .emulator import Emulator
+from .param_pca import ParamPCAGroup
+
+logger = logging.getLogger(__name__)
+
+_METHODS = ("PCGP", "PCSK", "PCGPwImpute", "PCGPwM")
+
+
+def _impute_iterative_svd(
+    data: np.ndarray, rank: int | None = None, iters: int = 20
+) -> np.ndarray:
+    """Fill NaNs by iterative low-rank SVD reconstruction."""
+    mask = np.isnan(data)
+    if not mask.any():
+        return data
+    filled = data.copy()
+    col_mean = np.nanmean(data, axis=0)
+    filled[mask] = np.take(col_mean, np.where(mask)[1])
+    r = rank or min(10, min(data.shape) - 1)
+    for _ in range(iters):
+        mean = filled.mean(axis=0)
+        u, s, vt = np.linalg.svd(filled - mean, full_matrices=False)
+        recon = (u[:, :r] * s[:r]) @ vt[:r] + mean
+        prev = filled[mask]
+        filled[mask] = recon[mask]
+        if np.max(np.abs(prev - filled[mask])) < 1e-10:
+            break
+    return filled
+
+
+class EmulatorBAND(Emulator):
+    """Multidimensional GP emulator with surmise-method heads."""
+
+    def __init__(
+        self,
+        training_set_path: str = ".",
+        parameter_file: str = "ABCD.txt",
+        method: str = "PCGP",
+        logTrafo: bool = False,
+        parameterTrafoPCA: bool = False,
+        max_rel_uncertainty_data: float = 0.1,
+        exp_and_cov_diagonal: bool = False,
+        param_pca_groups: Sequence[ParamPCAGroup] | None = None,
+        target_variance: float = 0.99,
+        nrestarts: int = 0,
+        seed: int = 0,
+        gp_maxiter: int = 200,
+    ):
+        if method not in _METHODS:
+            raise ValueError(f"Requested method not implemented: {method}")
+        if method == "PCGPwM":
+            logger.warning(
+                "PCGPwM is not implemented natively; using PCGPwImpute "
+                "(the reference silently does the same, "
+                "src/emulator_BAND.py:288-292)"
+            )
+            method = "PCGPwImpute"
+        self.method_ = method
+        self.pc_target_variance = target_variance
+        super().__init__(
+            training_set_path=training_set_path,
+            parameter_file=parameter_file,
+            npc=10**9,  # resolved by the variance threshold at train time
+            nrestarts=nrestarts,
+            logTrafo=logTrafo,
+            parameterTrafoPCA=parameterTrafoPCA,
+            max_rel_uncertainty_data=max_rel_uncertainty_data,
+            exp_and_cov_diagonal=exp_and_cov_diagonal,
+            perform_no_PCA=False,
+            param_pca_groups=param_pca_groups,
+            seed=seed,
+            gp_maxiter=gp_maxiter,
+        )
+        self.nparameters = self.design_points.shape[1]
+        # small jitter instead of sklearn's alpha=0.1: PCSK carries the real
+        # noise explicitly and PCGP learns its white level
+        self.gp_alpha = 1e-6
+        if method == "PCGPwImpute":
+            self.model_data = _impute_iterative_svd(self.model_data)
+
+    # ---------------------------------------------------------------- hooks
+
+    def _select_npc(self, pca) -> int:
+        npc = n_components_for_variance(pca, self.pc_target_variance)
+        logger.info(
+            "%s keeps %d PCs for %.1f%% of variance",
+            self.method_, npc, self.pc_target_variance * 100,
+        )
+        return npc
+
+    def _pc_noise_diag(self, eventMask, npc_used):
+        if self.method_ != "PCSK":
+            return None
+        # standardized errors -> PC-space variances:
+        # var_z[k, i] = sum_j (W_kj sigma_std_ij)^2,
+        # W_kj = components_kj / sqrt(ev_k) (whitened projection weights)
+        err = jnp.asarray(
+            self.model_data_err[np.asarray(eventMask, dtype=bool), :],
+            dtype=self._dtype,
+        )
+        err_std = err / self.scaler.scale
+        w = self.pca.components[:npc_used] / jnp.sqrt(
+            self.pca.explained_variance[:npc_used]
+        )[:, None]
+        return ((err_std**2) @ (w**2).T).T  # (npc, nev) for gp_fit
+
+    # ---------------------------------------------------------------- train
+
+    def trainEmulator(self, event_mask, kernel_type: str = "Matern"):
+        super().trainEmulator(event_mask, kernel_type=kernel_type)
+
+    # ------------------------------------------------------------- predict
+
+    def predict_test_emu_errors(self, X, theta):
+        """Surmise-layout predict: returns (mean (nobs, m), cov (m, nobs, nobs)).
+
+        ``X`` is the surmise observable-index grid and is ignored (kept for
+        reference API parity, src/emulator_BAND.py:297-383).
+        """
+        mean, cov = self.predict(theta, return_cov=True)
+        return mean.T, cov
+
+    # ---------------------------------------------------------- validation
+
+    def testEmulatorErrors(self, number_test_points: int = 1):
+        return super().testEmulatorErrors(
+            nTestPoints=number_test_points, kernel_type="Matern"
+        )
+
+    def testEmulatorErrorsWithTrainingPoints(self, number_test_points: int = 1):
+        return super().testEmulatorErrorsWithTrainingPoints(
+            nTestPoints=number_test_points, kernel_type="Matern"
+        )

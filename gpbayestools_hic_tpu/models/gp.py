@@ -63,15 +63,22 @@ class GPState(NamedTuple):
     lml: jnp.ndarray      # (b,) log marginal likelihood at the optimum
 
 
-def _build_k(params, x, config: GPConfig):
+def _build_k(params, x, config: GPConfig, noise_diag=None):
     k = kernel_fn(params, x, config=config.kernel, include_noise=True)
-    return k + config.alpha * jnp.eye(x.shape[0], dtype=x.dtype)
+    k = k + config.alpha * jnp.eye(x.shape[0], dtype=x.dtype)
+    if noise_diag is not None:
+        # heteroskedastic known simulation noise (stochastic-kriging / PCSK
+        # semantics: surmise passes simsd per observable and design point,
+        # reference src/emulator_BAND.py:276-282)
+        k = k + jnp.diag(noise_diag)
+    return k
 
 
-def gp_nll(params: dict, x: jnp.ndarray, y: jnp.ndarray, config: GPConfig) -> jnp.ndarray:
+def gp_nll(params: dict, x: jnp.ndarray, y: jnp.ndarray, config: GPConfig,
+           noise_diag=None) -> jnp.ndarray:
     """Negative log marginal likelihood of one GP (differentiable)."""
     n = x.shape[0]
-    k = _build_k(params, x, config)
+    k = _build_k(params, x, config, noise_diag)
     chol = cholesky_jittered(k)
     alpha_vec = solve_lower_triangular(chol, y)
     quad = jnp.sum(alpha_vec * alpha_vec)
@@ -106,6 +113,7 @@ def gp_fit(
     nrestarts: int = 0,
     key: jax.Array | None = None,
     maxiter: int = 200,
+    noise_diag: jnp.ndarray | None = None,
 ) -> GPState:
     """Fit ``npc`` independent GPs on shared inputs, all in one device program.
 
@@ -113,7 +121,9 @@ def gp_fit(
     initialization (length scales = parameter ranges) and bounds.  With
     ``nrestarts > 0``, each GP additionally starts from ``nrestarts`` points
     sampled uniformly in the log-bound box and the best optimum wins
-    (sklearn ``n_restarts_optimizer`` semantics).
+    (sklearn ``n_restarts_optimizer`` semantics).  ``noise_diag`` (npc, n)
+    adds known per-point noise variances to each GP's Gram diagonal
+    (stochastic kriging / PCSK).
     """
     dtype = x.dtype
     d = x.shape[1]
@@ -135,25 +145,28 @@ def gp_fit(
     else:
         starts = theta0[None]
 
-    def fit_one(y, t0):
+    if noise_diag is None:
+        noise_diag = jnp.zeros_like(y_batch)
+
+    def fit_one(y, nd, t0):
         def nll_vec(vec):
-            return gp_nll(_unpack(vec, d), x, y, config)
+            return gp_nll(_unpack(vec, d), x, y, config, nd)
 
         res = lbfgsb_minimize(nll_vec, t0, lower, upper, maxiter=maxiter)
         return res.x, res.fun
 
     # vmap over (PC x restart).
     fit_grid = jax.vmap(
-        jax.vmap(fit_one, in_axes=(None, 0)), in_axes=(0, None)
+        jax.vmap(fit_one, in_axes=(None, None, 0)), in_axes=(0, 0, None)
     )
-    thetas, nlls = fit_grid(y_batch, starts)  # (npc, nstarts, dim), (npc, nstarts)
+    thetas, nlls = fit_grid(y_batch, noise_diag, starts)  # (npc, nstarts, dim)
     best = jnp.argmin(nlls, axis=1)
     theta_best = jnp.take_along_axis(thetas, best[:, None, None], axis=1)[:, 0, :]
     params = jax.vmap(lambda v: _unpack(v, d))(theta_best)
 
-    chols, whitened = jax.vmap(lambda p, y: _chol_and_white(p, x, y, config))(
-        params, y_batch
-    )
+    chols, whitened = jax.vmap(
+        lambda p, y, nd: _chol_and_white(p, x, y, config, nd)
+    )(params, y_batch, noise_diag)
     alpha_vecs = jax.vmap(
         lambda c, w: jax.lax.linalg.triangular_solve(
             c, w[:, None], left_side=True, lower=True, transpose_a=True
@@ -179,8 +192,8 @@ def gp_fit(
     )
 
 
-def _chol_and_white(p, x, y, config):
-    k = _build_k(p, x, config)
+def _chol_and_white(p, x, y, config, noise_diag=None):
+    k = _build_k(p, x, config, noise_diag)
     chol = cholesky_jittered(k)
     w = solve_lower_triangular(chol, y)
     return chol, w

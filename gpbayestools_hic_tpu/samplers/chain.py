@@ -528,10 +528,10 @@ class Chain:
         ll_fn = self.device_fns["log_likelihood_traceable"]
         like_state = self._like_state
         result = run_smc(
-            log_likelihood=lambda state, x, finite: ll_fn(state, x, finite),
+            ll_fn,
+            jnp.asarray(self.min, dtype=self._dtype),
+            jnp.asarray(self.max, dtype=self._dtype),
             likelihood_state=like_state,
-            prior_lo=jnp.asarray(self.min, dtype=self._dtype),
-            prior_hi=jnp.asarray(self.max, dtype=self._dtype),
             n_effective=n_effective,
             n_active=n_active,
             n_prior=n_prior,

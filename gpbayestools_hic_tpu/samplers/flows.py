@@ -1,0 +1,189 @@
+"""Normalizing flows for SMC preconditioning (pure JAX + optax).
+
+The reference delegates to pocoMC, whose preconditioner is a normalizing
+flow trained on the current particle population (src/mcmc.py:752-819 wraps
+it; the flow itself lives in the external package).  This is a from-scratch
+RealNVP: alternating-mask affine coupling layers with small MLP
+conditioners, plus a moment-matching affine pre-layer so training starts
+from whitened data.
+
+API (all pure functions over a parameter pytree):
+
+- :func:`init_flow`     -- parameters for ``ndim`` inputs
+- :func:`flow_forward`  -- data -> latent, with log |det dz/du|
+- :func:`flow_inverse`  -- latent -> data, with log |det du/dz|
+- :func:`flow_logprob`  -- log q(u) under the flow
+- :func:`fit_flow`      -- weighted maximum likelihood with Adam (jitted scan)
+
+Conventions: ``forward`` maps data ``u`` to latent ``z`` trained toward
+N(0, I); coupling scales are tanh-bounded for stability.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+
+
+class FlowConfig(NamedTuple):
+    n_layers: int = 6
+    hidden: int = 64
+    # tanh bound on per-layer log-scales: with weight decay this prevents
+    # the flow from collapsing probability mass onto the training points
+    max_log_scale: float = 1.0
+    weight_decay: float = 1e-2
+
+
+def _mlp_init(key, sizes, dtype):
+    params = []
+    for k, (din, dout) in zip(
+        jax.random.split(key, len(sizes) - 1), zip(sizes[:-1], sizes[1:])
+    ):
+        kw, kb = jax.random.split(k)
+        w = jax.random.normal(kw, (din, dout), dtype) * jnp.sqrt(2.0 / din)
+        params.append({"w": w, "b": jnp.zeros((dout,), dtype)})
+    # zero-init the last layer: the flow starts as the identity
+    params[-1]["w"] = jnp.zeros_like(params[-1]["w"])
+    return params
+
+
+def _mlp_apply(params, x):
+    for i, layer in enumerate(params):
+        x = x @ layer["w"] + layer["b"]
+        if i < len(params) - 1:
+            x = jax.nn.gelu(x)
+    return x
+
+
+def init_flow(key, ndim: int, config: FlowConfig = FlowConfig(), dtype=jnp.float32):
+    """Initialize flow parameters (identity transform at init)."""
+    keys = jax.random.split(key, config.n_layers)
+    layers = []
+    for i, k in enumerate(keys):
+        # NOTE: the alternating binary mask is NOT a parameter -- it is
+        # recomputed inside _coupling.  (A trainable mask leaf silently
+        # breaks the triangular-Jacobian logdet once the optimizer -- or
+        # AdamW weight decay -- moves it off exactly 0/1.)
+        layers.append({
+            "mlp": _mlp_init(k, [ndim, config.hidden, config.hidden, 2 * ndim], dtype),
+        })
+    return {
+        "layers": layers,
+        # affine pre-layer (data whitening); set by fit_flow
+        "pre_mean": jnp.zeros((ndim,), dtype),
+        "pre_log_scale": jnp.zeros((ndim,), dtype),
+    }
+
+
+def _layer_mask(i: int, ndim: int, dtype):
+    return (((jnp.arange(ndim) + i) % 2) == 0).astype(dtype)
+
+
+def _coupling(layer, i, u, config: FlowConfig, inverse: bool):
+    ndim = u.shape[-1]
+    mask = _layer_mask(i, ndim, u.dtype)
+    h = _mlp_apply(layer["mlp"], u * mask)
+    raw_s, t = h[..., :ndim], h[..., ndim:]
+    s = config.max_log_scale * jnp.tanh(raw_s / config.max_log_scale)
+    s = s * (1 - mask)
+    t = t * (1 - mask)
+    if inverse:
+        out = (u - t) * jnp.exp(-s)
+        logdet = -jnp.sum(s, axis=-1)
+    else:
+        out = u * jnp.exp(s) + t
+        logdet = jnp.sum(s, axis=-1)
+    return out, logdet
+
+
+@partial(jax.jit, static_argnames=("config",))
+def flow_forward(params, u, config: FlowConfig = FlowConfig()):
+    """Data -> latent. Returns (z, log|det dz/du|); u (b, d)."""
+    scale = jnp.exp(-params["pre_log_scale"])
+    x = (u - params["pre_mean"]) * scale
+    logdet = jnp.sum(-params["pre_log_scale"]) * jnp.ones(
+        u.shape[0], dtype=u.dtype
+    )
+    for i, layer in enumerate(params["layers"]):
+        x, ld = _coupling(layer, i, x, config, inverse=False)
+        logdet = logdet + ld
+    return x, logdet
+
+
+@partial(jax.jit, static_argnames=("config",))
+def flow_inverse(params, z, config: FlowConfig = FlowConfig()):
+    """Latent -> data. Returns (u, log|det du/dz|); z (b, d)."""
+    x = z
+    logdet = jnp.zeros(z.shape[0], dtype=z.dtype)
+    n_layers = len(params["layers"])
+    for i, layer in zip(
+        reversed(range(n_layers)), reversed(params["layers"])
+    ):
+        x, ld = _coupling(layer, i, x, config, inverse=True)
+        logdet = logdet + ld
+    u = x * jnp.exp(params["pre_log_scale"]) + params["pre_mean"]
+    logdet = logdet + jnp.sum(params["pre_log_scale"])
+    return u, logdet
+
+
+def flow_logprob(params, u, config: FlowConfig = FlowConfig()):
+    """log q(u) = log N(z; 0, I) + log|det dz/du|."""
+    z, logdet = flow_forward(params, u, config)
+    d = u.shape[-1]
+    log_n = -0.5 * jnp.sum(z**2, axis=-1) - 0.5 * d * jnp.log(2.0 * jnp.pi)
+    return log_n + logdet
+
+
+@partial(jax.jit, static_argnames=("config", "steps"))
+def fit_flow(
+    params,
+    u: jnp.ndarray,
+    weights: jnp.ndarray,
+    key: jax.Array,
+    *,
+    config: FlowConfig = FlowConfig(),
+    steps: int = 300,
+    lr: float = 1e-3,
+):
+    """Weighted maximum-likelihood fit on samples ``u`` (b, d).
+
+    Re-initializes the whitening pre-layer from the weighted moments, then
+    runs ``steps`` full-batch Adam iterations (jitted scan).  Returns
+    (params, final_loss).
+    """
+    w = weights / jnp.sum(weights)
+    mean = jnp.sum(w[:, None] * u, axis=0)
+    var = jnp.sum(w[:, None] * (u - mean) ** 2, axis=0)
+    params = dict(params)
+    params["pre_mean"] = mean
+    params["pre_log_scale"] = 0.5 * jnp.log(var + 1e-12)
+
+    opt = optax.adamw(lr, weight_decay=config.weight_decay)
+
+    def loss_fn(p):
+        return -jnp.sum(w * flow_logprob(p, u, config))
+
+    opt_state = opt.init(params)
+
+    def step(carry, _):
+        p, s = carry
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # Freeze the whitening pre-layer: it is set from the data moments
+        # above.  Letting the optimizer move pre_log_scale gives the model an
+        # unbounded logdet term -- the tanh-bounded couplings then overfit
+        # spikes onto the training points (observed: avg logprob blowing past
+        # the true entropy).  With it frozen the total logdet is bounded by
+        # n_layers * max_log_scale.
+        grads["pre_mean"] = jnp.zeros_like(grads["pre_mean"])
+        grads["pre_log_scale"] = jnp.zeros_like(grads["pre_log_scale"])
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return (p, s), loss
+
+    (params, _), losses = lax.scan(step, (params, opt_state), None, length=steps)
+    return params, losses[-1]

@@ -1,0 +1,148 @@
+"""EmulatorBAND (PCGP/PCSK/PCGPwImpute) tests."""
+
+import numpy as np
+import pytest
+
+from gpbayestools_hic_tpu.models import EmulatorBAND
+
+
+def _make_dataset(rng, nev=40, ndim=3, nobs=8, err_level=0.01):
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    freqs = rng.uniform(1, 3, size=(ndim, nobs))
+    base = 2.0 + np.sin(design @ freqs) + 0.3 * (design**2) @ freqs
+    err = err_level * np.abs(base) * rng.uniform(0.5, 1.0, size=base.shape)
+    return design, base, np.abs(err)
+
+
+@pytest.fixture
+def band_files(tmp_path, rng, training_pickle_factory):
+    design, base, err = _make_dataset(rng)
+    pkl = training_pickle_factory(tmp_path / "train.pkl", design, base, err)
+    parfile = tmp_path / "pars.txt"
+    parfile.write_text("".join(f"p{i}: l, 0.0, 1.0\n" for i in range(3)))
+    return pkl, parfile, design, base, err
+
+
+def test_unknown_method_raises(band_files):
+    """Fixes the reference quirk: unknown methods must raise
+    (src/emulator_BAND.py:293-294 constructs but never raises)."""
+    pkl, parfile, *_ = band_files
+    with pytest.raises(ValueError):
+        EmulatorBAND(str(pkl), str(parfile), method="NoSuchMethod")
+
+
+def test_pcgp_train_predict(band_files):
+    pkl, parfile, design, base, err = band_files
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGP")
+    emu.trainEmulatorAutoMask()
+    mean, cov = emu.predict(design[:4])
+    assert mean.shape == (4, 8)
+    assert cov.shape == (4, 8, 8)
+    rel = np.abs(mean - base[:4]) / np.abs(base[:4])
+    assert np.median(rel) < 0.03
+    # variance threshold, not a fixed npc
+    assert emu._npc_used < 8
+
+
+def test_pcsk_uses_heteroskedastic_noise(tmp_path, rng, training_pickle_factory):
+    """PCSK must down-weight noisy training points relative to PCGP."""
+    design, base, err = _make_dataset(rng, err_level=0.02)
+    # make half the points very noisy AND corrupt their values
+    noisy = np.arange(0, 40, 2)
+    corrupted = base.copy()
+    corrupted[noisy] += rng.normal(0, 0.4, size=(len(noisy), base.shape[1]))
+    err_het = err.copy()
+    err_het[noisy] = 0.45 * np.abs(base[noisy])
+    # keep the filter from dropping them
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, corrupted, err_het)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+
+    kwargs = dict(max_rel_uncertainty_data=10.0)
+    pcgp = EmulatorBAND(str(pkl), str(parfile), method="PCGP", **kwargs)
+    pcgp.trainEmulatorAutoMask()
+    pcsk = EmulatorBAND(str(pkl), str(parfile), method="PCSK", **kwargs)
+    pcsk.trainEmulatorAutoMask()
+
+    clean = np.setdiff1d(np.arange(40), noisy)
+    mean_gp, _ = pcgp.predict(design[clean])
+    mean_sk, _ = pcsk.predict(design[clean])
+    err_gp = np.median(np.abs(mean_gp - base[clean]) / np.abs(base[clean]))
+    err_sk = np.median(np.abs(mean_sk - base[clean]) / np.abs(base[clean]))
+    # stochastic kriging should be at least as accurate on the clean truth
+    assert err_sk <= err_gp * 1.1, (err_sk, err_gp)
+
+
+def test_pcgp_wimpute_fills_nans(tmp_path, rng, training_pickle_factory):
+    design, base, err = _make_dataset(rng)
+    holed = base.copy()
+    holed[5, 2] = np.nan
+    holed[17, 6] = np.nan
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, holed, err)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwImpute",
+                       max_rel_uncertainty_data=10.0)
+    assert not np.isnan(emu.model_data).any()
+    emu.trainEmulatorAutoMask()
+    mean, _ = emu.predict(design[:3])
+    assert np.isfinite(mean).all()
+    # imputed entries should be near the uncorrupted truth
+    assert abs(emu.model_data[5, 2] - base[5, 2]) < 0.5
+
+
+def test_pcgpwm_aliases_impute(band_files):
+    pkl, parfile, *_ = band_files
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwM")
+    assert emu.method_ == "PCGPwImpute"
+
+
+def test_band_validation_harness(band_files):
+    pkl, parfile, design, base, err = band_files
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGP")
+    preds, preds_err, truth, truth_err = emu.testEmulatorErrors(
+        number_test_points=5
+    )
+    assert preds.shape == (5, 8)
+    rel = np.abs(preds - truth) / np.abs(truth)
+    assert np.median(rel) < 0.2
+
+
+def test_band_predict_test_emu_errors_layout(band_files):
+    pkl, parfile, design, *_ = band_files
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGP")
+    emu.trainEmulatorAutoMask()
+    x = np.arange(emu.nobs).reshape(-1, 1)
+    mean_t, cov = emu.predict_test_emu_errors(x, design[:4])
+    # surmise layout: mean (nobs, m), cov (m, nobs, nobs)
+    assert mean_t.shape == (8, 4)
+    assert cov.shape == (4, 8, 8)
+
+
+def test_band_chain_integration(tmp_path, rng, training_pickle_factory):
+    """A PCSK emulator drops into Chain with the Woodbury fast path."""
+    import pickle
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    design, base, err = _make_dataset(rng, nev=30, ndim=2, nobs=5)
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, base, err)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(2)))
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCSK")
+    emu.trainEmulatorAutoMask()
+    assert emu.has_lowrank_cov
+
+    truth_idx = 3
+    exp_pkl = tmp_path / "exp.pkl"
+    with open(exp_pkl, "wb") as f:
+        pickle.dump({"0": {"obs": np.stack(
+            [base[truth_idx], 0.05 * np.abs(base[truth_idx])])}}, f)
+    chain = Chain(
+        mcmc_path=str(tmp_path / "m" / "c.pkl"),
+        expdata_path=str(exp_pkl),
+        model_parafile=str(parfile),
+    )
+    chain.loadEmulator([emu])
+    lp = chain.log_posterior(design[:6])
+    assert np.isfinite(lp).all()
+    assert lp[truth_idx] == lp.max()

@@ -1,0 +1,155 @@
+"""SMC sampler tests: flow correctness, Gaussian posterior + evidence, Chain."""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpbayestools_hic_tpu.samplers.flows import (
+    FlowConfig,
+    fit_flow,
+    flow_forward,
+    flow_inverse,
+    flow_logprob,
+    init_flow,
+)
+from gpbayestools_hic_tpu.samplers.smc import run_smc
+
+
+CFG = FlowConfig(n_layers=4, hidden=32)
+
+
+def test_flow_inverse_roundtrip():
+    key = jax.random.PRNGKey(0)
+    params = init_flow(key, 3, CFG, jnp.float64)
+    u = jax.random.normal(jax.random.PRNGKey(1), (50, 3), jnp.float64) * 2 + 1
+    z, ld_f = flow_forward(params, u, CFG)
+    u2, ld_i = flow_inverse(params, z, CFG)
+    np.testing.assert_allclose(u2, u, atol=1e-8)
+    np.testing.assert_allclose(ld_f + ld_i, 0.0, atol=1e-8)
+
+
+def test_flow_fits_correlated_gaussian():
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+    cov = np.array([[1.0, 0.8], [0.8, 1.0]])
+    data = rng.multivariate_normal([2.0, -1.0], cov, size=2000)
+    u = jnp.asarray(data)
+    params = init_flow(key, 2, CFG, u.dtype)
+    params, loss = fit_flow(
+        params, u, jnp.ones(len(u), u.dtype), jax.random.PRNGKey(1),
+        config=CFG, steps=500,
+    )
+    # average log-likelihood should approach the true entropy rate
+    true_ll = -0.5 * (2 * np.log(2 * np.pi) + np.log(np.linalg.det(cov)) + 2)
+    fitted_ll = float(jnp.mean(flow_logprob(params, u, CFG)))
+    assert fitted_ll > true_ll - 0.25, (fitted_ll, true_ll)
+    # latent should be ~ standard normal
+    z, _ = flow_forward(params, u, CFG)
+    z = np.asarray(z)
+    assert np.abs(z.mean(axis=0)).max() < 0.25
+    assert np.abs(z.std(axis=0) - 1).max() < 0.25
+
+
+def test_smc_gaussian_posterior_and_evidence():
+    """Known Gaussian likelihood in a unit box: check moments AND evidence.
+
+    With prior U([0,1]^2) and likelihood N(x; mu, s^2 I) well inside the box,
+    Z = integral = ~1 * (2 pi s^2)^-0 ... here logl is a proper normalized
+    Gaussian log-density, so Z ~= 1 and log Z ~= 0 (edge effects tiny).
+    """
+    mu = jnp.asarray([0.4, 0.6])
+    s = 0.05
+
+    def logl(state, x, finite):
+        ll = -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+        return ll
+
+    lo = jnp.zeros(2)
+    hi = jnp.ones(2)
+    result = run_smc(
+        logl, lo, hi,
+        n_effective=500, n_active=250, n_prior=1000,
+        n_max_steps=30, n_total=3000, n_evidence=2000, seed=1,
+        flow_config=CFG, flow_fit_steps=200,
+    )
+    samples = result["samples"]
+    assert samples.shape == (3000, 2)
+    np.testing.assert_allclose(samples.mean(axis=0), mu, atol=0.02)
+    np.testing.assert_allclose(samples.std(axis=0), s, rtol=0.2)
+    # prior volume is 1 and the likelihood is normalized: log Z ~ 0
+    assert abs(result["logz"]) < 0.1, result["logz"]
+    assert result["logz_err"] < 0.1
+    assert np.isfinite(result["logl"]).all()
+    # logp of in-box samples = -log(volume) = 0
+    np.testing.assert_allclose(result["logp"], 0.0, atol=1e-5)
+
+
+def test_smc_bimodal_recovers_both_modes():
+    """The flow-preconditioner + tempering must keep both modes."""
+    m1 = jnp.asarray([0.25, 0.25])
+    m2 = jnp.asarray([0.75, 0.75])
+    s = 0.04
+
+    def logl(state, x, finite):
+        l1 = -0.5 * jnp.sum((x - m1) ** 2, axis=1) / s**2
+        l2 = -0.5 * jnp.sum((x - m2) ** 2, axis=1) / s**2
+        return jnp.logaddexp(l1, l2)
+
+    result = run_smc(
+        logl, jnp.zeros(2), jnp.ones(2),
+        n_effective=500, n_active=250, n_prior=1000,
+        n_max_steps=30, n_total=4000, n_evidence=0, seed=3,
+        flow_config=CFG, flow_fit_steps=200,
+    )
+    samples = result["samples"]
+    frac_mode1 = np.mean(samples[:, 0] < 0.5)
+    assert 0.2 < frac_mode1 < 0.8, frac_mode1
+
+
+def test_chain_run_pocomc(tmp_path, rng, training_pickle_factory):
+    """Chain.run_pocoMC end to end with the full pickle contract."""
+    from gpbayestools_hic_tpu.models import Emulator
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    ndim, nev = 2, 30
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    parfile = tmp_path / "pars.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(ndim)))
+    freqs = rng.uniform(1, 2.5, size=(ndim, 5))
+    base = 2.0 + np.sin(design @ freqs)
+    pkl = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 0.01 * np.abs(base)
+    )
+    emu = Emulator(str(pkl), str(parfile), npc=3)
+    emu.trainEmulatorAutoMask()
+
+    truth = np.array([0.4, 0.6])
+    exp_mean = 2.0 + np.sin(truth @ freqs)
+    exp_pkl = tmp_path / "exp.pkl"
+    with open(exp_pkl, "wb") as f:
+        pickle.dump(
+            {"0": {"obs": np.stack([exp_mean, 0.05 * np.abs(exp_mean)])}}, f
+        )
+    chain = Chain(
+        mcmc_path=str(tmp_path / "mcmc" / "chain.pkl"),
+        expdata_path=str(exp_pkl),
+        model_parafile=str(parfile),
+    )
+    chain.loadEmulator([emu])
+    out = chain.run_pocoMC(
+        n_effective=300, n_active=150, n_prior=600, n_max_steps=20,
+        n_total=2000, n_evidence=500,
+    )
+    with open(chain.mcmc_path, "rb") as f:
+        data = pickle.load(f)
+    for k in ("chain", "weights", "logl", "logp", "logz", "logz_err"):
+        assert k in data
+    assert data["chain"].shape == (2000, 2)
+    post_mean = np.average(data["chain"], axis=0, weights=data["weights"])
+    assert np.all(np.abs(post_mean - truth) < 0.2), post_mean
+    assert np.isfinite(data["logz"])
