@@ -1,0 +1,43 @@
+"""Closure-test / posterior-predictive-check utilities.
+
+Library versions of the ClosureTest.ipynb workflow (reference cells 0-5;
+SURVEY.md C23): extract MAP/percentile parameters from a chain and
+propagate random posterior samples through the emulator ensemble to overlay
+on (pseudo-)data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def percentile_params(chain: np.ndarray, qs=(16, 50, 84)) -> np.ndarray:
+    """Per-parameter percentiles of a chain (reference cell 3).
+
+    ``chain``: (..., ndim); returns (len(qs), ndim).
+    """
+    flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
+    return np.percentile(flat, qs, axis=0)
+
+
+def posterior_predictive(
+    chain: np.ndarray,
+    emulators,
+    n_draws: int = 15,
+    seed: int = 0,
+) -> np.ndarray:
+    """Propagate random posterior samples through the emulators.
+
+    Returns predictions (n_draws, nobs_total) concatenated across emulators
+    in order (reference cell 4 uses ``Chain._predict``).
+    ``emulators`` may be a list of emulator objects or a Chain (its loaded
+    ensemble is used).
+    """
+    if hasattr(emulators, "emuList"):
+        emulators = emulators.emuList
+    flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(flat.shape[0], size=n_draws, replace=False)
+    thetas = flat[idx]
+    preds = [e.predict(thetas, return_cov=False) for e in emulators]
+    return np.concatenate(preds, axis=1)

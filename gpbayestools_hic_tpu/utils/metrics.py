@@ -1,0 +1,58 @@
+"""Validation metrics as library functions.
+
+The reference defines its two emulator-validation metrics inside
+``EmulatorValidation.ipynb`` cell 2 and its closure metric inside
+``PlotMCMC.ipynb`` cells 18-19 (SURVEY.md C21/C25); here they are proper
+functions:
+
+- :func:`rms_relative_error` -- "E": RMS relative prediction error per
+  observable;
+- :func:`honesty` -- "H": RMS of (prediction error / claimed sigma), the
+  calibration of the emulator's claimed uncertainty (H ~ 1 is honest);
+- :func:`delta_d` -- closure-test metric
+  ``Delta_d = E[sum((theta - theta_truth)^2 / width^2)] / ndim``;
+- :func:`coverage` -- fraction of truths inside the central credible
+  interval of each claimed Gaussian.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def rms_relative_error(pred: np.ndarray, truth: np.ndarray, axis=0) -> np.ndarray:
+    """E: RMS of (pred - truth)/truth over samples (per observable)."""
+    rel = (np.asarray(pred) - np.asarray(truth)) / np.asarray(truth)
+    return np.sqrt(np.mean(rel**2, axis=axis))
+
+
+def honesty(pred: np.ndarray, pred_err: np.ndarray, truth: np.ndarray, axis=0) -> np.ndarray:
+    """H: RMS of (pred - truth)/sigma_pred.  H >> 1: overconfident;
+    H << 1: underconfident; H ~ 1: honest uncertainties."""
+    z = (np.asarray(pred) - np.asarray(truth)) / np.asarray(pred_err)
+    return np.sqrt(np.mean(z**2, axis=axis))
+
+
+def mean_log_honesty(pred, pred_err, truth) -> float:
+    """<log H> averaged over observables (EmulatorValidation.ipynb cell 19)."""
+    h = honesty(pred, pred_err, truth)
+    return float(np.mean(np.log(h)))
+
+
+def delta_d(chain: np.ndarray, truth: np.ndarray, prior_min: np.ndarray,
+            prior_max: np.ndarray) -> float:
+    """Closure metric Delta_d (PlotMCMC.ipynb cells 18-19).
+
+    ``chain``: posterior samples (..., ndim) (any leading shape).
+    Returns ``mean_samples[ sum_d ((theta_d - truth_d)/width_d)^2 ] / ndim``.
+    """
+    samples = np.asarray(chain).reshape(-1, len(truth))
+    width = np.asarray(prior_max) - np.asarray(prior_min)
+    z2 = ((samples - np.asarray(truth)) / width) ** 2
+    return float(np.mean(np.sum(z2, axis=1)) / len(truth))
+
+
+def coverage(pred, pred_err, truth, n_sigma: float = 1.0) -> float:
+    """Fraction of truths within +- n_sigma of the claimed Gaussian."""
+    z = np.abs((np.asarray(pred) - np.asarray(truth)) / np.asarray(pred_err))
+    return float(np.mean(z < n_sigma))

@@ -1,0 +1,184 @@
+"""Tests for L2 design generation and L5 toolkit (cluster, metrics, sensitivity)."""
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gpbayestools_hic_tpu.design import Design, generate_lhs
+from gpbayestools_hic_tpu.design.lhd import min_pairwise_distance
+from gpbayestools_hic_tpu.utils import (
+    coverage,
+    delta_d,
+    generate_posterior_clusters,
+    honesty,
+    kmeans,
+    percentile_params,
+    posterior_predictive,
+    rms_relative_error,
+    sensitivity_matrix,
+    sensitivity_matrix_fd,
+    sort_chain_likelihood,
+)
+
+
+# ------------------------------------------------------------------- design
+
+
+def test_lhs_is_latin(tmp_path, monkeypatch):
+    monkeypatch.setenv("WORKDIR", str(tmp_path))
+    x = generate_lhs(20, 3, seed=1, cache=False)
+    assert x.shape == (20, 3)
+    assert (x > 0).all() and (x < 1).all()
+    # Latin property: exactly one point per stratum per dimension
+    for d in range(3):
+        strata = np.floor(x[:, d] * 20).astype(int)
+        assert sorted(strata.tolist()) == list(range(20))
+
+
+def test_lhs_beats_random_maximin(tmp_path):
+    x_opt = generate_lhs(30, 2, seed=2, method="maximin", cache=False)
+    rng = np.random.default_rng(2)
+    d_rand = []
+    for _ in range(5):
+        r = rng.uniform(size=(30, 2))
+        d_rand.append(min_pairwise_distance(r))
+    assert min_pairwise_distance(x_opt) > np.mean(d_rand), (
+        min_pairwise_distance(x_opt), np.mean(d_rand),
+    )
+    # Latin property preserved by annealing swaps
+    for d in range(2):
+        strata = np.floor(x_opt[:, d] * 30).astype(int)
+        assert sorted(strata.tolist()) == list(range(30))
+
+
+def test_lhs_cache_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("WORKDIR", str(tmp_path))
+    import importlib
+    import gpbayestools_hic_tpu.runtime as rt
+    monkeypatch.setattr(rt, "workdir", tmp_path)
+    x1 = generate_lhs(10, 2, seed=5)
+    x2 = generate_lhs(10, 2, seed=5)
+    np.testing.assert_array_equal(x1, x2)
+    assert (tmp_path / "cache" / "lhs" / "npoints10_ndim2_seed5.npy").exists()
+
+
+def test_design_class(toy_parfile, tmp_path, monkeypatch):
+    import gpbayestools_hic_tpu.runtime as rt
+    monkeypatch.setattr(rt, "workdir", tmp_path)
+    d = Design(toy_parfile, npoints=12, seed=7)
+    assert d.ndim == 3
+    arr = np.asarray(d)
+    assert arr.shape == (12, 3)
+    assert (arr[:, 1] >= -2).all() and (arr[:, 1] <= 2).all()
+    assert (arr[:, 2] >= 10).all() and (arr[:, 2] <= 30).all()
+    assert d.points[0] == "parameter_00"
+    d.write_files(tmp_path)
+    written = tmp_path / "main" / "parameter_00"
+    lines = written.read_text().strip().split("\n")
+    assert len(lines) == 3
+    key, val = lines[0].split()
+    assert key == "p0"
+    assert np.isclose(float(val), arr[0, 0])
+    # default seed is fixed, not wall-clock
+    d2 = Design(toy_parfile, npoints=12)
+    d3 = Design(toy_parfile, npoints=12)
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d3))
+
+
+# ------------------------------------------------------------------ cluster
+
+
+def test_kmeans_recovers_blobs(rng):
+    centers_true = np.array([[0.0, 0.0], [5.0, 5.0], [-5.0, 5.0]])
+    x = np.concatenate([
+        rng.normal(c, 0.3, size=(100, 2)) for c in centers_true
+    ])
+    centers, labels, inertia = kmeans(
+        jnp.asarray(x), 3, key=jax.random.PRNGKey(0), n_init=5
+    )
+    centers = np.asarray(centers)
+    # each true center has a recovered center nearby
+    for c in centers_true:
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.2
+
+
+def test_posterior_cluster_workflow(tmp_path, rng):
+    chain = rng.normal(size=(500, 3))
+    logl = -np.sum(chain**2, axis=1)
+    path = tmp_path / "chain.pkl"
+    with open(path, "wb") as f:
+        pickle.dump({
+            "chain": chain, "weights": np.ones(500) / 500,
+            "logl": logl, "logp": np.zeros(500),
+        }, f)
+    sorted_data = sort_chain_likelihood(path)
+    assert (np.diff(sorted_data["logl"]) <= 0).all()
+    assert (tmp_path / "chain_sorted.pkl").exists()
+
+    centers, labels = generate_posterior_clusters(
+        path, n_clusters=2, n_top_samples=200, output_dir=tmp_path
+    )
+    assert centers.shape == (2, 3)
+    saved = np.loadtxt(tmp_path / "cluster_centers.txt")
+    # one cluster per column (reference's transposed layout)
+    assert saved.shape == (3, 2)
+    np.testing.assert_allclose(saved, centers.T)
+
+
+# ------------------------------------------------------------------ metrics
+
+
+def test_metrics_basics():
+    truth = np.full((10, 4), 2.0)
+    pred = truth * 1.1
+    err = np.full_like(truth, 0.2)
+    e = rms_relative_error(pred, truth)
+    np.testing.assert_allclose(e, 0.1, rtol=1e-12)
+    h = honesty(pred, err, truth)
+    np.testing.assert_allclose(h, 1.0, rtol=1e-12)  # 0.2 error vs 0.2 sigma
+    assert coverage(pred, err, truth, n_sigma=2.0) == 1.0
+
+    chain = np.array([[0.5, 0.5], [0.6, 0.4]])
+    dd = delta_d(chain, truth=[0.5, 0.5], prior_min=[0, 0], prior_max=[1, 1])
+    expected = np.mean([0.0, (0.1**2 + 0.1**2)]) / 2
+    np.testing.assert_allclose(dd, expected, rtol=1e-12)
+
+
+# -------------------------------------------------------------- sensitivity
+
+
+@pytest.fixture
+def trained_emulator(tmp_path, rng, training_pickle_factory):
+    from gpbayestools_hic_tpu.models import Emulator
+
+    design = rng.uniform(0.2, 1.0, size=(40, 3))
+    freqs = rng.uniform(0.5, 1.5, size=(3, 6))
+    base = 2.0 + np.sin(design @ freqs)
+    pkl = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 0.005 * np.abs(base)
+    )
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0.2, 1.0\n" for i in range(3)))
+    emu = Emulator(str(pkl), str(parfile), npc=4)
+    emu.trainEmulatorAutoMask()
+    return emu
+
+
+def test_sensitivity_jacfwd_matches_finite_difference(trained_emulator):
+    theta = np.array([0.6, 0.5, 0.7])
+    s_ad = sensitivity_matrix(trained_emulator, theta)
+    s_fd = sensitivity_matrix_fd(trained_emulator, theta, rel_step=0.01)
+    assert s_ad.shape == (6, 3)
+    np.testing.assert_allclose(s_ad, s_fd, atol=0.05)
+
+
+def test_closure_utilities(trained_emulator, rng):
+    chain = rng.uniform(0.3, 0.9, size=(8, 50, 3))
+    pct = percentile_params(chain)
+    assert pct.shape == (3, 3)
+    preds = posterior_predictive(chain, [trained_emulator], n_draws=5)
+    assert preds.shape == (5, 6)
+    assert np.isfinite(preds).all()
