@@ -1,0 +1,49 @@
+"""Full-pipeline Bayesian calibration with all three samplers.
+
+Mirror of RunBayesianAnalysis.ipynb (SURVEY.md C22): load the per-group
+emulators, build the Chain, and run the recommended flow-preconditioned SMC
+(pocoMC semantics), the ensemble sampler, or PTLMC.  Run
+``make_synthetic_dataset.py`` and ``emulator_training.py`` first.
+"""
+
+import sys
+from pathlib import Path
+
+from gpbayestools_hic_tpu.samplers import Chain
+
+DATA = Path("synthetic_data")
+GROUPS = ("dNdy", "meanpT", "vn")
+
+
+def build_chain(mcmc_name: str) -> Chain:
+    chain = Chain(
+        mcmc_path=str(DATA / "mcmc" / mcmc_name),
+        expdata_path=str(DATA / "exp_data.pkl"),
+        model_parafile=str(DATA / "model_params.txt"),
+    )
+    chain.loadEmulator(
+        [str(DATA / f"emulator_sklearn_{g}.sav") for g in GROUPS]
+    )
+    return chain
+
+
+def main(sampler: str = "pocoMC"):
+    if sampler == "pocoMC":  # recommended (reference cell 4)
+        chain = build_chain("chain_smc.pkl")
+        chain.run_pocoMC(
+            n_effective=1000, n_active=500, n_prior=2000,
+            sample="tpcn", n_max_steps=50, n_total=8000, n_evidence=2000,
+        )
+    elif sampler == "emcee":  # reference cell 5
+        chain = build_chain("chain_ensemble.pkl")
+        chain.run_mcmc(nsteps=1000, nburnsteps=1000, nwalkers=100, nthin=2)
+    elif sampler == "PTLMC":  # reference cell 6
+        chain = build_chain("chain_ptlmc.pkl")
+        chain.run_MCMC_PTLMC(nsteps=1000, nwalkers=16, ntemps=30, maxtemp=100)
+    else:
+        raise SystemExit(f"unknown sampler {sampler}")
+    print(f"{sampler} chain written under {DATA / 'mcmc'}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "pocoMC")
