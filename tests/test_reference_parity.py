@@ -1,0 +1,137 @@
+"""End-to-end golden parity against the reference implementation itself.
+
+The reference package (read-only at /root/reference) is importable because
+its sklearn path has no missing dependencies.  These tests train the
+REFERENCE Emulator and OUR Emulator on identical data and compare
+predictions -- the strongest possible parity check (hyperparameter
+optimizers differ, so comparisons are at prediction level with appropriate
+tolerances, plus exact checks where optimization is disabled).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def reference_pkg(tmp_path_factory):
+    os.environ.setdefault("WORKDIR", str(tmp_path_factory.mktemp("refwork")))
+    sys.path.insert(0, "/root/reference")
+    try:
+        import src.emulator as ref_emulator
+
+        yield ref_emulator
+    finally:
+        sys.path.remove("/root/reference")
+
+
+@pytest.fixture
+def shared_problem(tmp_path, rng, training_pickle_factory):
+    nev, ndim, nobs = 50, 3, 8
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    freqs = rng.uniform(1, 3, size=(ndim, nobs))
+    base = 2.0 + np.sin(design @ freqs) + 0.3 * (design**2) @ freqs
+    err = 0.01 * np.abs(base)
+    pkl = training_pickle_factory(tmp_path / "train.pkl", design, base, err)
+    parfile = tmp_path / "pars.txt"
+    parfile.write_text("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(ndim)))
+    return str(pkl), str(parfile), design, base
+
+
+def test_loader_parity(reference_pkg, shared_problem):
+    """Same events kept, same data/error arrays after loading."""
+    pkl, parfile, design, base = shared_problem
+    ref = reference_pkg.Emulator(pkl, parfile, npc=4)
+    from gpbayestools_hic_tpu.models import Emulator
+
+    ours = Emulator(pkl, parfile, npc=4)
+    assert ours.nev == ref.nev
+    np.testing.assert_allclose(ours.model_data, ref.model_data, rtol=1e-12)
+    np.testing.assert_allclose(
+        ours.design_points, ref.design_points, rtol=1e-12
+    )
+    np.testing.assert_allclose(ours.design_min, ref.design_min)
+    np.testing.assert_allclose(ours.design_max, ref.design_max)
+
+
+def test_prediction_parity_after_training(reference_pkg, shared_problem, rng):
+    """Both stacks optimize independently; predictions must agree closely
+    on a smooth, well-sampled function (the posterior-defining quantity)."""
+    pkl, parfile, design, base = shared_problem
+    ref = reference_pkg.Emulator(pkl, parfile, npc=4)
+    ref.trainEmulatorAutoMask()
+
+    from gpbayestools_hic_tpu.models import Emulator
+
+    ours = Emulator(pkl, parfile, npc=4)
+    ours.trainEmulatorAutoMask()
+
+    xq = rng.uniform(0.15, 0.85, size=(10, 3))
+    # NB: the reference's predict crashes on scalar extra_std under numpy 2
+    # (np.array(0, copy=False) at src/emulator.py:578); pass an array
+    ref_mean, ref_cov = ref.predict(xq, return_cov=True,
+                                    extra_std=np.zeros(len(xq)))
+    our_mean, our_cov = ours.predict(xq, return_cov=True)
+
+    scale = np.abs(ref_mean).mean()
+    np.testing.assert_allclose(our_mean, ref_mean, atol=0.01 * scale)
+    # claimed uncertainties in the same ballpark (same kernel family/bounds)
+    ref_sig = np.sqrt(np.diagonal(ref_cov, axis1=1, axis2=2))
+    our_sig = np.sqrt(np.diagonal(our_cov, axis1=1, axis2=2))
+    assert np.median(our_sig / np.maximum(ref_sig, 1e-12)) < 3.0
+    assert np.median(our_sig / np.maximum(ref_sig, 1e-12)) > 1.0 / 3.0
+
+
+def test_logtrafo_validation_parity(reference_pkg, shared_problem, monkeypatch):
+    """testEmulatorErrors with logTrafo: same transform conventions."""
+    pkl, parfile, *_ = shared_problem
+    # shield the reference from its numpy-2 scalar-extra_std crash
+    orig_predict = reference_pkg.Emulator.predict
+
+    def patched(self, X, return_cov=True, extra_std=0):
+        if np.isscalar(extra_std):
+            extra_std = np.full(np.atleast_2d(X).shape[0], float(extra_std))
+        return orig_predict(self, X, return_cov=return_cov, extra_std=extra_std)
+
+    monkeypatch.setattr(reference_pkg.Emulator, "predict", patched)
+    ref = reference_pkg.Emulator(pkl, parfile, npc=4, logTrafo=True)
+    p_ref, pe_ref, t_ref, te_ref = ref.testEmulatorErrors(nTestPoints=5)
+
+    from gpbayestools_hic_tpu.models import Emulator
+
+    ours = Emulator(pkl, parfile, npc=4, logTrafo=True)
+    p_our, pe_our, t_our, te_our = ours.testEmulatorErrors(nTestPoints=5)
+
+    # identical validation truths (loader + exp back-transform conventions)
+    np.testing.assert_allclose(t_our, t_ref, rtol=1e-10)
+    np.testing.assert_allclose(te_our, te_ref, rtol=1e-10)
+    # predictions close after independent optimization
+    np.testing.assert_allclose(p_our, p_ref, rtol=0.05)
+
+
+def test_mvn_loglike_parity_random_covs(reference_pkg, rng):
+    """Our batched kernel vs the reference's LAPACK function, many draws."""
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.ops import mvn_loglike
+
+    mvn_ref = sys.modules["src.mcmc"].mvn_loglike if "src.mcmc" in sys.modules else None
+    if mvn_ref is None:
+        try:
+            import src.mcmc  # noqa: F401
+
+            mvn_ref = src.mcmc.mvn_loglike
+        except ImportError:
+            pytest.skip("reference mcmc module needs emcee/pocomc")
+
+    for n in (5, 20, 60):
+        a = rng.normal(size=(n, n))
+        cov = a @ a.T + n * np.eye(n)
+        y = rng.normal(size=n)
+        np.testing.assert_allclose(
+            float(mvn_loglike(jnp.asarray(y), jnp.asarray(cov))),
+            mvn_ref(y, cov),
+            rtol=1e-9,
+        )
