@@ -228,6 +228,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gpbayestools_hic_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
     dtype = np.float32
     dev = jax.devices()[0]
     log(f"device: {dev.platform} ({dev.device_kind})")
@@ -244,10 +247,11 @@ def main():
     x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
     key = jax.random.PRNGKey(0)
 
-    # Warmup/compile.
+    # Warmup/compile the exact NSTEPS program (nsteps is a static argument:
+    # warming with a different length would leave compilation in the timing).
     log("compiling sampler ...")
     t0 = time.perf_counter()
-    res = run_ensemble(log_post, x0, 2, key, state=bench_state)
+    res = run_ensemble(log_post, x0, NSTEPS, key, state=bench_state)
     res.final_log_prob.block_until_ready()
     log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
 

@@ -39,3 +39,18 @@ def chol_jitter(dtype) -> float:
 
 def default_device_kind() -> str:
     return jax.devices()[0].platform
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Enable JAX's persistent compilation cache.
+
+    The big one-time costs here are sampler/GP-fit compilations (~35 s for
+    the flagship ``gp_fit`` program over the TPU tunnel); the persistent
+    cache turns repeat runs into ~3 s loads.  Call before the first trace.
+    """
+    if path is None:
+        from .runtime import cachedir
+
+        path = str(cachedir / "jax_compilation")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
