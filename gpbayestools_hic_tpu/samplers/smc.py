@@ -18,8 +18,10 @@ data-dependent temperature schedule):
    the population; fit the RealNVP preconditioner to an ``n_active``
    subsample; run ``n_max_steps`` preconditioned Crank-Nicolson MCMC steps
    in flow-latent space with step size adapted toward 0.234 acceptance.
-   (``sample="tpcn"`` is accepted for API parity and currently runs the
-   Gaussian pCN kernel -- the Student-t reference measure is a TODO.)
+   ``sample="tpcn"`` runs the Student-t-preconditioned kernel: the latent
+   dof is max-likelihood-fit to the particles each iteration and the
+   proposal preserves t_nu(0, I) via its Gaussian scale-mixture conditional
+   (nu -> inf recovers plain pCN, ``sample="pcn"``).
 3. After beta = 1, keep running the pCN kernel and append decorrelated
    population snapshots until ``n_total`` samples are collected.
 4. Evidence: the running SMC estimate ``sum log mean exp(dbeta * logl)``
@@ -81,6 +83,12 @@ def _eval_u(log_likelihood, state, u, lo, hi, log_prior_x):
     return x, logl, logp_u
 
 
+def _t_logpdf(z2: jnp.ndarray, nu: jnp.ndarray, d: int) -> jnp.ndarray:
+    """log density (up to const) of a standard multivariate-t with dof nu,
+    as a function of |z|^2."""
+    return -0.5 * (nu + d) * jnp.log1p(z2 / nu)
+
+
 @partial(jax.jit, static_argnums=(0,), static_argnames=("n_steps", "config"))
 def _pcn_rounds(
     log_likelihood,
@@ -91,6 +99,7 @@ def _pcn_rounds(
     logp_u,
     beta,
     rho,
+    nu,
     key,
     lo,
     hi,
@@ -99,28 +108,38 @@ def _pcn_rounds(
     n_steps: int,
     config: FlowConfig,
 ):
-    """n_steps of preconditioned Crank-Nicolson in flow-latent space.
+    """n_steps of t-preconditioned Crank-Nicolson in flow-latent space.
 
-    Target in z-space: pi(z) = beta*logl + logp_u + log|du/dz|.  The pCN
-    proposal ``z' = sqrt(1-rho^2) z + rho xi`` preserves N(0, I), so the MH
-    ratio uses L(z) = log pi(z) + 0.5 |z|^2.  Step size adapts toward 0.234
-    acceptance.  Returns (u, logl, logp_u, rho, accept_rate).
+    Target in z-space: pi(z) = beta*logl + logp_u + log|du/dz|.  The tPCN
+    proposal uses the Gaussian scale-mixture form of the multivariate-t
+    reference measure with ``nu`` degrees of freedom: draw the per-particle
+    scale from its conditional ``s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)``,
+    then ``z' = sqrt(1-rho^2) z + rho sqrt(s) xi`` -- this preserves
+    t_nu(0, I) exactly, so the MH ratio uses
+    ``L(z) = log pi(z) - log t_nu(z)`` (pocoMC's ``sample="tpcn"``
+    semantics; nu -> inf recovers Gaussian pCN).  Step size adapts toward
+    0.234 acceptance.  Returns (u, logl, logp_u, rho, accept_rate).
     """
-    n = u.shape[0]
+    n, d = u.shape
     z0, logdet_zu = flow_forward(flow_params, u, config)
     # log|du/dz| = -log|dz/du|
     logdet_uz0 = -logdet_zu
 
     def lfun(logl_v, logp_u_v, logdet_uz_v, z):
+        z2 = jnp.sum(z**2, axis=-1)
         return (
-            beta * logl_v + logp_u_v + logdet_uz_v + 0.5 * jnp.sum(z**2, axis=-1)
+            beta * logl_v + logp_u_v + logdet_uz_v - _t_logpdf(z2, nu, d)
         )
 
     def step(carry, k):
         z, logl_c, logp_c, logdet_c, rho, acc_sum = carry
-        k1, k2 = jax.random.split(k)
+        k1, k2, k3 = jax.random.split(k, 3)
+        # s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)
+        z2 = jnp.sum(z**2, axis=-1)
+        g = jax.random.gamma(k3, 0.5 * (nu + d), (n,), z.dtype)
+        s = 0.5 * (nu + z2) / g
         xi = jax.random.normal(k1, z.shape, z.dtype)
-        zp = jnp.sqrt(1.0 - rho**2) * z + rho * xi
+        zp = jnp.sqrt(1.0 - rho**2) * z + rho * jnp.sqrt(s)[:, None] * xi
         up, logdet_uzp = flow_inverse(flow_params, zp, config)
         _, logl_p, logp_p = _eval_u(
             log_likelihood, state, up, lo, hi, log_prior_x
@@ -144,6 +163,28 @@ def _pcn_rounds(
     )
     u, _ = flow_inverse(flow_params, z, config)
     return u, logl, logp_u, rho, acc_sum / n_steps
+
+
+def _estimate_dof(z: np.ndarray, grid=(3.0, 5.0, 8.0, 12.0, 20.0, 50.0, 1e6)):
+    """Max-likelihood dof of a standard multivariate-t over a small grid.
+
+    pocoMC fits the latent distribution's degrees of freedom each iteration;
+    a coarse grid is enough to pick between heavy tails and Gaussian
+    (nu = 1e6 ~ Gaussian pCN).
+    """
+    from scipy.special import gammaln
+
+    z2 = np.sum(np.asarray(z, dtype=np.float64) ** 2, axis=1)
+    d = z.shape[1]
+    best_nu, best_ll = grid[-1], -np.inf
+    for nu in grid:
+        ll = (
+            gammaln((nu + d) / 2) - gammaln(nu / 2) - 0.5 * d * np.log(nu)
+            - 0.5 * (nu + d) * np.mean(np.log1p(z2 / nu))
+        )
+        if ll > best_ll:
+            best_nu, best_ll = nu, ll
+    return best_nu
 
 
 def _ess_fraction(log_w):
@@ -207,6 +248,7 @@ def run_smc(
         raise ValueError(f"unknown sample kernel: {sample}")
     if sample == "rwm":
         logger.warning("rwm kernel not implemented natively; using pcn")
+    nu = 1e6  # until the first flow fit
 
     state = likelihood_state if likelihood_state is not None else ()
     ll_fn = log_likelihood
@@ -270,15 +312,23 @@ def run_smc(
             flow_params, u[sub], jnp.ones(len(sub), dtype), k_fit,
             config=flow_config, steps=flow_fit_steps,
         )
+        # t-preconditioning: fit the latent dof each iteration (tpcn);
+        # nu = 1e6 is numerically Gaussian pCN
+        if sample == "tpcn":
+            z_cur, _ = flow_forward(flow_params, u, flow_config)
+            nu = _estimate_dof(np.asarray(z_cur))
+        else:
+            nu = 1e6
         u, logl, logp_u, rho, acc = _pcn_rounds(
             ll_fn, state, flow_params, u, logl, logp_u,
-            jnp.asarray(beta, dtype), rho, k_mcmc, prior_lo, prior_hi,
+            jnp.asarray(beta, dtype), rho, jnp.asarray(nu, dtype), k_mcmc,
+            prior_lo, prior_hi,
             log_prior_x, n_steps=n_max_steps, config=flow_config,
         )
         logger.info(
-            "SMC iter %d: beta=%.4f, accept=%.3f, rho=%.3f, flow loss=%.2f, "
-            "logz=%.3f", iteration, beta, float(acc), float(rho),
-            float(flow_loss), logz_smc,
+            "SMC iter %d: beta=%.4f, accept=%.3f, rho=%.3f, nu=%g, "
+            "flow loss=%.2f, logz=%.3f", iteration, beta, float(acc),
+            float(rho), nu, float(flow_loss), logz_smc,
         )
         if iteration > 200:
             logger.warning("SMC: beta schedule did not converge in 200 steps")
@@ -299,7 +349,9 @@ def run_smc(
         key, k_mcmc = jax.random.split(key)
         u, logl, logp_u, rho, acc = _pcn_rounds(
             ll_fn, state, flow_params, u, logl, logp_u,
-            jnp.asarray(1.0, dtype), rho, k_mcmc, prior_lo, prior_hi,
+            jnp.asarray(1.0, dtype), rho,
+            jnp.asarray(nu if sample == "tpcn" else 1e6, dtype), k_mcmc,
+            prior_lo, prior_hi,
             log_prior_x, n_steps=max(n_max_steps // 4, 5), config=flow_config,
         )
         snapshot()
@@ -323,11 +375,18 @@ def run_smc(
         )
         log_q = log_n - logdet_uz
         log_w_ev = np.asarray(logl_ev + logp_u_ev - log_q, dtype=np.float64)
-        log_w_ev = np.nan_to_num(log_w_ev, neginf=-1e300)
-        m = log_w_ev.max()
-        w = np.exp(log_w_ev - m)
-        logz = m + np.log(np.mean(w))
-        logz_err = float(np.std(w) / (np.mean(w) * np.sqrt(n_evidence)))
+        # non-finite weights (flow-tail overflow, NaN from extreme draws)
+        # contribute zero mass; they must not poison the estimate
+        log_w_ev = np.where(np.isfinite(log_w_ev), log_w_ev, -np.inf)
+        if np.all(~np.isfinite(log_w_ev)):
+            logger.warning("evidence IS: no finite weights; keeping SMC estimate")
+        else:
+            m = log_w_ev.max()
+            w = np.exp(log_w_ev - m)
+            logz = m + np.log(np.mean(w))
+            logz_err = float(
+                np.std(w) / (np.mean(w) * np.sqrt(n_evidence))
+            )
 
     return {
         "samples": samples,
