@@ -36,8 +36,8 @@ BLOCKS = (28, 28, 12, 170, 14, 21, 28, 73, 170)
 NDIM = 17
 NEV = 1000
 NPC = 4
-NWALKERS = 256
-NSTEPS = 150
+NWALKERS = 1024
+NSTEPS = 1024
 CPU_BASELINE_WALKERS = 3
 
 
@@ -151,11 +151,14 @@ def integrated_autocorr_time(chain_1d_batch):
     """emcee-style tau estimate: FFT autocorrelation of the walker-averaged
     chain with Sokal's adaptive window (c=5)."""
     x = chain_1d_batch - chain_1d_batch.mean(axis=1, keepdims=True)
+    # drop zero-variance (fully stuck) walkers: they carry no ACF signal
+    alive = x.var(axis=1) > 0
+    x = x[alive] if alive.any() else x
     n = x.shape[1]
     nfft = 1 << (2 * n - 1).bit_length()
     f = np.fft.rfft(x, n=nfft, axis=1)
     acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n].real
-    acf /= acf[:, :1]
+    acf /= np.maximum(acf[:, :1], 1e-30)
     rho = acf.mean(axis=0)
     taus = 2.0 * np.cumsum(rho) - 1.0
     window = np.arange(len(taus)) < 5.0 * taus
