@@ -41,6 +41,9 @@ from .linalg import mvn_loglike_batch as _xla_mvn_loglike_batch
 
 _LANE = 128
 
+#: test hook: run the kernel in the Pallas interpreter (CPU-correct path)
+INTERPRET = False
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -138,6 +141,7 @@ def _forward(y, cov):
             bytes_accessed=2 * b * np_pad * np_pad * 4 * n,
             transcendentals=b * n,
         ),
+        interpret=INTERPRET,
     )(a)
     lp = out[:, 0]
     return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
