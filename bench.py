@@ -45,8 +45,7 @@ def build_problem(dtype):
     import jax
     import jax.numpy as jnp
 
-    from gpbayestools_hic_tpu.models.gp import GPConfig, GPState, gp_fit
-    from gpbayestools_hic_tpu.ops.kernels import KernelConfig
+    from gpbayestools_hic_tpu.models.gp import GPConfig, gp_fit
 
     rng = np.random.default_rng(0)
     design = rng.uniform(0, 1, size=(NEV, NDIM)).astype(dtype)

@@ -24,7 +24,6 @@ and falling through (src/emulator.py:298-299).
 from __future__ import annotations
 
 import logging
-from functools import partial
 from typing import Sequence
 
 import jax

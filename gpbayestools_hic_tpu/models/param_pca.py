@@ -33,8 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.scalers import (
-    PCAState,
-    StandardScalerState,
     fit_pca,
     fit_standard_scaler,
     n_components_for_variance,
