@@ -26,6 +26,8 @@ import time
 
 import numpy as np
 
+from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -144,25 +146,6 @@ def make_log_post(emu_states, exp_mean, exp_var, dtype):
         return jnp.where(inside, ll, -jnp.inf)
 
     return log_post, bench_state
-
-
-def integrated_autocorr_time(chain_1d_batch):
-    """emcee-style tau estimate: FFT autocorrelation of the walker-averaged
-    chain with Sokal's adaptive window (c=5)."""
-    x = chain_1d_batch - chain_1d_batch.mean(axis=1, keepdims=True)
-    # drop zero-variance (fully stuck) walkers: they carry no ACF signal
-    alive = x.var(axis=1) > 0
-    x = x[alive] if alive.any() else x
-    n = x.shape[1]
-    nfft = 1 << (2 * n - 1).bit_length()
-    f = np.fft.rfft(x, n=nfft, axis=1)
-    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n].real
-    acf /= np.maximum(acf[:, :1], 1e-30)
-    rho = acf.mean(axis=0)
-    taus = 2.0 * np.cumsum(rho) - 1.0
-    window = np.arange(len(taus)) < 5.0 * taus
-    idx = np.argmin(window) if not window.all() else len(taus) - 1
-    return max(taus[min(idx, len(taus) - 1)], 1.0)
 
 
 def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):

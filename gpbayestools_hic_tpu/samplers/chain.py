@@ -400,8 +400,7 @@ class Chain:
             key, k1, k2, k3 = jax.random.split(key, 4)
             x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
-            res = run_ensemble(log_post, x0, nburn0, k1, state=like_state)
-            self._log_acceptance(res)
+            res = self._run_segments(log_post, like_state, x0, nburn0, k1, status)
 
             logger.info("resampling walker positions")
             flat = np.asarray(res.chain).reshape(-1, self.ndim)
@@ -415,8 +414,7 @@ class Chain:
 
             nburn1 = nburnsteps - nburn0
             logger.info("running %d walkers for %d steps", nwalkers, nburn1)
-            res = run_ensemble(log_post, x0, nburn1, k2, state=like_state)
-            self._log_acceptance(res)
+            res = self._run_segments(log_post, like_state, x0, nburn1, k2, status)
             x0 = res.final_state
             logger.info("burn-in complete, starting production")
             prod_key = k3
@@ -426,8 +424,9 @@ class Chain:
             key, prod_key = jax.random.split(key)
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
-        res = run_ensemble(log_post, x0, nsteps, prod_key, state=like_state)
-        self._log_acceptance(res)
+        res = self._run_segments(
+            log_post, like_state, x0, nsteps, prod_key, status
+        )
 
         thinned = np.asarray(res.chain[:, ::nthin, :])
         if "chain" in chain_data:
@@ -449,6 +448,42 @@ class Chain:
         logger.info(
             "acceptance fraction: mean %.4f, std %.4f, min %.4f, max %.4f",
             af.mean(), af.std(), af.min(), af.max(),
+        )
+
+    def _run_segments(self, log_post, like_state, x0, nsteps, key, status):
+        """Run ``nsteps`` ensemble steps, logging acceptance every ``status``
+        steps (reference: LoggingEnsembleSampler, src/mcmc.py:75-90).
+
+        Chunks are uniform so at most two scan lengths compile.  Returns the
+        concatenated EnsembleResult-equivalent pieces.
+        """
+        from .ensemble import EnsembleResult
+
+        if not status or status >= nsteps:
+            res = run_ensemble(log_post, x0, nsteps, key, state=like_state)
+            self._log_acceptance(res)
+            return res
+        chains, lps = [], []
+        done = 0
+        state_x = x0
+        accs = []
+        while done < nsteps:
+            chunk = min(status, nsteps - done)
+            key, sub = jax.random.split(key)
+            res = run_ensemble(log_post, state_x, chunk, sub, state=like_state)
+            done += chunk
+            logger.info("step %d:", done)
+            self._log_acceptance(res)
+            chains.append(np.asarray(res.chain))
+            lps.append(np.asarray(res.log_prob))
+            accs.append(np.asarray(res.acceptance) * chunk)
+            state_x = res.final_state
+        return EnsembleResult(
+            chain=jnp.asarray(np.concatenate(chains, axis=1)),
+            log_prob=jnp.asarray(np.concatenate(lps, axis=1)),
+            acceptance=jnp.asarray(sum(accs) / nsteps),
+            final_state=res.final_state,
+            final_log_prob=res.final_log_prob,
         )
 
     # ------------------------------------------------------------- rescoring

@@ -56,3 +56,34 @@ def coverage(pred, pred_err, truth, n_sigma: float = 1.0) -> float:
     """Fraction of truths within +- n_sigma of the claimed Gaussian."""
     z = np.abs((np.asarray(pred) - np.asarray(truth)) / np.asarray(pred_err))
     return float(np.mean(z < n_sigma))
+
+
+def integrated_autocorr_time(chain_1d_batch: np.ndarray) -> float:
+    """emcee-style integrated autocorrelation time for one parameter.
+
+    ``chain_1d_batch`` (nwalkers, nsteps): FFT autocorrelation averaged over
+    walkers with Sokal's adaptive window (c = 5).  Fully stuck walkers are
+    excluded.  Returns tau >= 1.
+    """
+    x = np.asarray(chain_1d_batch, dtype=np.float64)
+    x = x - x.mean(axis=1, keepdims=True)
+    alive = x.var(axis=1) > 0
+    if alive.any():
+        x = x[alive]
+    n = x.shape[1]
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, n=nfft, axis=1)
+    acf = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :n].real
+    acf /= np.maximum(acf[:, :1], 1e-30)
+    rho = acf.mean(axis=0)
+    taus = 2.0 * np.cumsum(rho) - 1.0
+    window = np.arange(len(taus)) < 5.0 * taus
+    idx = np.argmin(window) if not window.all() else len(taus) - 1
+    return float(max(taus[min(idx, len(taus) - 1)], 1.0))
+
+
+def effective_sample_size(chain: np.ndarray) -> float:
+    """ESS of a (nwalkers, nsteps, ndim) chain: nwalkers*nsteps / max_d tau_d."""
+    chain = np.asarray(chain)
+    taus = [integrated_autocorr_time(chain[:, :, d]) for d in range(chain.shape[-1])]
+    return chain.shape[0] * chain.shape[1] / max(taus)
