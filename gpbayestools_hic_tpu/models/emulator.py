@@ -136,8 +136,12 @@ class Emulator:
     def trainEmulatorAutoMask(self):
         self.trainEmulator(np.ones(self.nev, dtype=bool))
 
-    def trainEmulator(self, eventMask, kernel_type: str = "RBF"):
-        """Train on the masked subset of events (reference: src/emulator.py:257-363)."""
+    def _prepare_training(self, eventMask, kernel_type: str):
+        """Stage 1 of training: fit scaler/PCA, build GP targets.
+
+        Returns ``(design (nev, d), z_t (npc_used, nev), ptp (d,),
+        noise_diag or None)``; sets scaler/pca/_npc_used/gp_config.
+        """
         if kernel_type not in ("RBF", "Matern"):
             raise ValueError(f"Unknown kernel type: {kernel_type}")
         eventMask = np.asarray(eventMask, dtype=bool)
@@ -168,16 +172,31 @@ class Emulator:
             self.PCA_new_design_points if self.parameterTrafoPCA_ else self.design_points
         )[eventMask, :]
         design = jnp.asarray(design, dtype=dtype)
-        logger.info("Train GP emulators with %d training points ...", design.shape[0])
-
         ptp = jnp.asarray(self.design_max - self.design_min, dtype=dtype)
         self.gp_config = GPConfig(
             kernel=KernelConfig(kernel_type), alpha=self.gp_alpha
         )
         noise_diag = self._pc_noise_diag(eventMask, npc_used)
-        self.gp_state: GPState = gp_fit(
+        return design, z.T, ptp, noise_diag
+
+    def _finalize_training(self, gp_state: GPState):
+        """Stage 3 of training: transform matrices + jitted predict programs."""
+        self.gp_state = gp_state
+        npc_used = self._npc_used
+        if not self.perform_no_PCA_:
+            self._set_transform_matrices(npc_used)
+        self._trained = True
+        self._build_predict_fn()
+
+    def trainEmulator(self, eventMask, kernel_type: str = "RBF"):
+        """Train on the masked subset of events (reference: src/emulator.py:257-363)."""
+        design, z_t, ptp, noise_diag = self._prepare_training(
+            eventMask, kernel_type
+        )
+        logger.info("Train GP emulators with %d training points ...", design.shape[0])
+        gp_state: GPState = gp_fit(
             design,
-            z.T,
+            z_t,
             ptp,
             config=self.gp_config,
             nrestarts=self.nrestarts,
@@ -185,29 +204,28 @@ class Emulator:
             maxiter=self.gp_maxiter,
             noise_diag=noise_diag,
         )
-        logger.info("GP LMLs: %s", np.asarray(self.gp_state.lml))
+        logger.info("GP LMLs: %s", np.asarray(gp_state.lml))
+        self._finalize_training(gp_state)
 
-        if not self.perform_no_PCA_:
-            # Full linear map PC-space -> physical space:
-            # rows scaled by each PC's explained std dev, columns by the
-            # standardization scale (reference: src/emulator.py:335-339).
-            trans = (
-                self.pca.components
-                * jnp.sqrt(self.pca.explained_variance)[:, None]
-                * self.scaler.scale
-            )
-            self._trans_matrix = trans
-            a = trans[:npc_used]
-            # var propagation: cov_ij = sum_k A_ki var_k A_kj
-            self._var_trans = jnp.einsum("ki,kj->kij", a, a).reshape(
-                npc_used, self.nobs * self.nobs
-            )
-            b = trans[npc_used:]
-            cov_trunc = b.T @ b
-            cov_trunc = cov_trunc + jnp.diag(1e-4 * self.scaler.var)
-            self._cov_trunc = cov_trunc
-        self._trained = True
-        self._build_predict_fn()
+    def _set_transform_matrices(self, npc_used: int):
+        # Full linear map PC-space -> physical space:
+        # rows scaled by each PC's explained std dev, columns by the
+        # standardization scale (reference: src/emulator.py:335-339).
+        trans = (
+            self.pca.components
+            * jnp.sqrt(self.pca.explained_variance)[:, None]
+            * self.scaler.scale
+        )
+        self._trans_matrix = trans
+        a = trans[:npc_used]
+        # var propagation: cov_ij = sum_k A_ki var_k A_kj
+        self._var_trans = jnp.einsum("ki,kj->kij", a, a).reshape(
+            npc_used, self.nobs * self.nobs
+        )
+        b = trans[npc_used:]
+        cov_trunc = b.T @ b
+        cov_trunc = cov_trunc + jnp.diag(1e-4 * self.scaler.var)
+        self._cov_trunc = cov_trunc
 
     def _select_npc(self, pca) -> int:
         """Number of PCs to emulate; subclass hook (BAND heads use an

@@ -226,3 +226,50 @@ def test_emulator_with_param_pca(tmp_path, rng, training_pickle_factory):
     assert cov.shape == (3, nobs, nobs)
     rel = np.abs(mean - base[:3]) / np.abs(base[:3])
     assert np.median(rel) < 0.1
+
+
+def test_joint_training_matches_individual(tmp_path, rng, training_pickle_factory):
+    """train_emulators_jointly must reproduce per-emulator training exactly."""
+    from gpbayestools_hic_tpu.models import train_emulators_jointly
+
+    design = rng.uniform(0, 1, size=(30, 3))
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emus_joint, emus_solo = [], []
+    for b, nobs in enumerate([5, 7]):
+        freqs = rng.uniform(1, 2.5, size=(3, nobs))
+        base = 2.0 + np.sin(design @ freqs)
+        pkl = training_pickle_factory(
+            tmp_path / f"t{b}.pkl", design, base, 0.01 * np.abs(base)
+        )
+        emus_joint.append(Emulator(str(pkl), str(parfile), npc=3))
+        emus_solo.append(Emulator(str(pkl), str(parfile), npc=3))
+
+    train_emulators_jointly(emus_joint)
+    for e in emus_solo:
+        e.trainEmulatorAutoMask()
+
+    xq = design[:4]
+    for ej, es in zip(emus_joint, emus_solo):
+        mj, cj = ej.predict(xq)
+        ms, cs = es.predict(xq)
+        # tiny fp differences from different vmap batch shapes are expected
+        np.testing.assert_allclose(mj, ms, rtol=1e-5)
+        np.testing.assert_allclose(cj, cs, rtol=1e-4, atol=1e-8)
+
+
+def test_joint_training_rejects_mismatched_designs(tmp_path, rng, training_pickle_factory):
+    from gpbayestools_hic_tpu.models import train_emulators_jointly
+
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emus = []
+    for b in range(2):
+        design = rng.uniform(0, 1, size=(25, 3))  # different per emulator
+        base = 2.0 + design @ rng.uniform(1, 2, size=(3, 4))
+        pkl = training_pickle_factory(
+            tmp_path / f"m{b}.pkl", design, base, 0.01 * np.abs(base)
+        )
+        emus.append(Emulator(str(pkl), str(parfile), npc=2))
+    with pytest.raises(ValueError):
+        train_emulators_jointly(emus)
