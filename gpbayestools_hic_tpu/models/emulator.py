@@ -283,6 +283,11 @@ class Emulator:
             scaler = state["scaler"]
             if no_pca:
                 mean = gp_mean * scaler.scale + scaler.mean
+                # DELIBERATE reference divergence: the reference returns the
+                # diagonal covariance in STANDARDIZED units while de-scaling
+                # the mean (src/emulator.py:563-565 vs 589-592) -- a unit
+                # mismatch; here the variance is de-standardized consistently
+                # (scale^2)
                 var_phys = gp_var * (scaler.scale**2)
                 cov = jax.vmap(jnp.diag)(var_phys)
             else:
@@ -336,13 +341,16 @@ class Emulator:
         if not self._trained:
             raise RuntimeError("trainEmulator must be called before predict")
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
+        if not return_cov:
+            # mean-only program: skips the (m, nobs, nobs) covariance
+            # entirely (extra_std only affects the covariance)
+            mean, _ = self._predict_diag_jit(self.predict_state, X)
+            return np.asarray(mean)
         extra = jnp.broadcast_to(
             jnp.asarray(extra_std, dtype=self._dtype).reshape(-1), (X.shape[0],)
         )
         mean, cov = self._predict_jit(self.predict_state, X, extra)
-        if return_cov:
-            return np.asarray(mean), np.asarray(cov)
-        return np.asarray(mean)
+        return np.asarray(mean), np.asarray(cov)
 
     def predict_device(self, X, extra_std=None):
         """Device-native predict for fused likelihood pipelines: returns

@@ -136,24 +136,31 @@ def lbfgsb_minimize(
         descent = jnp.dot(p, state.g) < 0.0
         p = jnp.where(descent & jnp.all(jnp.isfinite(p)), p, -state.g)
 
+        # Each trial evaluates value_and_grad: the accepted point's gradient
+        # is then already in hand, avoiding a separate jax.grad call (which
+        # would repeat the objective's forward pass -- an extra O(n^3)
+        # Cholesky per L-BFGS iteration in the GP fit).
         def ls_body(carry):
-            t, _, _, n_ls = carry
+            t, _, _, _, n_ls = carry
             x_try = jnp.clip(state.x + t * p, lower, upper)
-            f_try = fun(x_try)
+            f_try, g_try = vg(x_try)
             # Armijo on the actual (projected) displacement.
             dx = x_try - state.x
             ok = jnp.isfinite(f_try) & (
                 f_try <= state.f + armijo_c1 * jnp.dot(state.g, dx)
             )
-            return (t * 0.5, x_try, f_try, n_ls + 1), ok
+            return (t * 0.5, x_try, f_try, g_try, n_ls + 1), ok
 
         def ls_cond(carry_ok):
-            (_, _, _, n_ls), ok = carry_ok
+            (_, _, _, _, n_ls), ok = carry_ok
             return (~ok) & (n_ls < max_linesearch)
 
-        carry0 = (jnp.ones((), dtype), state.x, state.f, jnp.zeros((), jnp.int32))
+        carry0 = (
+            jnp.ones((), dtype), state.x, state.f, state.g,
+            jnp.zeros((), jnp.int32),
+        )
         carry0, ok0 = ls_body(carry0)
-        (t_next, x_new, f_new, n_ls), ok = lax.while_loop(
+        (t_next, x_new, f_new, g_try, n_ls), ok = lax.while_loop(
             ls_cond,
             lambda c: ls_body(c[0]),
             (carry0, ok0),
@@ -165,7 +172,7 @@ def lbfgsb_minimize(
         retry = (~ok) & (state.num_corrs > 0)
         x_new = jnp.where(ok, x_new, state.x)
         f_new = jnp.where(ok, f_new, state.f)
-        g_new = jnp.where(ok, jax.grad(fun)(x_new), state.g)
+        g_new = jnp.where(ok, g_try, state.g)
 
         s = x_new - state.x
         y = g_new - state.g

@@ -35,6 +35,7 @@ import numpy as np
 from ..config import working_dtype
 from ..runtime import parse_model_parameter_file
 from ..ops.linalg import mvn_loglike_batch
+from ..ops.pallas_mvn import mvn_loglike_best
 from ..utils.io import load_exp_data_pickle
 from .ensemble import run_ensemble
 
@@ -229,7 +230,8 @@ class Chain:
                 )
                 dy = mu_i - bs["exp_block"]
                 cov_i = cov_i + jnp.diag(bs["exp_var_block"])
-                return mvn_loglike_batch(dy, cov_i)
+                # Pallas fused kernel on TPU f32, XLA elsewhere
+                return mvn_loglike_best(dy, cov_i)
 
             return block_ll, bstate
 
@@ -278,7 +280,7 @@ class Chain:
             mean, cov = model_predict(state, x_safe)
             dy = mean - state["expdata"]
             cov = cov + state["expcov"]
-            return mvn_loglike_batch(dy, cov) + _EXTRA_STD_CONST
+            return mvn_loglike_best(dy, cov) + _EXTRA_STD_CONST
 
         # Clamping note: outside points are masked to -inf/-1e300 anyway, and
         # clamping keeps extreme proposals (e.g. SMC latent-space excursions)
@@ -287,10 +289,21 @@ class Chain:
             loglike_core_blocked if exp_cov_is_diagonal else loglike_core_stitched
         )
 
+        # The reference's finite floor is -1e300 (src/mcmc.py:196-198), which
+        # overflows to -inf in float32 and would void the "flows cannot
+        # digest -inf" contract on TPU; use the widest finite value the
+        # working dtype can hold instead.
+        finite_floor = jnp.asarray(
+            -1e300
+            if jnp.dtype(dtype) == jnp.float64
+            else float(jnp.finfo(dtype).min) / 2,
+            dtype=dtype,
+        )
+
         def log_likelihood(state, x, finite):
             inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)
             ll = loglike_core(state, x)
-            outside_val = jnp.asarray(-1e300 if finite else -jnp.inf, dtype=dtype)
+            outside_val = finite_floor if finite else jnp.asarray(-jnp.inf, dtype=dtype)
             return jnp.where(inside, ll, outside_val)
 
         def log_prior(state, x):

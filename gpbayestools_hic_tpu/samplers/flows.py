@@ -163,7 +163,16 @@ def fit_flow(
     params["pre_mean"] = mean
     params["pre_log_scale"] = 0.5 * jnp.log(var + 1e-12)
 
-    opt = optax.adamw(lr, weight_decay=config.weight_decay)
+    # weight decay must not touch the frozen pre-layer: adamw decays ALL
+    # parameters even when their gradients are zeroed
+    def decay_mask(p):
+        return {
+            "layers": jax.tree.map(lambda _: True, p["layers"]),
+            "pre_mean": False,
+            "pre_log_scale": False,
+        }
+
+    opt = optax.adamw(lr, weight_decay=config.weight_decay, mask=decay_mask)
 
     def loss_fn(p):
         return -jnp.sum(w * flow_logprob(p, u, config))

@@ -30,6 +30,11 @@ def sensitivity_matrix(emulator, theta: np.ndarray) -> np.ndarray:
         return mean[0]
 
     jac = jax.jacfwd(mean_fn)(theta)          # (nobs, ndim)
+    if getattr(emulator, "logTrafo_", False):
+        # the emulator already predicts ln Y, so d lnY/d ln theta is just
+        # the Jacobian times theta -- no division (dividing by the log-space
+        # mean would compute d ln(lnY) and blow up near Y = 1)
+        return np.asarray(jac * theta[None, :])
     mean = mean_fn(theta)                      # (nobs,)
     return np.asarray(jac * theta[None, :] / mean[:, None])
 
