@@ -23,6 +23,17 @@ Layering (mirrors SURVEY.md section 7):
   utils/     -- IO contracts, metrics, clustering, sensitivity, plotting
 """
 
+import jax as _jax
+
+# On TPU, matmuls default to bf16 inputs with f32 accumulation.  For GP
+# covariance algebra that is not a rounding nuisance but a correctness bug:
+# products like B^T B pick up ~1e-2 relative error and assembled covariance
+# matrices acquire negative eigenvalues (observed: eig -0.011 on a matrix of
+# norm 46), turning valid likelihoods into -inf.  This is a numerics
+# library, so full-precision matmuls are the only safe default; callers can
+# override per-op with jax.lax.Precision or jax.default_matmul_precision.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from .runtime import (  # noqa: F401
     workdir,
     cachedir,
