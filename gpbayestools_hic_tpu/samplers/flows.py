@@ -37,6 +37,12 @@ class FlowConfig(NamedTuple):
     # the flow from collapsing probability mass onto the training points
     max_log_scale: float = 1.0
     weight_decay: float = 1e-2
+    # coupling transform: "affine" (RealNVP) or "rqs" (monotonic
+    # rational-quadratic splines, the neural-spline-flow family pocoMC's
+    # preconditioner uses; more expressive on non-Gaussian populations)
+    coupling: str = "affine"
+    rqs_bins: int = 8
+    rqs_bound: float = 5.0  # spline support [-B, B]; identity tails outside
 
 
 def _mlp_init(key, sizes, dtype):
@@ -60,9 +66,16 @@ def _mlp_apply(params, x):
     return x
 
 
+def _conditioner_width(ndim: int, config: FlowConfig) -> int:
+    if config.coupling == "rqs":
+        return ndim * (3 * config.rqs_bins + 1)
+    return 2 * ndim
+
+
 def init_flow(key, ndim: int, config: FlowConfig = FlowConfig(), dtype=jnp.float32):
     """Initialize flow parameters (identity transform at init)."""
     keys = jax.random.split(key, config.n_layers)
+    out_dim = _conditioner_width(ndim, config)
     layers = []
     for i, k in enumerate(keys):
         # NOTE: the alternating binary mask is NOT a parameter -- it is
@@ -70,7 +83,7 @@ def init_flow(key, ndim: int, config: FlowConfig = FlowConfig(), dtype=jnp.float
         # breaks the triangular-Jacobian logdet once the optimizer -- or
         # AdamW weight decay -- moves it off exactly 0/1.)
         layers.append({
-            "mlp": _mlp_init(k, [ndim, config.hidden, config.hidden, 2 * ndim], dtype),
+            "mlp": _mlp_init(k, [ndim, config.hidden, config.hidden, out_dim], dtype),
         })
     return {
         "layers": layers,
@@ -84,10 +97,101 @@ def _layer_mask(i: int, ndim: int, dtype):
     return (((jnp.arange(ndim) + i) % 2) == 0).astype(dtype)
 
 
+# --------------------------------------------------------------- RQS splines
+
+_MIN_BIN = 1e-3
+_SOFTPLUS_INV_1 = 0.5413248546129181  # softplus(x) = 1
+
+
+def _rqs_transform(x, raw, config: FlowConfig, inverse: bool):
+    """Monotonic rational-quadratic spline (Durkan et al., NSF).
+
+    ``x`` (..., d), ``raw`` (..., d, 3K+1).  Identity outside [-B, B]
+    (boundary derivatives pinned to 1); zero raw parameters give the exact
+    identity, matching the zero-initialized conditioner.
+    Returns (y, per-element logdet).
+    """
+    k_bins = config.rqs_bins
+    b = config.rqs_bound
+    raw_w = raw[..., :k_bins]
+    raw_h = raw[..., k_bins : 2 * k_bins]
+    raw_d = raw[..., 2 * k_bins :]  # (K+1)
+
+    widths = jax.nn.softmax(raw_w, axis=-1)
+    widths = _MIN_BIN + (1 - _MIN_BIN * k_bins) * widths
+    heights = jax.nn.softmax(raw_h, axis=-1)
+    heights = _MIN_BIN + (1 - _MIN_BIN * k_bins) * heights
+    derivs = jax.nn.softplus(raw_d + _SOFTPLUS_INV_1)
+    # pin boundary derivatives to 1 for C1 identity tails
+    ones = jnp.ones_like(derivs[..., :1])
+    derivs = jnp.concatenate([ones, derivs[..., 1:-1], ones], axis=-1)
+
+    cum_w = jnp.concatenate(
+        [jnp.zeros_like(widths[..., :1]), jnp.cumsum(widths, axis=-1)], axis=-1
+    ) * (2 * b) - b
+    cum_h = jnp.concatenate(
+        [jnp.zeros_like(heights[..., :1]), jnp.cumsum(heights, axis=-1)], axis=-1
+    ) * (2 * b) - b
+
+    inside = (x > -b) & (x < b)
+    x_safe = jnp.clip(x, -b + 1e-6, b - 1e-6)
+    grid = cum_h if inverse else cum_w
+    # bin index via comparison sum (K is small; avoids searchsorted)
+    idx = jnp.sum(
+        (x_safe[..., None] >= grid[..., 1:-1]).astype(jnp.int32), axis=-1
+    )
+
+    def take(a):
+        return jnp.take_along_axis(a, idx[..., None], axis=-1)[..., 0]
+
+    w_k = take(widths) * (2 * b)
+    h_k = take(heights) * (2 * b)
+    x_k = take(cum_w[..., :-1])
+    y_k = take(cum_h[..., :-1])
+    d_k = take(derivs[..., :-1])
+    d_k1 = take(derivs[..., 1:])
+    s_k = h_k / w_k
+
+    if not inverse:
+        xi = (x_safe - x_k) / w_k
+        xi1m = xi * (1 - xi)
+        denom = s_k + (d_k1 + d_k - 2 * s_k) * xi1m
+        y = y_k + h_k * (s_k * xi**2 + d_k * xi1m) / denom
+        deriv = (
+            s_k**2 * (d_k1 * xi**2 + 2 * s_k * xi1m + d_k * (1 - xi) ** 2)
+        ) / denom**2
+        out = jnp.where(inside, y, x)
+        logdet = jnp.where(inside, jnp.log(deriv), 0.0)
+        return out, logdet
+
+    # inverse: solve the quadratic a xi^2 + b xi + c = 0 for xi
+    y_rel = x_safe - y_k
+    a_q = h_k * (s_k - d_k) + y_rel * (d_k1 + d_k - 2 * s_k)
+    b_q = h_k * d_k - y_rel * (d_k1 + d_k - 2 * s_k)
+    c_q = -s_k * y_rel
+    disc = jnp.maximum(b_q**2 - 4 * a_q * c_q, 0.0)
+    xi = 2 * c_q / (-b_q - jnp.sqrt(disc))
+    xi = jnp.clip(xi, 0.0, 1.0)
+    xi1m = xi * (1 - xi)
+    denom = s_k + (d_k1 + d_k - 2 * s_k) * xi1m
+    deriv = (
+        s_k**2 * (d_k1 * xi**2 + 2 * s_k * xi1m + d_k * (1 - xi) ** 2)
+    ) / denom**2
+    out = jnp.where(inside, x_k + xi * w_k, x)
+    logdet = jnp.where(inside, -jnp.log(deriv), 0.0)
+    return out, logdet
+
+
 def _coupling(layer, i, u, config: FlowConfig, inverse: bool):
     ndim = u.shape[-1]
     mask = _layer_mask(i, ndim, u.dtype)
     h = _mlp_apply(layer["mlp"], u * mask)
+    if config.coupling == "rqs":
+        raw = h.reshape(*u.shape, 3 * config.rqs_bins + 1)
+        y, logdet_elem = _rqs_transform(u, raw, config, inverse)
+        out = jnp.where(mask > 0, u, y)
+        logdet = jnp.sum(logdet_elem * (1 - mask), axis=-1)
+        return out, logdet
     raw_s, t = h[..., :ndim], h[..., ndim:]
     s = config.max_log_scale * jnp.tanh(raw_s / config.max_log_scale)
     s = s * (1 - mask)
