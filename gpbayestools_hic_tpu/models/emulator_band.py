@@ -14,8 +14,11 @@ the same batched-GP core as the sklearn head:
   Gram diagonal.
 - **PCGPwImpute**: missing observables (NaN) are filled by iterative
   low-rank SVD imputation before PCGP training.
-- **PCGPwM**: accepted with a warning as an alias of PCGPwImpute (the
-  reference silently falls through, src/emulator_BAND.py:288-292; we log).
+- **PCGPwM** ("with Missingness"): imputation plus per-(PC, design) GP
+  noise inflation by the imputation uncertainty (the per-column SVD
+  reconstruction residual variance propagated through the PCA weights) --
+  a genuine missingness-aware head where the reference silently aliases to
+  PCGPwImpute (src/emulator_BAND.py:288-292).
 - unknown methods raise ``ValueError`` (the reference constructs the error
   but forgets to raise it, src/emulator_BAND.py:293-294 -- fixed here, as
   flagged in SURVEY.md).
@@ -48,15 +51,20 @@ _METHODS = ("PCGP", "PCSK", "PCGPwImpute", "PCGPwM")
 
 def _impute_iterative_svd(
     data: np.ndarray, rank: int | None = None, iters: int = 20
-) -> np.ndarray:
-    """Fill NaNs by iterative low-rank SVD reconstruction."""
+):
+    """Fill NaNs by iterative low-rank SVD reconstruction.
+
+    Returns ``(filled, mask, col_resid_var)`` where ``col_resid_var`` is the
+    per-column reconstruction residual variance on OBSERVED entries -- the
+    natural uncertainty estimate for the imputed values."""
     mask = np.isnan(data)
     if not mask.any():
-        return data
+        return data, mask, np.zeros(data.shape[1])
     filled = data.copy()
     col_mean = np.nanmean(data, axis=0)
     filled[mask] = np.take(col_mean, np.where(mask)[1])
     r = rank or min(10, min(data.shape) - 1)
+    recon = filled
     for _ in range(iters):
         mean = filled.mean(axis=0)
         u, s, vt = np.linalg.svd(filled - mean, full_matrices=False)
@@ -65,7 +73,12 @@ def _impute_iterative_svd(
         filled[mask] = recon[mask]
         if np.max(np.abs(prev - filled[mask])) < 1e-10:
             break
-    return filled
+    resid = np.where(mask, 0.0, data - recon)
+    nobs_col = np.maximum((~mask).sum(axis=0), 1)
+    col_resid_var = np.where(
+        mask.any(axis=0), (resid**2).sum(axis=0) / nobs_col, 0.0
+    )
+    return filled, mask, col_resid_var
 
 
 class EmulatorBAND(Emulator):
@@ -88,13 +101,6 @@ class EmulatorBAND(Emulator):
     ):
         if method not in _METHODS:
             raise ValueError(f"Requested method not implemented: {method}")
-        if method == "PCGPwM":
-            logger.warning(
-                "PCGPwM is not implemented natively; using PCGPwImpute "
-                "(the reference silently does the same, "
-                "src/emulator_BAND.py:288-292)"
-            )
-            method = "PCGPwImpute"
         self.method_ = method
         self.pc_target_variance = target_variance
         super().__init__(
@@ -115,8 +121,12 @@ class EmulatorBAND(Emulator):
         # small jitter instead of sklearn's alpha=0.1: PCSK carries the real
         # noise explicitly and PCGP learns its white level
         self.gp_alpha = 1e-6
-        if method == "PCGPwImpute":
-            self.model_data = _impute_iterative_svd(self.model_data)
+        self._impute_mask = None
+        self._impute_col_var = None
+        if method in ("PCGPwImpute", "PCGPwM"):
+            self.model_data, self._impute_mask, self._impute_col_var = (
+                _impute_iterative_svd(self.model_data)
+            )
 
     # ---------------------------------------------------------------- hooks
 
@@ -129,20 +139,32 @@ class EmulatorBAND(Emulator):
         return npc
 
     def _pc_noise_diag(self, eventMask, npc_used):
-        if self.method_ != "PCSK":
+        mask = np.asarray(eventMask, dtype=bool)
+        if self.method_ == "PCSK":
+            # standardized stat errors -> PC-space variances:
+            # var_z[k, i] = sum_j (W_kj sigma_std_ij)^2,
+            # W_kj = components_kj / sqrt(ev_k) (whitened projection weights)
+            err_var = jnp.asarray(
+                self.model_data_err[mask, :] ** 2, dtype=self._dtype
+            )
+        elif self.method_ == "PCGPwM" and self._impute_mask is not None:
+            # missingness-aware: imputed entries carry the per-column SVD
+            # reconstruction residual variance as known noise
+            err_var = jnp.asarray(
+                np.where(
+                    self._impute_mask[mask, :],
+                    self._impute_col_var[None, :],
+                    0.0,
+                ),
+                dtype=self._dtype,
+            )
+        else:
             return None
-        # standardized errors -> PC-space variances:
-        # var_z[k, i] = sum_j (W_kj sigma_std_ij)^2,
-        # W_kj = components_kj / sqrt(ev_k) (whitened projection weights)
-        err = jnp.asarray(
-            self.model_data_err[np.asarray(eventMask, dtype=bool), :],
-            dtype=self._dtype,
-        )
-        err_std = err / self.scaler.scale
+        var_std = err_var / (self.scaler.scale**2)
         w = self.pca.components[:npc_used] / jnp.sqrt(
             self.pca.explained_variance[:npc_used]
         )[:, None]
-        return ((err_std**2) @ (w**2).T).T  # (npc, nev) for gp_fit
+        return (var_std @ (w**2).T).T  # (npc, nev) for gp_fit
 
     # ---------------------------------------------------------------- train
 

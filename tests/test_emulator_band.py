@@ -84,6 +84,7 @@ def test_pcgp_wimpute_fills_nans(tmp_path, rng, training_pickle_factory):
     emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwImpute",
                        max_rel_uncertainty_data=10.0)
     assert not np.isnan(emu.model_data).any()
+    assert emu.method_ == "PCGPwImpute"
     emu.trainEmulatorAutoMask()
     mean, _ = emu.predict(design[:3])
     assert np.isfinite(mean).all()
@@ -91,10 +92,30 @@ def test_pcgp_wimpute_fills_nans(tmp_path, rng, training_pickle_factory):
     assert abs(emu.model_data[5, 2] - base[5, 2]) < 0.5
 
 
-def test_pcgpwm_aliases_impute(band_files):
-    pkl, parfile, *_ = band_files
-    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwM")
-    assert emu.method_ == "PCGPwImpute"
+def test_pcgpwm_missingness_aware(tmp_path, rng, training_pickle_factory):
+    """PCGPwM imputes AND inflates GP noise at imputed entries."""
+    design, base, err = _make_dataset(rng)
+    holed = base.copy()
+    holed[3, 1] = np.nan
+    holed[11, 5] = np.nan
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, holed, err)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwM",
+                       max_rel_uncertainty_data=10.0)
+    assert emu.method_ == "PCGPwM"
+    assert not np.isnan(emu.model_data).any()
+    assert emu._impute_mask[3, 1] and emu._impute_mask[11, 5]
+    assert emu._impute_col_var[1] > 0
+    emu.trainEmulatorAutoMask()
+    # the noise diag hook returns per-(PC, event) inflation only at imputed rows
+    nd = np.asarray(emu._pc_noise_diag(np.ones(emu.nev, dtype=bool), emu._npc_used))
+    assert nd.shape[1] == emu.nev
+    assert nd[:, 3].sum() > 0 and nd[:, 11].sum() > 0
+    clean_rows = [i for i in range(emu.nev) if i not in (3, 11)]
+    assert np.allclose(nd[:, clean_rows], 0.0)
+    mean, _ = emu.predict(design[:3])
+    assert np.isfinite(mean).all()
 
 
 def test_band_validation_harness(band_files):
