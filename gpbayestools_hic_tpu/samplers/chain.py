@@ -386,6 +386,7 @@ class Chain:
         nthin: int = 10,
         seed: int = 0,
         skip_initial_state_check: bool = False,
+        move: str = "stretch",
     ):
         """Ensemble-MCMC calibration with emcee semantics
         (reference: src/mcmc.py:345-426): two-phase burn-in with walker
@@ -413,7 +414,9 @@ class Chain:
             key, k1, k2, k3 = jax.random.split(key, 4)
             x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
-            res = self._run_segments(log_post, like_state, x0, nburn0, k1, status)
+            res = self._run_segments(
+                log_post, like_state, x0, nburn0, k1, status, move
+            )
 
             logger.info("resampling walker positions")
             flat = np.asarray(res.chain).reshape(-1, self.ndim)
@@ -427,7 +430,9 @@ class Chain:
 
             nburn1 = nburnsteps - nburn0
             logger.info("running %d walkers for %d steps", nwalkers, nburn1)
-            res = self._run_segments(log_post, like_state, x0, nburn1, k2, status)
+            res = self._run_segments(
+                log_post, like_state, x0, nburn1, k2, status, move
+            )
             x0 = res.final_state
             logger.info("burn-in complete, starting production")
             prod_key = k3
@@ -438,7 +443,7 @@ class Chain:
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
         res = self._run_segments(
-            log_post, like_state, x0, nsteps, prod_key, status
+            log_post, like_state, x0, nsteps, prod_key, status, move
         )
 
         thinned = np.asarray(res.chain[:, ::nthin, :])
@@ -463,7 +468,8 @@ class Chain:
             af.mean(), af.std(), af.min(), af.max(),
         )
 
-    def _run_segments(self, log_post, like_state, x0, nsteps, key, status):
+    def _run_segments(self, log_post, like_state, x0, nsteps, key, status,
+                      move: str = "stretch"):
         """Run ``nsteps`` ensemble steps, logging acceptance every ``status``
         steps (reference: LoggingEnsembleSampler, src/mcmc.py:75-90).
 
@@ -473,7 +479,9 @@ class Chain:
         from .ensemble import EnsembleResult
 
         if not status or status >= nsteps:
-            res = run_ensemble(log_post, x0, nsteps, key, state=like_state)
+            res = run_ensemble(
+                log_post, x0, nsteps, key, state=like_state, move=move
+            )
             self._log_acceptance(res)
             return res
         chains, lps = [], []
@@ -483,7 +491,9 @@ class Chain:
         while done < nsteps:
             chunk = min(status, nsteps - done)
             key, sub = jax.random.split(key)
-            res = run_ensemble(log_post, state_x, chunk, sub, state=like_state)
+            res = run_ensemble(
+                log_post, state_x, chunk, sub, state=like_state, move=move
+            )
             done += chunk
             logger.info("step %d:", done)
             self._log_acceptance(res)

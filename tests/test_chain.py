@@ -148,3 +148,29 @@ def test_chain_rescoring(chain_setup, tmp_path):
     # rescored likelihood equals direct evaluation
     direct = chain.log_likelihood(chain.chain.reshape(-1, 3)).reshape(16, 10)
     np.testing.assert_allclose(ll, direct, rtol=1e-10)
+
+
+def test_ensemble_de_move_gaussian_moments():
+    """The differential-evolution move recovers a correlated Gaussian."""
+    cov = jnp.asarray([[0.04, 0.03], [0.03, 0.04]])  # strong correlation
+    cov_inv = jnp.linalg.inv(cov)
+    mean = jnp.asarray([0.2, -0.4])
+
+    def log_prob(x):
+        d = x - mean
+        return -0.5 * jnp.einsum("bi,ij,bj->b", d, cov_inv, d)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 0.05
+    res = run_ensemble(log_prob, x0, 3000, jax.random.PRNGKey(1), move="de")
+    samples = np.asarray(res.chain[:, 800:, :]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.012)
+
+
+def test_unknown_move_raises():
+    def log_prob(x):
+        return -jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
+    with pytest.raises(ValueError):
+        run_ensemble(log_prob, x0, 2, jax.random.PRNGKey(1), move="banana")
