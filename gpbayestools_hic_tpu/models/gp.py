@@ -76,10 +76,16 @@ def _build_k(params, x, config: GPConfig, noise_diag=None):
 
 def gp_nll(params: dict, x: jnp.ndarray, y: jnp.ndarray, config: GPConfig,
            noise_diag=None) -> jnp.ndarray:
-    """Negative log marginal likelihood of one GP (differentiable)."""
+    """Negative log marginal likelihood of one GP (differentiable).
+
+    Uses a plain (no jitter-rescue) Cholesky: this runs inside every L-BFGS
+    line-search trial, and the non-finite guard below already converts a
+    failed factorization into a rejected step -- the rescue would only
+    double the factorization cost of hyperparameter search.  The final
+    state build (:func:`_chol_and_white`) keeps the rescue."""
     n = x.shape[0]
     k = _build_k(params, x, config, noise_diag)
-    chol = cholesky_jittered(k)
+    chol = jnp.linalg.cholesky(k)
     alpha_vec = solve_lower_triangular(chol, y)
     quad = jnp.sum(alpha_vec * alpha_vec)
     logdet_half = jnp.sum(jnp.log(jnp.diagonal(chol)))
