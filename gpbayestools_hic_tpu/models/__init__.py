@@ -14,3 +14,4 @@ from .gp import GPConfig, GPState, gp_fit, gp_predict, gp_nll  # noqa: F401
 from .emulator import Emulator  # noqa: F401
 from .emulator_band import EmulatorBAND  # noqa: F401
 from .joint import train_emulators_jointly  # noqa: F401
+from .migrate import from_reference  # noqa: F401

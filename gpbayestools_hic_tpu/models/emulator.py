@@ -550,6 +550,15 @@ class Emulator:
 
     # ---------------------------------------------------------- serialization
 
+    @classmethod
+    def from_reference(cls, source):
+        """Convert a reference dill-saved sklearn emulator (or live object)
+        into a native emulator with identical fitted hyperparameters; see
+        :func:`..models.migrate.from_reference`."""
+        from .migrate import from_reference
+
+        return from_reference(source)
+
     def save(self, path):
         """Serialize the trained emulator as a pytree of arrays + metadata
         (replaces the reference's dill object dumps, src/mcmc.py:145-150)."""

@@ -1,0 +1,222 @@
+"""Import trained REFERENCE emulators (dill-serialized sklearn objects).
+
+The reference persists whole Python ``Emulator`` objects with dill
+(EmulatorTraining.ipynb cell 5; loaded at src/mcmc.py:145-150).  A user
+switching to this framework can convert those files directly -- the fitted
+kernel hyperparameters, PCA basis, and scalers are imported EXACTLY (no
+retraining), so the converted emulator reproduces the reference's
+predictions to float tolerance and immediately gains the fused TPU predict
+and Woodbury-likelihood paths.
+
+Supported source: the reference's sklearn-backed ``Emulator``
+(src/emulator.py) with kernel ``Const * (RBF | Matern) + White`` per PC,
+including ``logTrafo``, ``exp_and_cov_diagonal``, ``perform_no_PCA`` and
+``parameterTrafoPCA`` configurations.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import working_dtype
+from ..ops.kernels import KernelConfig
+from ..ops.scalers import PCAState, StandardScalerState
+from .emulator import Emulator
+from .gp import GPConfig, GPState, _build_k
+from .param_pca import ParamPCAGroup, ParamPCAState, default_groups
+
+logger = logging.getLogger(__name__)
+
+
+def _scaler_state(sk_scaler, dtype) -> StandardScalerState:
+    return StandardScalerState(
+        mean=jnp.asarray(sk_scaler.mean_, dtype=dtype),
+        scale=jnp.asarray(sk_scaler.scale_, dtype=dtype),
+        var=jnp.asarray(sk_scaler.var_, dtype=dtype),
+    )
+
+
+def _pca_state(sk_pca, dtype, whiten) -> PCAState:
+    return PCAState(
+        mean=jnp.asarray(sk_pca.mean_, dtype=dtype),
+        components=jnp.asarray(sk_pca.components_, dtype=dtype),
+        explained_variance=jnp.asarray(sk_pca.explained_variance_, dtype=dtype),
+        explained_variance_ratio=jnp.asarray(
+            sk_pca.explained_variance_ratio_, dtype=dtype
+        ),
+        whiten=whiten,
+    )
+
+
+def _kernel_params_from_sklearn(gp, dtype):
+    """Extract {log_amp, log_ls, log_noise} from a fitted reference GPR.
+
+    Reference kernel structure: ``Const * (RBF | Matern) + White``
+    (src/emulator.py:284-306).
+    """
+    k = gp.kernel_
+    prod, white = k.k1, k.k2
+    const, base = prod.k1, prod.k2
+    kind = type(base).__name__  # "RBF" or "Matern"
+    if kind == "Matern" and not np.isclose(base.nu, 1.5):
+        raise ValueError(f"unsupported Matern nu={base.nu}; only 1.5")
+    ls = np.atleast_1d(base.length_scale)
+    return (
+        {
+            "log_amp": jnp.asarray(np.log(const.constant_value), dtype=dtype),
+            "log_ls": jnp.asarray(np.log(ls), dtype=dtype),
+            "log_noise": jnp.asarray(np.log(white.noise_level), dtype=dtype),
+        },
+        kind,
+        float(gp.alpha),
+    )
+
+
+def from_reference(source) -> Emulator:
+    """Convert a reference sklearn-backed emulator to a native one.
+
+    ``source``: a path to the reference's dill ``.sav`` file, or the live
+    reference ``Emulator`` object.  Returns a trained native
+    :class:`Emulator` whose predictions match the source to float tolerance.
+    """
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        import dill
+
+        with open(source, "rb") as f:
+            ref = dill.load(f)
+    else:
+        ref = source
+    if not hasattr(ref, "gps"):
+        raise ValueError(
+            "source has no fitted sklearn GPs; only the reference's "
+            "sklearn-backed Emulator is convertible"
+        )
+
+    dtype = working_dtype()
+    self = Emulator.__new__(Emulator)
+    self.logTrafo_ = bool(getattr(ref, "logTrafo_", False))
+    self.parameterTrafoPCA_ = bool(getattr(ref, "parameterTrafoPCA_", False))
+    self.exp_and_cov_diagonal_ = bool(getattr(ref, "exp_and_cov_diagonal_", False))
+    self.perform_no_PCA_ = bool(getattr(ref, "perform_no_PCA_", False))
+    self.npc = int(ref.npc)
+    self.nobs = int(ref.nobs)
+    self.nev = int(ref.nev)
+    self.nrestarts = 0
+    self.seed = 0
+    self.gp_maxiter = 0
+    self._dtype = dtype
+    self.pardict = dict(getattr(ref, "pardict", {}))
+    self.design_min = np.asarray(ref.design_min, dtype=float)
+    self.design_max = np.asarray(ref.design_max, dtype=float)
+    self.model_data = np.asarray(ref.model_data)
+    self.model_data_err = np.asarray(ref.model_data_err)
+    self.design_points = np.asarray(ref.design_points)
+    self.design_points_org_ = np.asarray(
+        getattr(ref, "design_points_org_", ref.design_points)
+    )
+
+    # --- GP batch from the fitted sklearn regressors ----------------------
+    params_list, kinds, alphas = [], set(), set()
+    for gp in ref.gps:
+        p, kind, alpha = _kernel_params_from_sklearn(gp, dtype)
+        params_list.append(p)
+        kinds.add(kind)
+        alphas.add(alpha)
+    if len(kinds) != 1 or len(alphas) != 1:
+        raise ValueError("mixed kernel types/alphas across PCs are unsupported")
+    kind, alpha = kinds.pop(), alphas.pop()
+    self.gp_alpha = alpha
+    self.gp_config = GPConfig(kernel=KernelConfig(kind), alpha=alpha)
+
+    x_train = jnp.asarray(ref.gps[0].X_train_, dtype=dtype)
+    y_batch = jnp.asarray(
+        np.stack([np.asarray(gp.y_train_) for gp in ref.gps]), dtype=dtype
+    )
+    params = jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
+
+    def finalize_one(p, y):
+        k = _build_k(p, x_train, self.gp_config)
+        chol = jnp.linalg.cholesky(k)
+        white = jax.lax.linalg.triangular_solve(
+            chol, y[:, None], left_side=True, lower=True
+        )[:, 0]
+        alpha_vec = jax.lax.linalg.triangular_solve(
+            chol, white[:, None], left_side=True, lower=True, transpose_a=True
+        )[:, 0]
+        eye = jnp.eye(x_train.shape[0], dtype=dtype)
+        kinv = jax.lax.linalg.triangular_solve(
+            chol,
+            jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True,
+        )
+        n = x_train.shape[0]
+        lml = (
+            -0.5 * jnp.sum(white * white)
+            - jnp.sum(jnp.log(jnp.diagonal(chol)))
+            - 0.5 * n * jnp.log(2.0 * jnp.pi)
+        )
+        return chol, alpha_vec, kinv, lml
+
+    chols, alpha_vecs, kinvs, lmls = jax.vmap(finalize_one)(params, y_batch)
+    self.gp_state = GPState(
+        params=params, x=x_train, y=y_batch, chol=chols,
+        alpha_vec=alpha_vecs, kinv=kinvs, lml=lmls,
+    )
+    logger.info("imported %d reference GPs (LML %s)", len(ref.gps),
+                np.asarray(lmls))
+
+    # --- transforms --------------------------------------------------------
+    self.scaler = _scaler_state(ref.scaler, dtype)
+    if self.perform_no_PCA_:
+        self.pca = None
+        self._npc_used = self.nobs
+    else:
+        self.pca = _pca_state(ref.pca, dtype, whiten=True)
+        self._npc_used = min(self.npc, int(ref.pca.components_.shape[0]))
+
+    # --- parameter-space PCA -----------------------------------------------
+    self.param_pca_groups = default_groups()
+    self.param_pca_state = None
+    if self.parameterTrafoPCA_:
+        groups = [
+            ParamPCAGroup(
+                name="bulk",
+                indices=tuple(ref.indices_zeta_s_parameters),
+                grid=tuple(np.linspace(0.0, 0.5, 100)),
+                curve="zeta",
+            ),
+            ParamPCAGroup(
+                name="shear",
+                indices=tuple(ref.indices_eta_s_parameters),
+                grid=tuple(np.linspace(0.0, 0.6, 100)),
+                curve="eta",
+            ),
+            ParamPCAGroup(
+                name="yloss",
+                indices=tuple(ref.indices_yloss_parameters),
+                grid=tuple(np.linspace(0.0, 6.2, 100)),
+                curve="yloss",
+            ),
+        ]
+        self.param_pca_groups = groups
+        scalers, pcas, npcs = [], [], []
+        for sc, pc in [
+            (ref.paramTrafoScaler_bulk, ref.paramTrafoPCA_bulk),
+            (ref.paramTrafoScaler_shear, ref.paramTrafoPCA_shear),
+            (ref.paramTrafoScaler_yloss, ref.paramTrafoPCA_yloss),
+        ]:
+            scalers.append(_scaler_state(sc, dtype))
+            pcas.append(_pca_state(pc, dtype, whiten=False))
+            npcs.append(int(pc.n_components_))
+        self.param_pca_state = ParamPCAState(
+            scalers=tuple(scalers), pcas=tuple(pcas), npcs=tuple(npcs)
+        )
+        self.PCA_new_design_points = np.asarray(ref.PCA_new_design_points)
+
+    self._npc_used = min(self._npc_used, len(ref.gps))
+    self._finalize_training(self.gp_state)
+    return self

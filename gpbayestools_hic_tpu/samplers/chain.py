@@ -83,8 +83,14 @@ class Chain:
         for emu in emulatorPathList:
             if hasattr(emu, "predict_device"):
                 self.emuList.append(emu)
-            else:
+                continue
+            try:
                 self.emuList.append(Emulator.load(emu))
+            except (KeyError, TypeError):
+                # not our pytree format: try a reference dill object
+                # (src/mcmc.py:145-150 loads those directly)
+                logger.info("converting reference dill emulator %s ...", emu)
+                self.emuList.append(Emulator.from_reference(emu))
         logger.info("Number of Emulators: %d", len(self.emuList))
         self._device_fns = None  # force rebuild
 

@@ -135,3 +135,61 @@ def test_mvn_loglike_parity_random_covs(reference_pkg, rng):
             mvn_ref(y, cov),
             rtol=1e-9,
         )
+
+
+def test_from_reference_conversion_exact(reference_pkg, shared_problem, tmp_path, rng):
+    """A converted reference emulator reproduces its predictions exactly
+    (same fitted hyperparameters, no retraining)."""
+    import dill
+
+    pkl, parfile, design, base = shared_problem
+    ref = reference_pkg.Emulator(pkl, parfile, npc=4)
+    ref.trainEmulatorAutoMask()
+
+    from gpbayestools_hic_tpu.models import Emulator
+
+    # conversion from the live object and from a dill file
+    conv = Emulator.from_reference(ref)
+    sav = tmp_path / "ref_emu.sav"
+    with open(sav, "wb") as f:
+        dill.dump(ref, f)
+    conv2 = Emulator.from_reference(str(sav))
+
+    xq = rng.uniform(0.1, 0.9, size=(8, 3))
+    ref_mean, ref_cov = ref.predict(xq, return_cov=True,
+                                    extra_std=np.zeros(len(xq)))
+    for c in (conv, conv2):
+        mean, cov = c.predict(xq, return_cov=True)
+        np.testing.assert_allclose(mean, ref_mean, rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(cov, ref_cov, rtol=1e-4, atol=1e-9)
+    # the converted emulator gets the low-rank fast path
+    assert conv.has_lowrank_cov
+
+
+def test_chain_loads_reference_dill(reference_pkg, shared_problem, tmp_path):
+    """Chain.loadEmulator accepts the reference's dill .sav files."""
+    import dill
+    import pickle
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    pkl, parfile, design, base = shared_problem
+    ref = reference_pkg.Emulator(pkl, parfile, npc=3)
+    ref.trainEmulatorAutoMask()
+    sav = tmp_path / "ref_emu.sav"
+    with open(sav, "wb") as f:
+        dill.dump(ref, f)
+
+    exp_pkl = tmp_path / "exp.pkl"
+    with open(exp_pkl, "wb") as f:
+        pickle.dump(
+            {"0": {"obs": np.stack([base[0], 0.05 * np.abs(base[0])])}}, f
+        )
+    chain = Chain(
+        mcmc_path=str(tmp_path / "m" / "c.pkl"),
+        expdata_path=str(exp_pkl),
+        model_parafile=parfile,
+    )
+    chain.loadEmulator([str(sav)])
+    lp = chain.log_posterior(design[:5])
+    assert np.isfinite(lp).all()
+    assert lp[0] == lp.max()  # truth point (design[0] generated exp data)
