@@ -75,6 +75,12 @@ def load_training_pickle(
     logger.info(
         "Training dataset size: %d, discarded points: %d", len(data), discarded
     )
+    if len(data) == 0:
+        raise ValueError(
+            f"all {discarded} training points were discarded by the "
+            f"max_rel_uncertainty={max_rel_uncertainty} noise filter; "
+            "raise the threshold or check the error columns"
+        )
     return TrainingData(
         design_points=design,
         design_points_org=design.copy(),

@@ -273,3 +273,38 @@ def test_joint_training_rejects_mismatched_designs(tmp_path, rng, training_pickl
         emus.append(Emulator(str(pkl), str(parfile), npc=2))
     with pytest.raises(ValueError):
         train_emulators_jointly(emus)
+
+
+def test_edge_cases(tmp_path, rng, training_pickle_factory):
+    """Boundary configurations: nev<nobs, nobs=1, ndim=1, npc=1, tiny nev."""
+    def build(nev, ndim, nobs, npc, tag):
+        design = rng.uniform(0, 1, size=(nev, ndim))
+        base = 2.0 + np.sin(design @ rng.uniform(1, 2, size=(ndim, nobs)))
+        pkl = training_pickle_factory(
+            tmp_path / f"{tag}.pkl", design, base, 0.01 * np.abs(base)
+        )
+        parfile = tmp_path / f"{tag}.txt"
+        parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(ndim)))
+        emu = Emulator(str(pkl), str(parfile), npc=npc, gp_maxiter=5)
+        emu.trainEmulatorAutoMask()
+        mean, cov = emu.predict(design[:2])
+        assert mean.shape == (2, nobs) and cov.shape == (2, nobs, nobs)
+        assert np.isfinite(mean).all()
+
+    build(10, 2, 20, 4, "wide")    # nev < nobs
+    build(15, 2, 1, 3, "one_obs")  # single observable
+    build(15, 1, 4, 2, "one_dim")  # 1-D parameter space
+    build(15, 2, 5, 1, "one_pc")   # single PC
+    build(3, 2, 4, 2, "tiny")      # 3 design points
+
+
+def test_all_points_filtered_raises(tmp_path, rng, training_pickle_factory):
+    design = rng.uniform(0, 1, size=(5, 2))
+    base = 2.0 + design @ rng.uniform(1, 2, size=(2, 4))
+    pkl = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 10.0 * np.abs(base)
+    )
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("p0: l, 0, 1\np1: l, 0, 1\n")
+    with pytest.raises(ValueError, match="discarded"):
+        Emulator(str(pkl), str(parfile))
