@@ -248,8 +248,19 @@ class Emulator:
     # closure -- they are compile-time constants.
 
     def _collect_predict_state(self):
-        """Device pytree of everything the predict programs need."""
-        st = {"gp_state": self.gp_state, "scaler": self.scaler}
+        """Device pytree of everything the predict programs need.
+
+        The GPState is trimmed to the leaves gp_predict actually reads
+        (params/x/kinv/alpha_vec): shipping chol/y/lml would pin an unused
+        extra ~(b, n, n) buffer per emulator (flagship: ~16 MB x 9) in every
+        jitted-call pytree."""
+        gs = self.gp_state
+        empty = jnp.zeros((0,), dtype=self._dtype)
+        slim = GPState(
+            params=gs.params, x=gs.x, y=empty, chol=empty,
+            alpha_vec=gs.alpha_vec, kinv=gs.kinv, lml=empty,
+        )
+        st = {"gp_state": slim, "scaler": self.scaler}
         if not self.perform_no_PCA_:
             st["trans_matrix"] = self._trans_matrix
             st["var_trans"] = self._var_trans
@@ -578,6 +589,9 @@ class Emulator:
             "var_trans": None if self.perform_no_PCA_ else self._var_trans,
             "cov_trunc": None if self.perform_no_PCA_ else self._cov_trunc,
             "param_pca_state": self.param_pca_state,
+            "pca_new_design_points": (
+                self.PCA_new_design_points if self.parameterTrafoPCA_ else None
+            ),
             "design_min": self.design_min,
             "design_max": self.design_max,
             "model_data": self.model_data,
@@ -598,6 +612,10 @@ class Emulator:
             "alpha": self.gp_config.alpha,
             "param_pca_groups": [g._asdict() for g in self.param_pca_groups],
             "pardict": self.pardict,
+            "gp_alpha": self.gp_alpha,
+            # subclass fields (EmulatorBAND) so retraining works after load
+            "method": getattr(self, "method_", None),
+            "pc_target_variance": getattr(self, "pc_target_variance", None),
         }
         save_pytree(path, tree, meta)
 
@@ -619,6 +637,12 @@ class Emulator:
         self.nrestarts = 0
         self.seed = 0
         self.gp_maxiter = 200
+        self.gp_alpha = meta.get("gp_alpha", meta["alpha"])
+        if meta.get("method") is not None:
+            self.method_ = meta["method"]
+            self.pc_target_variance = meta.get("pc_target_variance", 0.99)
+            self._impute_mask = None
+            self._impute_col_var = None
         self._dtype = working_dtype()
         self.pardict = meta["pardict"]
         self.param_pca_groups = [
@@ -675,7 +699,11 @@ class Emulator:
         self.design_points = np.asarray(tree["design_points"])
         self.design_points_org_ = np.asarray(tree["design_points_org"])
         if self.parameterTrafoPCA_:
-            self.PCA_new_design_points = np.asarray(self.gp_state.x)
+            pnd = tree.get("pca_new_design_points")
+            if pnd is not None:
+                self.PCA_new_design_points = np.asarray(pnd)
+            else:  # legacy save files: masked training design (best effort)
+                self.PCA_new_design_points = np.asarray(self.gp_state.x)
         self._trained = True
         self._build_predict_fn()
         return self

@@ -107,7 +107,7 @@ def from_reference(source) -> Emulator:
     self.nev = int(ref.nev)
     self.nrestarts = 0
     self.seed = 0
-    self.gp_maxiter = 0
+    self.gp_maxiter = 200  # retraining APIs (testEmulatorErrors) must optimize
     self._dtype = dtype
     self.pardict = dict(getattr(ref, "pardict", {}))
     self.design_min = np.asarray(ref.design_min, dtype=float)

@@ -251,6 +251,11 @@ class Chain:
             return make_cholesky_block(e, i0, i1)
 
         mode = getattr(self, "likelihood_mode", "auto")
+        if mode not in ("auto", "generic"):
+            raise ValueError(
+                f"unknown likelihood_mode {mode!r}: use 'auto' (Woodbury/"
+                "diagonal fast paths) or 'generic' (per-block Cholesky)"
+            )
         block_fns: list = []
         block_states: list = []
         if exp_cov_is_diagonal:

@@ -240,9 +240,14 @@ def run_smc(
     """Run the preconditioned SMC sampler; see module docstring.
 
     ``log_likelihood(state, x, finite)`` maps (m, d) -> (m,) and must return
-    finite values (-1e300) outside the box.  ``custom_prior`` is accepted for
-    API parity; only uniform box priors are natively accelerated (a custom
-    prior object with logpdf/rvs is used for initial draws only).
+    finite values (-1e300) outside the box.
+
+    ``custom_prior``: a uniform box prior is the native fast path.  A custom
+    prior must expose a JAX-traceable ``log_prior_jax(x) -> (m,)`` (plus
+    ``rvs(n)`` for initial draws); it is then used in the MCMC target and
+    the evidence weights.  Objects with only a numpy ``logpdf`` (e.g.
+    pocomc.Prior) cannot be traced into the device programs -- they are
+    rejected rather than silently sampling under the wrong prior.
     """
     if sample not in ("pcn", "tpcn", "rwm"):
         raise ValueError(f"unknown sample kernel: {sample}")
@@ -271,7 +276,15 @@ def run_smc(
         n_pop, n_effective, target_ess_frac, sample,
     )
 
-    if custom_prior is not None and hasattr(custom_prior, "rvs"):
+    log_prior_fn = None
+    if custom_prior is not None:
+        if not hasattr(custom_prior, "log_prior_jax"):
+            raise ValueError(
+                "custom priors must expose a JAX-traceable log_prior_jax(x); "
+                "a numpy-only logpdf cannot enter the device programs and "
+                "would silently be replaced by the uniform box prior"
+            )
+        log_prior_fn = custom_prior.log_prior_jax
         x0 = np.asarray(custom_prior.rvs(n_pop))
         x0 = np.clip(
             x0,

@@ -308,3 +308,57 @@ def test_all_points_filtered_raises(tmp_path, rng, training_pickle_factory):
     parfile.write_text("p0: l, 0, 1\np1: l, 0, 1\n")
     with pytest.raises(ValueError, match="discarded"):
         Emulator(str(pkl), str(parfile))
+
+
+def test_loaded_emulator_can_retrain(toy_emulator_files, tmp_path):
+    """Regression: load() must restore everything retraining APIs need."""
+    pkl, parfile, design, *_ = toy_emulator_files
+    emu = Emulator(str(pkl), str(parfile), npc=4, gp_maxiter=20)
+    emu.trainEmulatorAutoMask()
+    path = tmp_path / "e.sav"
+    emu.save(path)
+    e2 = Emulator.load(path)
+    assert e2.gp_alpha == emu.gp_alpha
+    preds, *_ = e2.testEmulatorErrors(nTestPoints=3)  # retrains internally
+    assert preds.shape == (3, 8)
+
+
+def test_loaded_band_emulator_can_retrain(tmp_path, rng, training_pickle_factory):
+    from gpbayestools_hic_tpu.models import EmulatorBAND
+
+    design = rng.uniform(0, 1, size=(30, 3))
+    base = 2.0 + np.sin(design @ rng.uniform(1, 2.5, size=(3, 6)))
+    pkl_t = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 0.01 * np.abs(base)
+    )
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emu = EmulatorBAND(str(pkl_t), str(parfile), method="PCSK", gp_maxiter=20)
+    emu.trainEmulatorAutoMask()
+    emu.save(tmp_path / "b.sav")
+    e2 = EmulatorBAND.load(tmp_path / "b.sav")
+    assert e2.method_ == "PCSK"
+    e2.trainEmulatorAutoMask()  # PCSK retrain needs _pc_noise_diag fields
+    mean, _ = e2.predict(design[:2])
+    assert np.isfinite(mean).all()
+
+
+def test_bad_likelihood_mode_raises(toy_emulator_files, tmp_path):
+    import pickle as pkl_mod
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    pkl, parfile, design, base, err = toy_emulator_files
+    emu = Emulator(str(pkl), str(parfile), npc=3, gp_maxiter=10)
+    emu.trainEmulatorAutoMask()
+    exp_pkl = tmp_path / "exp.pkl"
+    with open(exp_pkl, "wb") as f:
+        pkl_mod.dump({"0": {"obs": np.stack([base[0], 0.05 * np.abs(base[0])])}}, f)
+    chain = Chain(
+        mcmc_path=str(tmp_path / "m" / "c.pkl"),
+        expdata_path=str(exp_pkl),
+        model_parafile=str(parfile),
+    )
+    chain.likelihood_mode = "woodburry"  # typo
+    chain.loadEmulator([emu])
+    with pytest.raises(ValueError, match="likelihood_mode"):
+        chain.log_posterior(design[:2])
