@@ -592,6 +592,17 @@ class Chain:
         (reference: src/mcmc.py:752-819).  ``pool`` is accepted for API
         parity and ignored (parallelism is on-device)."""
         from .smc import run_smc
+        from ..utils.priors import ScipyPrior
+
+        if prior is not None and not hasattr(prior, "log_prior_jax"):
+            # the reference builds pocoMC priors from lists of frozen scipy
+            # distributions (src/mcmc.py:784-789); convert those natively
+            if isinstance(prior, (list, tuple)):
+                prior = ScipyPrior(prior)
+            elif hasattr(prior, "dists"):
+                prior = ScipyPrior(prior.dists)
+        if prior is not None and getattr(prior, "dim", self.ndim) != self.ndim:
+            raise ValueError("prior.dim does not match the model parameter space")
 
         logger.info("Starting preconditioned SMC ...")
         ll_fn = self.device_fns["log_likelihood_traceable"]

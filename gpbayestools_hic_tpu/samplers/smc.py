@@ -70,16 +70,22 @@ def _to_bounded(u, lo, hi):
 # -------------------------------------------------------------- core kernels
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _eval_u(log_likelihood, state, u, lo, hi, log_prior_x):
+@partial(jax.jit, static_argnums=(0, 1))
+def _eval_u(log_likelihood, log_prior_fn, state, u, lo, hi, log_prior_x):
     """u-space particle evaluation: returns (x, logl, logp_u).
 
     ``logp_u`` is the prior density in u-coordinates:
-    ``log p_x(x) + log|dx/du|`` (uniform box prior -> constant + logdet).
+    ``log p_x(x) + log|dx/du|``.  With no custom prior, log p_x is the
+    uniform-box constant; otherwise ``log_prior_fn(x)`` (traceable) is used,
+    floored at a large finite value so flow/pCN arithmetic never sees -inf.
     """
     x, logdet_xu = _to_bounded(u, lo, hi)
     logl = log_likelihood(state, x, True)
-    logp_u = log_prior_x + logdet_xu
+    if log_prior_fn is None:
+        logp_x = log_prior_x
+    else:
+        logp_x = jnp.maximum(log_prior_fn(x), -1e30)
+    logp_u = logp_x + logdet_xu
     return x, logl, logp_u
 
 
@@ -89,9 +95,12 @@ def _t_logpdf(z2: jnp.ndarray, nu: jnp.ndarray, d: int) -> jnp.ndarray:
     return -0.5 * (nu + d) * jnp.log1p(z2 / nu)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("n_steps", "config"))
+@partial(
+    jax.jit, static_argnums=(0, 1), static_argnames=("n_steps", "config")
+)
 def _pcn_rounds(
     log_likelihood,
+    log_prior_fn,
     state,
     flow_params,
     u,
@@ -142,7 +151,7 @@ def _pcn_rounds(
         zp = jnp.sqrt(1.0 - rho**2) * z + rho * jnp.sqrt(s)[:, None] * xi
         up, logdet_uzp = flow_inverse(flow_params, zp, config)
         _, logl_p, logp_p = _eval_u(
-            log_likelihood, state, up, lo, hi, log_prior_x
+            log_likelihood, log_prior_fn, state, up, lo, hi, log_prior_x
         )
         l_cur = lfun(logl_c, logp_c, logdet_c, z)
         l_prop = lfun(logl_p, logp_p, logdet_uzp, zp)
@@ -280,9 +289,10 @@ def run_smc(
     if custom_prior is not None:
         if not hasattr(custom_prior, "log_prior_jax"):
             raise ValueError(
-                "custom priors must expose a JAX-traceable log_prior_jax(x); "
-                "a numpy-only logpdf cannot enter the device programs and "
-                "would silently be replaced by the uniform box prior"
+                "custom priors must expose a JAX-traceable log_prior_jax(x) "
+                "(see utils.priors.ScipyPrior for scipy frozen-distribution "
+                "lists); a numpy-only logpdf cannot enter the device "
+                "programs and would silently be replaced by the uniform box"
             )
         log_prior_fn = custom_prior.log_prior_jax
         x0 = np.asarray(custom_prior.rvs(n_pop))
@@ -294,7 +304,9 @@ def run_smc(
     else:
         x0 = rng.uniform(np.asarray(prior_lo), np.asarray(prior_hi), (n_pop, ndim))
     u = _to_unbounded(jnp.asarray(x0, dtype=dtype), prior_lo, prior_hi)
-    _, logl, logp_u = _eval_u(ll_fn, state, u, prior_lo, prior_hi, log_prior_x)
+    _, logl, logp_u = _eval_u(
+        ll_fn, log_prior_fn, state, u, prior_lo, prior_hi, log_prior_x
+    )
 
     key, k_flow = jax.random.split(key)
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
@@ -333,7 +345,7 @@ def run_smc(
         else:
             nu = 1e6
         u, logl, logp_u, rho, acc = _pcn_rounds(
-            ll_fn, state, flow_params, u, logl, logp_u,
+            ll_fn, log_prior_fn, state, flow_params, u, logl, logp_u,
             jnp.asarray(beta, dtype), rho, jnp.asarray(nu, dtype), k_mcmc,
             prior_lo, prior_hi,
             log_prior_x, n_steps=n_max_steps, config=flow_config,
@@ -361,7 +373,7 @@ def run_smc(
     while sum(len(a) for a in xs) < n_total:
         key, k_mcmc = jax.random.split(key)
         u, logl, logp_u, rho, acc = _pcn_rounds(
-            ll_fn, state, flow_params, u, logl, logp_u,
+            ll_fn, log_prior_fn, state, flow_params, u, logl, logp_u,
             jnp.asarray(1.0, dtype), rho,
             jnp.asarray(nu if sample == "tpcn" else 1e6, dtype), k_mcmc,
             prior_lo, prior_hi,
@@ -380,7 +392,7 @@ def run_smc(
         z = jax.random.normal(k_ev, (n_evidence, ndim), dtype)
         u_ev, logdet_uz = flow_inverse(flow_params, z, flow_config)
         x_ev, logl_ev, logp_u_ev = _eval_u(
-            ll_fn, state, u_ev, prior_lo, prior_hi, log_prior_x
+            ll_fn, log_prior_fn, state, u_ev, prior_lo, prior_hi, log_prior_x
         )
         # q(u) = N(z) / |du/dz|  =>  log q = logN(z) - logdet_uz
         log_n = -0.5 * jnp.sum(z**2, axis=1) - 0.5 * ndim * jnp.log(

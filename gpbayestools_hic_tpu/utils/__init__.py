@@ -5,3 +5,4 @@ from .metrics import rms_relative_error, honesty, mean_log_honesty, delta_d, cov
 from .cluster import kmeans, sort_chain_likelihood, generate_posterior_clusters  # noqa: F401
 from .sensitivity import sensitivity_matrix, sensitivity_matrix_fd  # noqa: F401
 from .closure import percentile_params, posterior_predictive  # noqa: F401
+from .priors import ScipyPrior  # noqa: F401

@@ -228,3 +228,57 @@ def test_smc_with_rqs_preconditioner():
     )
     np.testing.assert_allclose(result["samples"].mean(axis=0), mu, atol=0.02)
     assert abs(result["logz"]) < 0.15, result["logz"]
+
+
+def test_smc_custom_scipy_prior():
+    """A non-uniform (truncated normal-like) prior changes the posterior and
+    the evidence correctly."""
+    from scipy.stats import norm, uniform as sp_uniform
+
+    from gpbayestools_hic_tpu.utils.priors import ScipyPrior
+
+    s = 0.08
+    mu = jnp.asarray([0.5, 0.5])
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+
+    # prior: tight normal on dim 0 centered at 0.3, uniform on dim 1
+    prior = ScipyPrior([norm(loc=0.3, scale=0.05), sp_uniform(0, 1)])
+    result = run_smc(
+        logl, jnp.zeros(2), jnp.ones(2),
+        n_effective=400, n_active=200, n_prior=800,
+        n_max_steps=25, n_total=3000, n_evidence=0, seed=4,
+        flow_config=CFG, flow_fit_steps=200, custom_prior=prior,
+    )
+    samples = result["samples"]
+    # posterior mean on dim 0 pulled toward the prior: analytic product of
+    # normals: mean = (0.5/s^2 + 0.3/0.05^2)/(1/s^2 + 1/0.05^2)
+    expected0 = (0.5 / s**2 + 0.3 / 0.05**2) / (1 / s**2 + 1 / 0.05**2)
+    np.testing.assert_allclose(samples[:, 0].mean(), expected0, atol=0.02)
+    np.testing.assert_allclose(samples[:, 1].mean(), 0.5, atol=0.02)
+    # logp reflects the custom prior, not the uniform box
+    assert result["logp"].std() > 0.1
+
+
+def test_smc_rejects_numpy_only_prior():
+    class BadPrior:
+        dim = 2
+
+        def logpdf(self, x):
+            return np.zeros(len(x))
+
+        def rvs(self, size):
+            return np.random.rand(size, 2)
+
+    def logl(state, x, finite):
+        return -jnp.sum(x**2, axis=1)
+
+    with pytest.raises(ValueError, match="log_prior_jax"):
+        run_smc(
+            logl, jnp.zeros(2), jnp.ones(2),
+            n_effective=100, n_active=50, n_prior=200, n_total=100,
+            n_evidence=0, custom_prior=BadPrior(), flow_config=CFG,
+        )
