@@ -91,3 +91,17 @@ def holdout_scan(
         "mean_E": np.asarray(mean_e),
         "mean_log_H": np.asarray(mean_log_h),
     }
+
+
+def save_metrics_csv(path, results: Mapping[str, dict]) -> None:
+    """Write per-observable E/H metrics to CSV, one block per variant
+    (EmulatorValidation.ipynb writes comparable CSVs per test-point count)."""
+    import csv
+
+    with open(path, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["variant", "observable", "E", "H"])
+        for name, res in results.items():
+            for j, (e, h) in enumerate(zip(res["E"], res["H"])):
+                writer.writerow([name, j, float(e), float(h)])
+    logger.info("wrote validation metrics to %s", path)

@@ -130,3 +130,27 @@ def load_pytree(path):
     with open(path, "rb") as f:
         payload = pickle.load(f)
     return payload["tree"], payload["meta"]
+
+
+def delete_parameters_from_pickle(in_path, out_path, param_indices) -> int:
+    """Remove parameter columns from a training pickle, write a new file.
+
+    Library version of the reference's parameter-deletion workflow
+    (EmulatorTraining.ipynb cells 15-16: dropping bulk_max_rhob2/4 from every
+    dataset).  Returns the number of events written.
+    """
+    with open(in_path, "rb") as f:
+        data = pickle.load(f)
+    keep = None
+    for event_id, entry in data.items():
+        params = np.asarray(entry["parameter"])
+        if keep is None:
+            keep = np.delete(np.arange(params.shape[0]), list(param_indices))
+        entry["parameter"] = params[keep]
+    with open(out_path, "wb") as f:
+        pickle.dump(data, f)
+    logger.info(
+        "wrote %s with parameters %s removed (%d events)",
+        out_path, list(param_indices), len(data),
+    )
+    return len(data)

@@ -182,3 +182,35 @@ def test_closure_utilities(trained_emulator, rng):
     preds = posterior_predictive(chain, [trained_emulator], n_draws=5)
     assert preds.shape == (5, 6)
     assert np.isfinite(preds).all()
+
+
+def test_delete_parameters_from_pickle(tmp_path, rng, training_pickle_factory):
+    from gpbayestools_hic_tpu.utils.io import (
+        delete_parameters_from_pickle,
+        load_training_pickle,
+    )
+
+    design = rng.uniform(0, 1, size=(10, 5))
+    base = 2.0 + design @ rng.uniform(1, 2, size=(5, 4))
+    src = training_pickle_factory(tmp_path / "in.pkl", design, base,
+                                  0.01 * np.abs(base))
+    out = tmp_path / "out.pkl"
+    n = delete_parameters_from_pickle(src, out, [1, 3])
+    assert n == 10
+    td = load_training_pickle(out)
+    assert td.design_points.shape == (10, 3)
+    np.testing.assert_allclose(td.design_points, design[:, [0, 2, 4]])
+
+
+def test_save_metrics_csv(tmp_path):
+    from gpbayestools_hic_tpu.models.validation import save_metrics_csv
+
+    results = {
+        "a": {"E": np.array([0.1, 0.2]), "H": np.array([1.0, 1.5])},
+        "b": {"E": np.array([0.3, 0.4]), "H": np.array([0.9, 1.1])},
+    }
+    path = tmp_path / "m.csv"
+    save_metrics_csv(path, results)
+    lines = path.read_text().strip().split("\n")
+    assert lines[0] == "variant,observable,E,H"
+    assert len(lines) == 5
