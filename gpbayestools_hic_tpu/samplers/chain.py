@@ -551,8 +551,13 @@ class Chain:
         maxtemp: float = 100.0,
         nstartparameters: int = 1000,
         seed: int = 0,
+        use_gradients: bool = False,
     ):
-        """Parallel-tempered Langevin MC (reference: src/mcmc.py:431-726)."""
+        """Parallel-tempered Langevin MC (reference: src/mcmc.py:431-726).
+
+        ``use_gradients=True`` turns on the true Langevin drift (the
+        reference's gradient branch, unusable there because its posterior
+        has no gradients; ours is differentiable)."""
         from .ptlmc import run_ptlmc
 
         logger.info("Starting MCMC ...")
@@ -567,6 +572,7 @@ class Chain:
             nstartparameters=nstartparameters,
             key=jax.random.PRNGKey(seed),
             state=like_state,
+            use_gradients=use_gradients,
         )
         self.chain = np.asarray(theta).reshape((nwalkers, nsteps, self.ndim))
         logger.info("Writing MCMC chains to file...")

@@ -85,14 +85,23 @@ def run_ptlmc(
     nstartparameters: int = 1000,
     key: jax.Array,
     state=None,
-    taracc: float = 0.25,
+    taracc: float | None = None,
+    use_gradients: bool = False,
     preopt_maxiter: int = 100,
 ) -> jnp.ndarray:
     """Run PTLMC; returns the T=1 chains (numchain, sampperchain, ndim).
 
     ``logpost_fn(x)`` or ``logpost_fn(state, x)`` maps (m, ndim) -> (m,).
     ``draw_fn(n)`` draws approximate prior samples (host-side ok).
+
+    ``use_gradients=True`` enables the Langevin drift + MH correction
+    (reference: src/mcmc.py:629-638, acceptance target 0.60 per :528) --
+    the reference's vendored code supports this branch but can never take
+    it because its posterior returns no gradients; here the fused posterior
+    is differentiable end to end.
     """
+    if taracc is None:
+        taracc = 0.60 if use_gradients else 0.25
     # Normalize to the (state, x) convention so no device array is ever a
     # closure capture inside a jitted loop (see models/emulator.py on the
     # per-call constant re-upload penalty of this runtime).
@@ -171,10 +180,12 @@ def run_ptlmc(
         tau0,
         rho0,
         key,
+        covmat0.astype(dtype) if ndim > 1 else jnp.eye(1, dtype=dtype),
         total_steps=total_steps,
         samptunning=samptunning,
         numtemps=numtemps,
         taracc=taracc,
+        use_gradients=use_gradients,
     )
     return chain  # (numchain, sampperchain, ndim)
 
@@ -229,7 +240,9 @@ def _jitter(logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u
 @partial(
     jax.jit,
     static_argnums=(0,),
-    static_argnames=("total_steps", "samptunning", "numtemps", "taracc"),
+    static_argnames=(
+        "total_steps", "samptunning", "numtemps", "taracc", "use_gradients"
+    ),
 )
 def _ptlmc_scan(
     logpost_fn,
@@ -241,30 +254,55 @@ def _ptlmc_scan(
     tau0,
     rho0,
     key,
+    covmat0=None,
     *,
     total_steps: int,
     samptunning: int,
     numtemps: int,
     taracc: float,
+    use_gradients: bool = False,
 ):
     lp_fn = lambda x: logpost_fn(state, x)  # noqa: E731 (state is traced here)
     dtype = thetac.dtype
     totnum, ndim = thetac.shape
     adjrho0 = rho0 * temps ** (1.0 / 3.0)
 
+    def grad_fn(x):
+        # per-chain gradient of the log posterior (batched via vmap)
+        single = lambda xi: logpost_fn(state, xi[None, :])[0]  # noqa: E731
+        g = jax.vmap(jax.grad(single))(x)
+        return jnp.nan_to_num(g, nan=0.0, posinf=0.0, neginf=0.0)
+
     def step(carry, inp):
         k, key = inp
-        thetac, fval, tau, adjrho, numtimes = carry
+        thetac, fval, dfval, tau, adjrho, numtimes = carry
         key, k_prop, k_acc, k_swap = jax.random.split(key, 4)
 
         rvalo = jax.random.normal(k_prop, (totnum, ndim), dtype)
         rval = jnp.sqrt(2.0) * adjrho[:, None] * (rvalo @ hc)
         thetap = thetac + rval
-        fvalp = lp_fn(thetap) / temps
+        if use_gradients:
+            # Langevin drift + MH correction (reference: src/mcmc.py:629-638)
+            diffval = (adjrho[:, None] ** 2) * (dfval @ covmat0)
+            thetap = thetap + diffval
+            fvalp = lp_fn(thetap) / temps
+            dfvalp = grad_fn(thetap) / temps[:, None]
+            term1 = rvalo / jnp.sqrt(2.0)
+            term2 = (adjrho[:, None] / 2.0) * ((dfval + dfvalp) @ hc)
+            qadj = -(
+                2.0 * jnp.sum(term1 * term2, axis=1)
+                + jnp.sum(term2**2, axis=1)
+            )
+        else:
+            fvalp = lp_fn(thetap) / temps
+            dfvalp = dfval
+            qadj = jnp.zeros((totnum,), dtype)
         log_u = jnp.log(jax.random.uniform(k_acc, (totnum,), dtype=dtype))
-        accept = log_u < (fvalp - fval)
+        accept = log_u < (fvalp - fval + qadj)
         thetac = jnp.where(accept[:, None], thetap, thetac)
         fval = jnp.where(accept, fvalp, fval)
+        if use_gradients:
+            dfval = jnp.where(accept[:, None], dfvalp, dfval)
         numtimes = numtimes + jnp.sum(accept) / totnum
 
         # temperature swaps on untempered log posteriors
@@ -274,6 +312,9 @@ def _ptlmc_scan(
         )
         fval = fvaln[order] / temps
         thetac = thetac[order]
+        if use_gradients:
+            dfvaln = temps[:, None] * dfval
+            dfval = dfvaln[order] / temps[:, None]
 
         # rho adaptation every 10 tuning steps
         tune_now = (k < samptunning) & (jnp.mod(k, 10) == 0)
@@ -283,13 +324,20 @@ def _ptlmc_scan(
         adjrho = jnp.where(tune_now, rho * temps ** (1.0 / 3.0), adjrho)
         numtimes = jnp.where(tune_now, 0.0, numtimes)
 
-        return (thetac, fval, tau, adjrho, numtimes), thetac[numtemps:]
+        return (thetac, fval, dfval, tau, adjrho, numtimes), thetac[numtemps:]
 
+    if covmat0 is None:
+        covmat0 = jnp.eye(ndim, dtype=dtype)
+    dfval0 = (
+        grad_fn(thetac) / temps[:, None]
+        if use_gradients
+        else jnp.zeros((totnum, ndim), dtype)
+    )
     keys = jax.random.split(key, total_steps)
     ks = jnp.arange(total_steps)
     _, saved = lax.scan(
         step,
-        (thetac, fval0, tau0, adjrho0, jnp.asarray(0.0, dtype)),
+        (thetac, fval0, dfval0, tau0, adjrho0, jnp.asarray(0.0, dtype)),
         (ks, keys),
     )
     # keep only production steps; (steps, numchain, ndim) -> (numchain, steps, ndim)

@@ -100,3 +100,29 @@ def test_chain_run_ptlmc(tmp_path, rng, training_pickle_factory):
     assert data["chain"].shape == (8, 200, 2)
     post = data["chain"][:, 50:, :].reshape(-1, 2)
     assert np.all(np.abs(post.mean(axis=0) - truth) < 0.2)
+
+
+def test_ptlmc_gradient_mode_gaussian():
+    """Langevin drift + MH correction (the reference's unusable gradient
+    branch) recovers a Gaussian target."""
+    mean = jnp.asarray([0.5, -0.3])
+    cov = jnp.asarray([[0.04, 0.018], [0.018, 0.09]])
+    cov_inv = jnp.linalg.inv(cov)
+
+    def log_post(state, x):
+        d = x - mean
+        return -0.5 * jnp.einsum("bi,ij,bj->b", d, cov_inv, d)
+
+    def draw(n):
+        rng = np.random.default_rng(3)
+        return rng.uniform(-2, 2, size=(n, 2))
+
+    chain = run_ptlmc(
+        log_post, draw,
+        numtemps=8, numchain=16, sampperchain=400, maxtemp=30.0,
+        nstartparameters=400, key=jax.random.PRNGKey(2), state=(),
+        use_gradients=True,
+    )
+    samples = np.asarray(chain[:, 100:, :]).reshape(-1, 2)
+    np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.05)
+    np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.035)
