@@ -202,11 +202,14 @@ def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
 
     thetas = np.random.default_rng(1).uniform(0.2, 0.8, size=(walkers, NDIM))
     eval_one(thetas[0])  # warm numpy caches
-    t0 = time.perf_counter()
+    # per-eval minimum: robust to transient host load (conservative for the
+    # speedup ratio -- the baseline gets its best case)
+    best = np.inf
     for th in thetas:
+        t0 = time.perf_counter()
         eval_one(th)
-    dt = time.perf_counter() - t0
-    return walkers / dt
+        best = min(best, time.perf_counter() - t0)
+    return 1.0 / best
 
 
 def main():
