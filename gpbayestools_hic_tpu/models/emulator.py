@@ -131,6 +131,37 @@ class Emulator:
 
         self._trained = False
 
+    # ------------------------------------------------- parametrizations
+    # Reference API parity: the viscosity curve functions are methods on the
+    # reference Emulator (src/emulator.py:102-126).  These delegate to the
+    # vectorized module-level implementations and accept scalars.
+
+    def parametrization_zeta_over_s_vs_T(self, zeta_max, T_zeta0, sigma_plus,
+                                         sigma_minus, T, mu_B):
+        from .param_pca import zeta_over_s_vs_T
+
+        out = zeta_over_s_vs_T(
+            jnp.asarray([[zeta_max, T_zeta0, sigma_plus, sigma_minus]]),
+            jnp.asarray(T), mu_B,
+        )
+        return float(out.reshape(-1)[0]) if jnp.ndim(jnp.asarray(T)) == 0 else out[0]
+
+    def parametrization_eta_over_s_vs_mu_B(self, eta_0, eta_2, eta_4, mu_B):
+        from .param_pca import eta_over_s_vs_mu_B
+
+        out = eta_over_s_vs_mu_B(
+            jnp.asarray([[eta_0, eta_2, eta_4]]), jnp.asarray(mu_B)
+        )
+        return float(out.reshape(-1)[0]) if jnp.ndim(jnp.asarray(mu_B)) == 0 else out[0]
+
+    def parametrization_y_loss_vs_y_init(self, yloss_2, yloss_4, yloss_6, y_init):
+        from .param_pca import y_loss_vs_y_init
+
+        out = y_loss_vs_y_init(
+            jnp.asarray([[yloss_2, yloss_4, yloss_6]]), jnp.asarray(y_init)
+        )
+        return float(out.reshape(-1)[0]) if jnp.ndim(jnp.asarray(y_init)) == 0 else out[0]
+
     # ------------------------------------------------------------------ train
 
     def trainEmulatorAutoMask(self):
