@@ -212,7 +212,43 @@ def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
     return 1.0 / best
 
 
+def run_smc_pipeline(emu_states, exp_mean, exp_var, dtype):
+    """BASELINE config #5: full flow-preconditioned SMC + posterior
+    clustering on the flagship posterior (numbers go to stderr; the primary
+    JSON metric stays the ensemble ESS/sec)."""
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.samplers.smc import run_smc
+    from gpbayestools_hic_tpu.utils.cluster import kmeans
+    import jax
+
+    log_post, st = make_log_post(emu_states, exp_mean, exp_var, dtype)
+
+    def logl(state, x, finite):
+        lp = log_post(state, x)
+        return jnp.where(jnp.isfinite(lp), lp, -1e30)
+
+    t0 = time.perf_counter()
+    out = run_smc(
+        logl, jnp.zeros(NDIM, dtype), jnp.ones(NDIM, dtype),
+        likelihood_state=st,
+        n_effective=2000, n_active=1000, n_prior=4000,
+        n_max_steps=50, n_total=8000, n_evidence=2000, seed=0,
+    )
+    dt = time.perf_counter() - t0
+    log(f"SMC pipeline: {dt:.1f}s, {out['beta_iterations']} beta iterations, "
+        f"logz={out['logz']:.2f}+-{out['logz_err']:.3f}, "
+        f"{8000/dt:.0f} posterior samples/s")
+    centers, _, inertia = kmeans(
+        jnp.asarray(out["samples"][:2000]), 3, key=jax.random.PRNGKey(0)
+    )
+    log(f"posterior k-means: inertia {float(inertia):.1f}")
+    return out
+
+
 def main():
+    import sys as _sys
+
     import jax
     import jax.numpy as jnp
 
@@ -273,6 +309,9 @@ def main():
     log(f"reference-style CPU: {cpu_rate:.2f} evals/s")
     baseline_ess_per_sec = cpu_rate * ess_per_eval
     vs_baseline = ess_per_sec / baseline_ess_per_sec
+
+    if "--smc" in _sys.argv:
+        run_smc_pipeline(emu_states, exp_mean, exp_var, dtype)
 
     print(json.dumps({
         "metric": "ess_per_sec_flagship_544obs_17param",
