@@ -1,0 +1,61 @@
+"""Distribution-level statistical tests and determinism guarantees."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy import stats
+
+from gpbayestools_hic_tpu.samplers import run_ensemble
+from gpbayestools_hic_tpu.samplers.ptlmc import run_ptlmc
+from gpbayestools_hic_tpu.utils.metrics import effective_sample_size
+
+
+def test_ensemble_ks_against_analytic_gaussian():
+    """Kolmogorov-Smirnov test of thinned ensemble samples against the exact
+    target marginal (stronger than moment checks)."""
+    mean, std = 0.7, 0.3
+
+    def log_prob(x):
+        return -0.5 * jnp.sum(((x - mean) / std) ** 2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 2)) * 0.1 + mean
+    res = run_ensemble(log_prob, x0, 4000, jax.random.PRNGKey(1))
+    chain = np.asarray(res.chain[:, 1000:, :])
+    # thin by the integrated autocorrelation time for ~independent draws
+    ess = effective_sample_size(chain)
+    thin = max(int(chain.shape[0] * chain.shape[1] / ess), 1)
+    samples = chain[:, ::thin, 0].reshape(-1)
+    d, p = stats.kstest(samples, "norm", args=(mean, std))
+    assert p > 1e-3, (d, p, len(samples))
+
+
+def test_ensemble_deterministic_given_seed():
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (16, 3))
+    r1 = run_ensemble(log_prob, x0, 50, jax.random.PRNGKey(7))
+    r2 = run_ensemble(log_prob, x0, 50, jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(r1.chain), np.asarray(r2.chain))
+
+
+def test_ptlmc_deterministic_given_seed():
+    def log_post(state, x):
+        return -0.5 * jnp.sum((x - 0.3) ** 2, axis=-1) / 0.01
+
+    def draw(n):
+        return np.random.default_rng(0).uniform(0, 1, size=(n, 2))
+
+    kwargs = dict(numtemps=4, numchain=8, sampperchain=50, maxtemp=10.0,
+                  nstartparameters=100, state=())
+    c1 = run_ptlmc(log_post, draw, key=jax.random.PRNGKey(5), **kwargs)
+    c2 = run_ptlmc(log_post, draw, key=jax.random.PRNGKey(5), **kwargs)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_ess_estimate_sane_on_iid_samples():
+    """tau ~ 1 for iid draws -> ESS ~ sample count."""
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(8, 500, 2))
+    ess = effective_sample_size(chain)
+    assert ess > 0.5 * 8 * 500, ess
