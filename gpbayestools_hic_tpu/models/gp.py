@@ -228,13 +228,13 @@ def gp_predict(
         )  # (n, m)
         mean = kstar.T @ alpha_vec
         # K^-1 k_* as a matmul (MXU) rather than a sequential triangular
-        # solve; see GPState.kinv.  This is the dominant matmul (n^2 m) and
-        # feeds only the predictive VARIANCE -- a clamped, sqrt'd quantity
-        # where ~1% error is immaterial -- so it deliberately runs at the
-        # TPU's fast bf16 matmul precision while the mean path stays exact.
-        w = jnp.matmul(
-            kinv, kstar, precision=jax.lax.Precision.DEFAULT
-        )  # (n, m)
+        # solve; see GPState.kinv.  Full precision is REQUIRED here even
+        # though it only feeds the variance: var = kdiag - sum(kstar * w) is
+        # a catastrophic cancellation of nearly equal O(1) quantities, so
+        # bf16's ~1e-2 product error becomes a ~30% variance error
+        # (measured), which the Woodbury likelihood amplifies through the
+        # dominant low-rank covariance term.
+        w = kinv @ kstar  # (n, m)
         if full_cov:
             kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
             cov = kqq - kstar.T @ w
