@@ -167,3 +167,35 @@ def test_band_chain_integration(tmp_path, rng, training_pickle_factory):
     lp = chain.log_posterior(design[:6])
     assert np.isfinite(lp).all()
     assert lp[truth_idx] == lp.max()
+
+
+def test_full_flag_combination_roundtrip(tmp_path, rng, training_pickle_factory):
+    """The works: PCSK + parameterTrafoPCA + logTrafo + exp_and_cov_diagonal,
+    with save/load and retrain-after-load."""
+    lo = np.zeros(20); hi = np.ones(20)
+    lo[15:19], hi[15:19] = 0.01, 0.3
+    lo[12:15], hi[12:15] = 0.01, 0.4
+    lo[2:5], hi[2:5] = 0.5, 3.0
+    design = lo + (hi - lo) * rng.uniform(size=(35, 20))
+    freqs = rng.uniform(0.3, 1.0, size=(20, 6))
+    base = np.exp(1.0 + 0.5 * np.sin(design @ freqs))
+    pkl = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 0.01 * np.abs(base)
+    )
+    parfile = tmp_path / "p.txt"
+    parfile.write_text(
+        "".join(f"p{i}: l, {lo[i]}, {hi[i]}\n" for i in range(20))
+    )
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCSK", logTrafo=True,
+                       parameterTrafoPCA=True, exp_and_cov_diagonal=True,
+                       gp_maxiter=20)
+    emu.trainEmulatorAutoMask()
+    mean, cov = emu.predict(design[:3])
+    assert (mean > 0).all()  # exponentiated back to physical scale
+    emu.save(tmp_path / "c.sav")
+    e2 = EmulatorBAND.load(tmp_path / "c.sav")
+    m2, _ = e2.predict(design[:3])
+    np.testing.assert_allclose(mean, m2, rtol=1e-10)
+    e2.trainEmulatorAutoMask()  # retrain-after-load with every flag active
+    m3 = e2.predict(design[:3], return_cov=False)
+    assert np.isfinite(m3).all()
