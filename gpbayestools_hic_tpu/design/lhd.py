@@ -135,7 +135,10 @@ def generate_lhs(
         "generating %s LHS: npoints=%d ndim=%d seed=%d",
         method, npoints, ndim, seed,
     )
+    default_niters = int(min(20000, 200 * npoints))
     suffix = "" if method == "maxpro" else f"_{method}"
+    if niters is not None and niters != default_niters:
+        suffix += f"_niters{niters}"
     cachefile = (
         Path(str(cachedir)) / "lhs" /
         f"npoints{npoints}_ndim{ndim}_seed{seed}{suffix}.npy"
@@ -145,7 +148,7 @@ def generate_lhs(
         return np.load(cachefile)
 
     if niters is None:
-        niters = int(min(20000, 200 * npoints))
+        niters = default_niters
     key = jax.random.PRNGKey(seed)
     k_init, k_anneal = jax.random.split(key)
     x0 = _random_lhs(k_init, npoints, ndim)

@@ -170,6 +170,26 @@ def gp_fit(
     theta_best = jnp.take_along_axis(thetas, best[:, None, None], axis=1)[:, 0, :]
     params = jax.vmap(lambda v: _unpack(v, d))(theta_best)
 
+    return finalize_gp_state(params, x, y_batch, config, noise_diag)
+
+
+def finalize_gp_state(
+    params: dict,
+    x: jnp.ndarray,
+    y_batch: jnp.ndarray,
+    config: GPConfig,
+    noise_diag: jnp.ndarray | None = None,
+) -> GPState:
+    """Build the trained-state arrays (Cholesky, K^-1 y, explicit K^-1, LML)
+    for a batch of GPs with known hyperparameters.
+
+    Shared by :func:`gp_fit` and the reference-emulator importer
+    (models/migrate.py), so the jitter-rescue and MXU-friendly K^-1
+    construction exist in exactly one place.
+    """
+    dtype = x.dtype
+    if noise_diag is None:
+        noise_diag = jnp.zeros_like(y_batch)
     chols, whitened = jax.vmap(
         lambda p, y, nd: _chol_and_white(p, x, y, config, nd)
     )(params, y_batch, noise_diag)

@@ -26,7 +26,7 @@ from ..config import working_dtype
 from ..ops.kernels import KernelConfig
 from ..ops.scalers import PCAState, StandardScalerState
 from .emulator import Emulator
-from .gp import GPConfig, GPState, _build_k
+from .gp import GPConfig, finalize_gp_state
 from .param_pca import ParamPCAGroup, ParamPCAState, default_groups
 
 logger = logging.getLogger(__name__)
@@ -137,37 +137,10 @@ def from_reference(source) -> Emulator:
         np.stack([np.asarray(gp.y_train_) for gp in ref.gps]), dtype=dtype
     )
     params = jax.tree.map(lambda *leaves: jnp.stack(leaves), *params_list)
-
-    def finalize_one(p, y):
-        k = _build_k(p, x_train, self.gp_config)
-        chol = jnp.linalg.cholesky(k)
-        white = jax.lax.linalg.triangular_solve(
-            chol, y[:, None], left_side=True, lower=True
-        )[:, 0]
-        alpha_vec = jax.lax.linalg.triangular_solve(
-            chol, white[:, None], left_side=True, lower=True, transpose_a=True
-        )[:, 0]
-        eye = jnp.eye(x_train.shape[0], dtype=dtype)
-        kinv = jax.lax.linalg.triangular_solve(
-            chol,
-            jax.lax.linalg.triangular_solve(chol, eye, left_side=True, lower=True),
-            left_side=True, lower=True, transpose_a=True,
-        )
-        n = x_train.shape[0]
-        lml = (
-            -0.5 * jnp.sum(white * white)
-            - jnp.sum(jnp.log(jnp.diagonal(chol)))
-            - 0.5 * n * jnp.log(2.0 * jnp.pi)
-        )
-        return chol, alpha_vec, kinv, lml
-
-    chols, alpha_vecs, kinvs, lmls = jax.vmap(finalize_one)(params, y_batch)
-    self.gp_state = GPState(
-        params=params, x=x_train, y=y_batch, chol=chols,
-        alpha_vec=alpha_vecs, kinv=kinvs, lml=lmls,
-    )
+    # shared finalization (incl. the jitter-rescue Cholesky) with gp_fit
+    self.gp_state = finalize_gp_state(params, x_train, y_batch, self.gp_config)
     logger.info("imported %d reference GPs (LML %s)", len(ref.gps),
-                np.asarray(lmls))
+                np.asarray(self.gp_state.lml))
 
     # --- transforms --------------------------------------------------------
     self.scaler = _scaler_state(ref.scaler, dtype)

@@ -192,7 +192,8 @@ def lbfgsb_minimize(
         num_corrs = jnp.where(retry, 0, num_corrs)
         gamma = jnp.where(retry, jnp.ones((), dtype), gamma)
 
-        done = ((~ok) & (~retry)) | (proj_grad_norm(x_new, g_new) < tol)
+        pg_converged = proj_grad_norm(x_new, g_new) < tol
+        done = ((~ok) & (~retry)) | pg_converged
         return _State(
             k=state.k + 1,
             x=x_new,
@@ -207,6 +208,13 @@ def lbfgsb_minimize(
         )
 
     final = lax.while_loop(cond, step, init)
+    # converged means the projected gradient met the tolerance -- NOT that
+    # the loop merely terminated (a terminal line-search failure also stops
+    # it, and maxiter exhaustion leaves done False)
+    converged = (
+        jnp.max(jnp.abs(final.x - jnp.clip(final.x - final.g, lower, upper)))
+        < tol
+    ) & jnp.isfinite(final.f)
     return LBFGSBResult(
-        x=final.x, fun=final.f, num_iters=final.k, converged=final.done
+        x=final.x, fun=final.f, num_iters=final.k, converged=converged
     )

@@ -34,7 +34,7 @@ import numpy as np
 
 from ..config import working_dtype
 from ..runtime import parse_model_parameter_file
-from ..ops.linalg import mvn_loglike_batch
+from ..ops.linalg import mvn_loglike_batch, mvn_loglike_diagcov_batch
 from ..ops.pallas_mvn import mvn_loglike_best
 from ..utils.io import load_exp_data_pickle
 from .ensemble import run_ensemble
@@ -214,11 +214,7 @@ class Chain:
             def block_ll(bs, x_safe):
                 mean, var = predict_diag(bs["emu"], x_safe)
                 y = mean - bs["exp_block"]
-                total_var = var + bs["exp_var_block"]
-                quad = jnp.sum(y * y / total_var, axis=1)
-                logdet_half = 0.5 * jnp.sum(jnp.log(total_var), axis=1)
-                lp = -0.5 * quad - logdet_half
-                return jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
+                return mvn_loglike_diagcov_batch(y, var + bs["exp_var_block"])
 
             return block_ll, bstate
 
@@ -304,18 +300,19 @@ class Chain:
         # overflows to -inf in float32 and would void the "flows cannot
         # digest -inf" contract on TPU; use the widest finite value the
         # working dtype can hold instead.
-        finite_floor = jnp.asarray(
+        # plain Python float: becomes a compile-time literal instead of a
+        # closure-captured device array (per-call re-upload penalty)
+        finite_floor = (
             -1e300
             if jnp.dtype(dtype) == jnp.float64
-            else float(jnp.finfo(dtype).min) / 2,
-            dtype=dtype,
+            else float(jnp.finfo(dtype).min) / 2
         )
 
         def log_likelihood(state, x, finite):
             inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)
             ll = loglike_core(state, x)
-            outside_val = finite_floor if finite else jnp.asarray(-jnp.inf, dtype=dtype)
-            return jnp.where(inside, ll, outside_val)
+            outside_val = finite_floor if finite else -jnp.inf
+            return jnp.where(inside, ll, jnp.asarray(outside_val, dtype=dtype))
 
         def log_prior(state, x):
             inside = jnp.all((x > state["lo"]) & (x < state["hi"]), axis=1)

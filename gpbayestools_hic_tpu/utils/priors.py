@@ -23,7 +23,7 @@ def _logpdf_factory(dist):
     name = dist.dist.name
     args = dist.args
     kwds = dist.kwds
-    # scipy frozen dists: loc/scale in kwds or positional args
+    # scipy frozen dists: shape/loc/scale may be positional or keyword
     def get(i, key, default):
         if key in kwds:
             return float(kwds[key])
@@ -48,7 +48,7 @@ def _logpdf_factory(dist):
 
         return logpdf
     if name == "truncnorm":
-        a, b = float(args[0]), float(args[1])
+        a, b = get(0, "a", None), get(1, "b", None)
         loc, scale = get(2, "loc", 0.0), get(3, "scale", 1.0)
         from scipy.stats import norm as _norm
 
@@ -65,7 +65,7 @@ def _logpdf_factory(dist):
 
         return logpdf
     if name in ("loguniform", "reciprocal"):
-        a, b = float(args[0]), float(args[1])
+        a, b = get(0, "a", None), get(1, "b", None)
         log_range = float(np.log(np.log(b) - np.log(a)))
 
         def logpdf(x):

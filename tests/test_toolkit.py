@@ -214,3 +214,31 @@ def test_save_metrics_csv(tmp_path):
     lines = path.read_text().strip().split("\n")
     assert lines[0] == "variant,observable,E,H"
     assert len(lines) == 5
+
+
+def test_scipy_prior_keyword_shape_params():
+    """Regression: scipy shape params passed as keywords must work."""
+    from scipy.stats import truncnorm, loguniform
+    import jax.numpy as jnp
+    from gpbayestools_hic_tpu.utils.priors import ScipyPrior
+
+    p = ScipyPrior([
+        truncnorm(a=-2, b=2, loc=0.5, scale=0.1),
+        loguniform(a=0.01, b=1.0),
+    ])
+    x = jnp.asarray([[0.5, 0.1], [0.45, 0.5]])
+    lp = np.asarray(p.log_prior_jax(x))
+    assert np.isfinite(lp).all()
+    # cross-check against scipy's own logpdf
+    ref = (truncnorm(a=-2, b=2, loc=0.5, scale=0.1).logpdf([0.5, 0.45])
+           + loguniform(a=0.01, b=1.0).logpdf([0.1, 0.5]))
+    np.testing.assert_allclose(lp, ref, rtol=1e-6)
+
+
+def test_lhs_cache_key_includes_niters(tmp_path, monkeypatch):
+    import gpbayestools_hic_tpu.runtime as rt
+    monkeypatch.setattr(rt, "workdir", tmp_path)
+    x1 = generate_lhs(10, 2, seed=5)
+    x2 = generate_lhs(10, 2, seed=5, niters=5000)
+    # different niters must not silently return the cached default design
+    assert not np.array_equal(x1, x2)
