@@ -37,10 +37,10 @@ class FlowConfig(NamedTuple):
     # the flow from collapsing probability mass onto the training points
     max_log_scale: float = 1.0
     weight_decay: float = 1e-2
-    # coupling transform: "affine" (RealNVP) or "rqs" (monotonic
-    # rational-quadratic splines, the neural-spline-flow family pocoMC's
-    # preconditioner uses; more expressive on non-Gaussian populations)
-    coupling: str = "affine"
+    # coupling transform: "rqs" (monotonic rational-quadratic splines, the
+    # neural-spline-flow family pocoMC's preconditioner defaults to; more
+    # expressive on non-Gaussian populations) or "affine" (RealNVP)
+    coupling: str = "rqs"
     rqs_bins: int = 8
     rqs_bound: float = 5.0  # spline support [-B, B]; identity tails outside
 

@@ -5,31 +5,55 @@ From-scratch rebuild of the capability the reference gets from pocoMC 1.2.6
 SMC sampler whose MCMC moves run in the latent space of a normalizing flow
 fit to the current particles.
 
-Algorithm (one jitted program per phase; host loop only for the
-data-dependent temperature schedule):
+Semantics follow pocoMC's persistent-sampling design (the reference's
+docstring at src/mcmc.py:755-780 documents the knobs):
 
-1. Draw ``n_prior`` particles from the prior; work in unbounded coordinates
-   ``u = logit((x - lo) / (hi - lo))`` so every particle maps to a valid
-   parameter point (this is why pocoMC needs the ``finite=True`` likelihood
-   contract -- flows cannot digest -inf; src/mcmc.py:196-198).
-2. Anneal ``beta`` 0 -> 1.  Each step: pick the next beta by bisection so
-   the effective sample size of the incremental weights
-   ``exp((beta' - beta) logl)`` equals ``n_effective``; systematic-resample
-   the population; fit the RealNVP preconditioner to an ``n_active``
-   subsample; run ``n_max_steps`` preconditioned Crank-Nicolson MCMC steps
-   in flow-latent space with step size adapted toward 0.234 acceptance.
-   ``sample="tpcn"`` runs the Student-t-preconditioned kernel: the latent
-   dof is max-likelihood-fit to the particles each iteration and the
-   proposal preserves t_nu(0, I) via its Gaussian scale-mixture conditional
-   (nu -> inf recovers plain pCN, ``sample="pcn"``).
-3. After beta = 1, keep running the pCN kernel and append decorrelated
-   population snapshots until ``n_total`` samples are collected.
-4. Evidence: the running SMC estimate ``sum log mean exp(dbeta * logl)``
-   plus, when ``n_evidence > 0``, an importance-sampling refinement with
-   flow draws (pocoMC's default); the IS weight variance gives the error.
+1.  Draw ``n_prior`` particles from the prior; work in unbounded coordinates
+    ``u = logit((x - lo) / (hi - lo))`` so every particle maps to a valid
+    parameter point (this is why pocoMC needs the ``finite=True`` likelihood
+    contract -- flows cannot digest -inf; src/mcmc.py:196-198).
+2.  Keep EVERY particle ever produced (persistent sampling).  A particle
+    born at inverse temperature ``beta_t`` is approximately distributed as
+    ``p_t = L^{beta_t} pi / Z_t``; its importance weight toward the target
+    ``L^beta pi`` uses the balance heuristic over the mixture of all past
+    iteration distributions:
+
+        log w_j(beta) = beta * logl_j
+                        - logsumexp_t[ log(n_t/N) + beta_t*logl_j - logZ_t ]
+
+    (the prior density cancels between target and every mixture component).
+3.  Anneal ``beta`` 0 -> 1: pick the next beta by bisection so the weight
+    ESS over the FULL history equals ``n_effective`` (an absolute count --
+    history growth is what makes ``n_effective > n_active`` attainable,
+    matching the reference's flagship ``n_effective=8000, n_active=4000``).
+    If the current history cannot support the target ESS, beta holds and the
+    iteration only accumulates particles (pocoMC behavior).
+4.  Each iteration resamples ``n_active`` ACTIVE particles from the weighted
+    history, fits the normalizing-flow preconditioner to them, and advances
+    them with t-preconditioned Crank-Nicolson MCMC.  The per-iteration step
+    count is ADAPTIVE: a ``lax.while_loop`` runs until the mean latent-space
+    correlation with the start positions falls below 0.75, capped at
+    ``n_max_steps`` (pocoMC adapts the same way with the same cap knob).
+    ``sample="tpcn"`` max-likelihood-fits the latent Student-t dof each
+    iteration (on device); ``"pcn"`` pins nu = inf; ``"rwm"`` is a plain
+    latent-space random-walk Metropolis kernel.
+5.  After beta = 1, iterations continue at beta = 1 until the history ESS
+    reaches ``n_total`` ("the total number of effectively independent
+    samples to be collected", reference docstring src/mcmc.py:768).
+6.  Evidence: the persistent-sampling estimate
+    ``Z_beta = (1/N) sum_j w_j(beta)`` plus, when ``n_evidence > 0``, an
+    importance-sampling refinement with flow draws (pocoMC's default); the
+    IS weight variance gives the error.
 
 Returns the reference's chain contract: ``samples (n, d), weights, logl,
-logp, logz, logz_err`` (src/mcmc.py:816-819).
+logp, logz, logz_err`` (src/mcmc.py:816-819) -- with REAL importance
+weights: downstream moments must use ``np.average(..., weights=weights)``.
+
+Host/device split: the MCMC phase is ONE device program per iteration (the
+adaptive loop lives inside ``lax.while_loop``; the latent dof fit is also
+on-device), so the only per-iteration host sync is pulling the n_active
+moved particles -- required anyway for the data-dependent beta bisection,
+which runs on the (small) host-side history arrays.
 """
 
 from __future__ import annotations
@@ -46,6 +70,10 @@ from jax import lax
 from .flows import FlowConfig, fit_flow, flow_forward, flow_inverse, init_flow
 
 logger = logging.getLogger(__name__)
+
+# stop the adaptive MCMC phase once the mean latent-space correlation with
+# the phase-start positions decays below this (pocoMC's mixing criterion)
+_CORR_STOP = 0.75
 
 
 # ---------------------------------------------------------------- transforms
@@ -72,7 +100,7 @@ def _to_bounded(u, lo, hi):
 
 @partial(jax.jit, static_argnums=(0, 1))
 def _eval_u(log_likelihood, log_prior_fn, state, u, lo, hi, log_prior_x):
-    """u-space particle evaluation: returns (x, logl, logp_u).
+    """u-space particle evaluation: returns (x, logl, logp_u, logp_x).
 
     ``logp_u`` is the prior density in u-coordinates:
     ``log p_x(x) + log|dx/du|``.  With no custom prior, log p_x is the
@@ -82,11 +110,11 @@ def _eval_u(log_likelihood, log_prior_fn, state, u, lo, hi, log_prior_x):
     x, logdet_xu = _to_bounded(u, lo, hi)
     logl = log_likelihood(state, x, True)
     if log_prior_fn is None:
-        logp_x = log_prior_x
+        logp_x = jnp.full(u.shape[:1], log_prior_x, dtype=u.dtype)
     else:
         logp_x = jnp.maximum(log_prior_fn(x), -1e30)
     logp_u = logp_x + logdet_xu
-    return x, logl, logp_u
+    return x, logl, logp_u, logp_x
 
 
 def _t_logpdf(z2: jnp.ndarray, nu: jnp.ndarray, d: int) -> jnp.ndarray:
@@ -95,10 +123,35 @@ def _t_logpdf(z2: jnp.ndarray, nu: jnp.ndarray, d: int) -> jnp.ndarray:
     return -0.5 * (nu + d) * jnp.log1p(z2 / nu)
 
 
-@partial(
-    jax.jit, static_argnums=(0, 1), static_argnames=("n_steps", "config")
-)
-def _pcn_rounds(
+_DOF_GRID = (3.0, 5.0, 8.0, 12.0, 20.0, 50.0, 1e6)
+
+
+@jax.jit
+def _estimate_dof(z: jnp.ndarray) -> jnp.ndarray:
+    """Max-likelihood dof of a standard multivariate-t over a small grid.
+
+    pocoMC fits the latent distribution's degrees of freedom each iteration;
+    a coarse grid picks between heavy tails and Gaussian (nu = 1e6 ~
+    Gaussian pCN).  Runs on device: no host round-trip of the latent batch.
+    """
+    from jax.scipy.special import gammaln
+
+    z2 = jnp.sum(z**2, axis=1)
+    d = z.shape[1]
+    grid = jnp.asarray(_DOF_GRID, dtype=z.dtype)
+
+    def ll(nu):
+        return (
+            gammaln((nu + d) / 2) - gammaln(nu / 2) - 0.5 * d * jnp.log(nu)
+            - 0.5 * (nu + d) * jnp.mean(jnp.log1p(z2 / nu))
+        )
+
+    lls = jax.vmap(ll)(grid)
+    return grid[jnp.argmax(lls)]
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("kernel", "config"))
+def _mcmc_adaptive(
     log_likelihood,
     log_prior_fn,
     state,
@@ -113,108 +166,154 @@ def _pcn_rounds(
     lo,
     hi,
     log_prior_x,
+    n_max_steps,
     *,
-    n_steps: int,
+    kernel: str,
     config: FlowConfig,
 ):
-    """n_steps of t-preconditioned Crank-Nicolson in flow-latent space.
+    """Adaptive-length MCMC phase in flow-latent space (one device program).
 
-    Target in z-space: pi(z) = beta*logl + logp_u + log|du/dz|.  The tPCN
-    proposal uses the Gaussian scale-mixture form of the multivariate-t
-    reference measure with ``nu`` degrees of freedom: draw the per-particle
-    scale from its conditional ``s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)``,
-    then ``z' = sqrt(1-rho^2) z + rho sqrt(s) xi`` -- this preserves
-    t_nu(0, I) exactly, so the MH ratio uses
-    ``L(z) = log pi(z) - log t_nu(z)`` (pocoMC's ``sample="tpcn"``
-    semantics; nu -> inf recovers Gaussian pCN).  Step size adapts toward
-    0.234 acceptance.  Returns (u, logl, logp_u, rho, accept_rate).
+    Target in z-space: pi(z) = beta*logl + logp_u + log|du/dz|.  Kernels:
+
+    - ``tpcn``/``pcn``: t-preconditioned Crank-Nicolson.  The proposal uses
+      the Gaussian scale-mixture form of the multivariate-t reference
+      measure with ``nu`` degrees of freedom: draw the per-particle scale
+      from its conditional ``s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)``,
+      then ``z' = sqrt(1-rho^2) z + rho sqrt(s) xi`` -- this preserves
+      t_nu(0, I) exactly, so the MH ratio uses
+      ``L(z) = log pi(z) - log t_nu(z)`` (pocoMC's ``sample="tpcn"``;
+      nu -> inf recovers Gaussian pCN, ``"pcn"``).
+    - ``rwm``: symmetric random walk ``z' = z + rho xi`` targeting pi(z)
+      directly (pocoMC's alternative kernel, src/mcmc.py:760-762).
+
+    The step count is data-dependent (``lax.while_loop``): steps continue
+    until the mean per-dimension Pearson correlation between the current and
+    phase-start latent positions drops below 0.75, capped at
+    ``n_max_steps``.  Step size adapts toward 0.234 acceptance each step.
+    Returns (u, logl, logp_u, logp_x, rho, steps_taken, mean_accept).
     """
     n, d = u.shape
     z0, logdet_zu = flow_forward(flow_params, u, config)
-    # log|du/dz| = -log|dz/du|
-    logdet_uz0 = -logdet_zu
+    logdet_uz0 = -logdet_zu  # log|du/dz| = -log|dz/du|
+    z0_mean = jnp.mean(z0, axis=0)
+    z0_sd = jnp.std(z0, axis=0) + 1e-12
 
     def lfun(logl_v, logp_u_v, logdet_uz_v, z):
+        base = beta * logl_v + logp_u_v + logdet_uz_v
+        if kernel == "rwm":
+            return base
         z2 = jnp.sum(z**2, axis=-1)
-        return (
-            beta * logl_v + logp_u_v + logdet_uz_v - _t_logpdf(z2, nu, d)
-        )
+        return base - _t_logpdf(z2, nu, d)
 
-    def step(carry, k):
-        z, logl_c, logp_c, logdet_c, rho, acc_sum = carry
-        k1, k2, k3 = jax.random.split(k, 3)
-        # s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)
-        z2 = jnp.sum(z**2, axis=-1)
-        g = jax.random.gamma(k3, 0.5 * (nu + d), (n,), z.dtype)
-        s = 0.5 * (nu + z2) / g
+    def corr_with_start(z):
+        zm = jnp.mean(z, axis=0)
+        zs = jnp.std(z, axis=0) + 1e-12
+        c = jnp.mean((z0 - z0_mean) * (z - zm), axis=0) / (z0_sd * zs)
+        return jnp.mean(jnp.abs(c))
+
+    def body(carry):
+        z, logl_c, logp_c, logdet_c, rho, key, i, _corr, acc_sum = carry
+        key, k1, k2, k3 = jax.random.split(key, 4)
         xi = jax.random.normal(k1, z.shape, z.dtype)
-        zp = jnp.sqrt(1.0 - rho**2) * z + rho * jnp.sqrt(s)[:, None] * xi
+        if kernel == "rwm":
+            zp = z + rho * xi
+        else:
+            # s | z ~ InvGamma((nu+d)/2, (nu+|z|^2)/2)
+            z2 = jnp.sum(z**2, axis=-1)
+            g = jax.random.gamma(k3, 0.5 * (nu + d), (n,), z.dtype)
+            s = 0.5 * (nu + z2) / g
+            zp = jnp.sqrt(1.0 - rho**2) * z + rho * jnp.sqrt(s)[:, None] * xi
         up, logdet_uzp = flow_inverse(flow_params, zp, config)
-        _, logl_p, logp_p = _eval_u(
+        _, logl_p, logp_p, _ = _eval_u(
             log_likelihood, log_prior_fn, state, up, lo, hi, log_prior_x
         )
-        l_cur = lfun(logl_c, logp_c, logdet_c, z)
-        l_prop = lfun(logl_p, logp_p, logdet_uzp, zp)
-        log_a = l_prop - l_cur
+        log_a = lfun(logl_p, logp_p, logdet_uzp, zp) - lfun(
+            logl_c, logp_c, logdet_c, z
+        )
         accept = jnp.log(jax.random.uniform(k2, (n,), z.dtype)) < log_a
         z = jnp.where(accept[:, None], zp, z)
         logl_c = jnp.where(accept, logl_p, logl_c)
         logp_c = jnp.where(accept, logp_p, logp_c)
         logdet_c = jnp.where(accept, logdet_uzp, logdet_c)
         rate = jnp.mean(accept.astype(z.dtype))
-        # Robbins-Monro toward 0.234 in logit space
+        # Robbins-Monro toward 0.234 in log space
         rho = jnp.clip(rho * jnp.exp(0.5 * (rate - 0.234)), 1e-4, 0.99)
-        return (z, logl_c, logp_c, logdet_c, rho, acc_sum + rate), None
+        return (
+            z, logl_c, logp_c, logdet_c, rho, key,
+            i + 1, corr_with_start(z), acc_sum + rate,
+        )
 
-    keys = jax.random.split(key, n_steps)
-    (z, logl, logp_u, logdet_uz, rho, acc_sum), _ = lax.scan(
-        step, (z0, logl, logp_u, logdet_uz0, rho, 0.0), keys
+    def cond(carry):
+        i, corr = carry[6], carry[7]
+        return (i < n_max_steps) & ((corr > _CORR_STOP) | (i < 2))
+
+    one = jnp.asarray(1.0, u.dtype)
+    init = (z0, logl, logp_u, logdet_uz0, rho, key,
+            jnp.asarray(0, jnp.int32), one, jnp.asarray(0.0, u.dtype))
+    z, logl, logp_u, logdet_uz, rho, _, steps, _, acc_sum = lax.while_loop(
+        cond, body, init
     )
     u, _ = flow_inverse(flow_params, z, config)
-    return u, logl, logp_u, rho, acc_sum / n_steps
+    _, logdet_xu = _to_bounded(u, lo, hi)
+    logp_x = logp_u - logdet_xu
+    steps_f = jnp.maximum(steps.astype(u.dtype), 1.0)
+    return u, logl, logp_u, logp_x, rho, steps, acc_sum / steps_f
 
 
-def _estimate_dof(z: np.ndarray, grid=(3.0, 5.0, 8.0, 12.0, 20.0, 50.0, 1e6)):
-    """Max-likelihood dof of a standard multivariate-t over a small grid.
+# --------------------------------------------- persistent-sampling weights
 
-    pocoMC fits the latent distribution's degrees of freedom each iteration;
-    a coarse grid is enough to pick between heavy tails and Gaussian
-    (nu = 1e6 ~ Gaussian pCN).
+
+def _log_weights(logl_h, betas, logzs, counts, beta):
+    """Balance-heuristic log-weights of every history particle at ``beta``.
+
+    ``logl_h (N,)``: history log-likelihoods; ``betas/logzs/counts (T,)``:
+    per-iteration inverse temperature, evidence estimate, particle count.
+    The prior density cancels between the target and every mixture
+    component (see module docstring).
     """
-    from scipy.special import gammaln
+    logl_h = np.nan_to_num(np.asarray(logl_h, dtype=np.float64), neginf=-1e300)
+    betas = np.asarray(betas, dtype=np.float64)
+    logzs = np.asarray(logzs, dtype=np.float64)
+    counts = np.asarray(counts, dtype=np.float64)
+    n_total = counts.sum()
+    # (N, T): log[(n_t/N) * exp(beta_t * logl_j - logZ_t)]
+    comp = (
+        logl_h[:, None] * betas[None, :]
+        - logzs[None, :]
+        + np.log(counts / n_total)[None, :]
+    )
+    m = comp.max(axis=1)
+    log_mix = m + np.log(np.sum(np.exp(comp - m[:, None]), axis=1))
+    return beta * logl_h - log_mix
 
-    z2 = np.sum(np.asarray(z, dtype=np.float64) ** 2, axis=1)
-    d = z.shape[1]
-    best_nu, best_ll = grid[-1], -np.inf
-    for nu in grid:
-        ll = (
-            gammaln((nu + d) / 2) - gammaln(nu / 2) - 0.5 * d * np.log(nu)
-            - 0.5 * (nu + d) * np.mean(np.log1p(z2 / nu))
-        )
-        if ll > best_ll:
-            best_nu, best_ll = nu, ll
-    return best_nu
 
-
-def _ess_fraction(log_w):
+def _ess(log_w):
     log_w = log_w - np.max(log_w)
     w = np.exp(log_w)
-    return (w.sum() ** 2) / (np.sum(w**2) * len(w))
+    return (w.sum() ** 2) / np.sum(w**2)
 
 
-def _next_beta(logl, beta, target_ess_frac):
-    """Bisect beta' in (beta, 1] so incremental-weight ESS hits the target."""
-    logl = np.nan_to_num(np.asarray(logl, dtype=np.float64), neginf=-1e300)
-    if _ess_fraction((1.0 - beta) * logl) >= target_ess_frac:
+def _next_beta(logl_h, betas, logzs, counts, beta, n_effective):
+    """Largest beta' in [beta, 1] whose history-weight ESS >= n_effective.
+
+    Returns ``beta`` unchanged when even the current temperature cannot
+    support the target ESS -- the iteration then only accumulates particles
+    (persistent-sampling behavior)."""
+    def ess_at(b):
+        return _ess(_log_weights(logl_h, betas, logzs, counts, b))
+
+    if ess_at(beta) < n_effective:
+        return beta
+    if ess_at(1.0) >= n_effective:
         return 1.0
     lo_b, hi_b = beta, 1.0
     for _ in range(60):
         mid = 0.5 * (lo_b + hi_b)
-        if _ess_fraction((mid - beta) * logl) >= target_ess_frac:
+        if ess_at(mid) >= n_effective:
             lo_b = mid
         else:
             hi_b = mid
-    return max(lo_b, beta + 1e-6)
+    return lo_b
 
 
 def _systematic_resample(rng, log_w, n):
@@ -245,6 +344,7 @@ def run_smc(
     custom_prior=None,
     flow_config: FlowConfig = FlowConfig(),
     flow_fit_steps: int = 300,
+    max_iterations: int = 400,
 ) -> dict:
     """Run the preconditioned SMC sampler; see module docstring.
 
@@ -257,12 +357,18 @@ def run_smc(
     the evidence weights.  Objects with only a numpy ``logpdf`` (e.g.
     pocomc.Prior) cannot be traced into the device programs -- they are
     rejected rather than silently sampling under the wrong prior.
+
+    Returns weighted posterior samples (ALL persistent-sampling particles;
+    use ``weights`` for any expectation) once the beta=1 history ESS reaches
+    ``n_total``.
     """
     if sample not in ("pcn", "tpcn", "rwm"):
         raise ValueError(f"unknown sample kernel: {sample}")
-    if sample == "rwm":
-        logger.warning("rwm kernel not implemented natively; using pcn")
-    nu = 1e6  # until the first flow fit
+    if n_active > n_effective:
+        raise ValueError(
+            f"n_active ({n_active}) must not exceed n_effective "
+            f"({n_effective}) (reference contract, src/mcmc.py:757-758)"
+        )
 
     state = likelihood_state if likelihood_state is not None else ()
     ll_fn = log_likelihood
@@ -274,15 +380,9 @@ def run_smc(
         -np.sum(np.log(np.asarray(prior_hi) - np.asarray(prior_lo))), dtype=dtype
     )
 
-    # population size: keep n_prior particles throughout so the ESS target
-    # n_effective (<= n_prior by pocoMC's own default construction) is
-    # attainable on the live population
-    n_pop = max(n_prior, 2 * n_active)
-    target_ess_frac = min(n_effective / n_pop, 0.95)
-
     logger.info(
-        "SMC: %d particles, ESS target %d (%.2f), kernel %s",
-        n_pop, n_effective, target_ess_frac, sample,
+        "SMC (persistent sampling): n_prior=%d, n_active=%d, ESS target %d, "
+        "kernel %s", n_prior, n_active, n_effective, sample,
     )
 
     log_prior_fn = None
@@ -295,103 +395,156 @@ def run_smc(
                 "programs and would silently be replaced by the uniform box"
             )
         log_prior_fn = custom_prior.log_prior_jax
-        x0 = np.asarray(custom_prior.rvs(n_pop))
+        x0 = np.asarray(custom_prior.rvs(n_prior))
         x0 = np.clip(
             x0,
             np.asarray(prior_lo) + 1e-9,
             np.asarray(prior_hi) - 1e-9,
         )
     else:
-        x0 = rng.uniform(np.asarray(prior_lo), np.asarray(prior_hi), (n_pop, ndim))
-    u = _to_unbounded(jnp.asarray(x0, dtype=dtype), prior_lo, prior_hi)
-    _, logl, logp_u = _eval_u(
-        ll_fn, log_prior_fn, state, u, prior_lo, prior_hi, log_prior_x
+        x0 = rng.uniform(np.asarray(prior_lo), np.asarray(prior_hi), (n_prior, ndim))
+    u0 = _to_unbounded(jnp.asarray(x0, dtype=dtype), prior_lo, prior_hi)
+    _, logl0, _, logp_x0 = _eval_u(
+        ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
     )
+
+    # persistent history (host side; the per-iteration MCMC phase is one
+    # device program over the n_active particles)
+    u_h = [np.asarray(u0, dtype=np.float64)]
+    logl_h = [np.asarray(logl0, dtype=np.float64)]
+    logp_h = [np.asarray(logp_x0, dtype=np.float64)]
+    betas, logzs, counts = [0.0], [0.0], [n_prior]
 
     key, k_flow = jax.random.split(key)
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
     rho = jnp.asarray(0.5, dtype)
+    nu_dev = jnp.asarray(1e6, dtype)
+    cap = jnp.asarray(n_max_steps, jnp.int32)
 
     beta = 0.0
-    logz_smc = 0.0
     iteration = 0
-    while beta < 1.0:
-        iteration += 1
-        beta_new = _next_beta(logl, beta, target_ess_frac)
-        log_w = (beta_new - beta) * np.nan_to_num(
-            np.asarray(logl, dtype=np.float64), neginf=-1e300
-        )
-        # running SMC evidence: log mean exp of incremental weights
-        m = log_w.max()
-        logz_smc += m + np.log(np.mean(np.exp(log_w - m)))
-        idx = _systematic_resample(rng, log_w, n_pop)
-        u = u[idx]
-        logl = logl[idx]
-        logp_u = logp_u[idx]
-        beta = beta_new
+    total_steps = 0
 
-        # fit the preconditioner on an n_active subsample
-        sub = rng.choice(n_pop, size=min(n_active, n_pop), replace=False)
+    def history():
+        return np.concatenate(logl_h), np.concatenate(u_h)
+
+    def logz_at(b, hl):
+        lw = _log_weights(hl, betas, logzs, counts, b)
+        m = lw.max()
+        return m + np.log(np.mean(np.exp(lw - m)))
+
+    def run_iteration(beta_target):
+        """Resample n_active from history, precondition, MCMC-move, append."""
+        nonlocal flow_params, rho, nu_dev, key, total_steps
+        hl, hu = history()
+        lw = _log_weights(hl, betas, logzs, counts, beta_target)
+        idx = _systematic_resample(rng, lw, n_active)
+        u_act = jnp.asarray(hu[idx], dtype=dtype)
+        logl_act = jnp.asarray(hl[idx], dtype=dtype)
+        _, logdet_xu = _to_bounded(u_act, prior_lo, prior_hi)
+        logp_x_act = jnp.asarray(
+            np.concatenate(logp_h)[idx], dtype=dtype
+        )
+        logp_u_act = logp_x_act + logdet_xu
+
         key, k_fit, k_mcmc = jax.random.split(key, 3)
         flow_params, flow_loss = fit_flow(
-            flow_params, u[sub], jnp.ones(len(sub), dtype), k_fit,
+            flow_params, u_act, jnp.ones(n_active, dtype), k_fit,
             config=flow_config, steps=flow_fit_steps,
         )
-        # t-preconditioning: fit the latent dof each iteration (tpcn);
-        # nu = 1e6 is numerically Gaussian pCN
         if sample == "tpcn":
-            z_cur, _ = flow_forward(flow_params, u, flow_config)
-            nu = _estimate_dof(np.asarray(z_cur))
+            z_act, _ = flow_forward(flow_params, u_act, flow_config)
+            nu_dev = _estimate_dof(z_act)  # device scalar, no host pull
         else:
-            nu = 1e6
-        u, logl, logp_u, rho, acc = _pcn_rounds(
-            ll_fn, log_prior_fn, state, flow_params, u, logl, logp_u,
-            jnp.asarray(beta, dtype), rho, jnp.asarray(nu, dtype), k_mcmc,
-            prior_lo, prior_hi,
-            log_prior_x, n_steps=n_max_steps, config=flow_config,
+            nu_dev = jnp.asarray(1e6, dtype)
+        u_new, logl_new, _, logp_x_new, rho, steps, acc = _mcmc_adaptive(
+            ll_fn, log_prior_fn, state, flow_params, u_act, logl_act,
+            logp_u_act, jnp.asarray(beta_target, dtype), rho, nu_dev, k_mcmc,
+            prior_lo, prior_hi, log_prior_x, cap,
+            kernel=("rwm" if sample == "rwm" else "tpcn"), config=flow_config,
         )
+        u_h.append(np.asarray(u_new, dtype=np.float64))
+        logl_h.append(np.asarray(logl_new, dtype=np.float64))
+        logp_h.append(np.asarray(logp_x_new, dtype=np.float64))
+        total_steps += int(steps)
+        return int(steps), float(acc), float(flow_loss)
+
+    # ----------------------------------------------------- annealing phase
+    while beta < 1.0 and iteration < max_iterations:
+        iteration += 1
+        hl, _ = history()
+        beta_new = _next_beta(hl, betas, logzs, counts, beta, n_effective)
+        logz_new = logz_at(beta_new, hl)
+        steps, acc, flow_loss = run_iteration(beta_new)
+        betas.append(beta_new)
+        logzs.append(logz_new)
+        counts.append(n_active)
+        beta = beta_new
         logger.info(
-            "SMC iter %d: beta=%.4f, accept=%.3f, rho=%.3f, nu=%g, "
-            "flow loss=%.2f, logz=%.3f", iteration, beta, float(acc),
-            float(rho), nu, float(flow_loss), logz_smc,
+            "SMC iter %d: beta=%.4f, steps=%d, accept=%.3f, rho=%.3f, "
+            "flow loss=%.2f, logz=%.3f", iteration, beta, steps, acc,
+            float(rho), flow_loss, logz_new,
         )
-        if iteration > 200:
-            logger.warning("SMC: beta schedule did not converge in 200 steps")
-            break
+    if beta < 1.0:
+        logger.warning(
+            "SMC: beta schedule did not converge in %d iterations", max_iterations
+        )
 
     # ------------------------------------------------- posterior collection
-    xs, logls, logps = [], [], []
-
-    def snapshot():
-        x, logdet = _to_bounded(u, prior_lo, prior_hi)
-        xs.append(np.asarray(x))
-        logls.append(np.asarray(logl))
-        # logp in x-space (pocoMC reports prior log-density of samples)
-        logps.append(np.asarray(logp_u - logdet))
-
-    snapshot()
-    while sum(len(a) for a in xs) < n_total:
-        key, k_mcmc = jax.random.split(key)
-        u, logl, logp_u, rho, acc = _pcn_rounds(
-            ll_fn, log_prior_fn, state, flow_params, u, logl, logp_u,
-            jnp.asarray(1.0, dtype), rho,
-            jnp.asarray(nu if sample == "tpcn" else 1e6, dtype), k_mcmc,
-            prior_lo, prior_hi,
-            log_prior_x, n_steps=max(n_max_steps // 4, 5), config=flow_config,
+    # keep iterating at beta = 1 until the history ESS reaches n_total
+    while iteration < max_iterations:
+        hl, _ = history()
+        lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
+        ess1 = _ess(lw1)
+        if ess1 >= n_total:
+            break
+        iteration += 1
+        logz1 = logz_at(1.0, hl)
+        steps, acc, _ = run_iteration(1.0)
+        betas.append(1.0)
+        logzs.append(logz1)
+        counts.append(n_active)
+        logger.info(
+            "SMC posterior iter %d: ESS %.0f / %d, steps=%d, accept=%.3f",
+            iteration, ess1, n_total, steps, acc,
         )
-        snapshot()
-    samples = np.concatenate(xs)[:n_total]
-    logl_out = np.concatenate(logls)[:n_total]
-    logp_out = np.concatenate(logps)[:n_total]
-    weights = np.full(n_total, 1.0 / n_total)
+
+    hl, hu = history()
+    hp = np.concatenate(logp_h)
+    lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
+    logz_ps = logz_at(1.0, hl)
+    w = np.exp(lw1 - lw1.max())
+    weights = w / w.sum()
+    ess_final = _ess(lw1)
+    x_all = np.asarray(
+        _to_bounded(jnp.asarray(hu, dtype=dtype), prior_lo, prior_hi)[0],
+        dtype=np.float64,
+    )
+    logger.info(
+        "SMC done: %d iterations, %d MCMC steps, %d particles, ESS %.0f",
+        iteration, total_steps, len(hl), ess_final,
+    )
 
     # ------------------------------------------------------------- evidence
-    logz, logz_err = logz_smc, np.nan
+    logz, logz_err = logz_ps, float(
+        np.sqrt(max(np.sum(weights**2) - 1.0 / len(weights), 0.0))
+    )
     if n_evidence and n_evidence > 0:
+        # refit the flow on a large weighted resample of the FULL history so
+        # the IS proposal matches the posterior better than the last
+        # n_active-particle fit (tighter weight variance -> tighter logz)
+        n_fit = min(len(hl), max(4 * n_active, 1000))
+        fit_idx = _systematic_resample(rng, lw1, n_fit)
+        key, k_refit = jax.random.split(key)
+        flow_params, _ = fit_flow(
+            flow_params, jnp.asarray(hu[fit_idx], dtype=dtype),
+            jnp.ones(n_fit, dtype), k_refit,
+            config=flow_config, steps=flow_fit_steps,
+        )
         key, k_ev = jax.random.split(key)
         z = jax.random.normal(k_ev, (n_evidence, ndim), dtype)
         u_ev, logdet_uz = flow_inverse(flow_params, z, flow_config)
-        x_ev, logl_ev, logp_u_ev = _eval_u(
+        x_ev, logl_ev, logp_u_ev, _ = _eval_u(
             ll_fn, log_prior_fn, state, u_ev, prior_lo, prior_hi, log_prior_x
         )
         # q(u) = N(z) / |du/dz|  =>  log q = logN(z) - logdet_uz
@@ -404,21 +557,23 @@ def run_smc(
         # contribute zero mass; they must not poison the estimate
         log_w_ev = np.where(np.isfinite(log_w_ev), log_w_ev, -np.inf)
         if np.all(~np.isfinite(log_w_ev)):
-            logger.warning("evidence IS: no finite weights; keeping SMC estimate")
+            logger.warning("evidence IS: no finite weights; keeping PS estimate")
         else:
             m = log_w_ev.max()
-            w = np.exp(log_w_ev - m)
-            logz = m + np.log(np.mean(w))
+            wv = np.exp(log_w_ev - m)
+            logz = m + np.log(np.mean(wv))
             logz_err = float(
-                np.std(w) / (np.mean(w) * np.sqrt(n_evidence))
+                np.std(wv) / (np.mean(wv) * np.sqrt(n_evidence))
             )
 
     return {
-        "samples": samples,
+        "samples": x_all,
         "weights": weights,
-        "logl": logl_out,
-        "logp": logp_out,
+        "logl": hl,
+        "logp": hp,
         "logz": float(logz),
         "logz_err": float(logz_err),
         "beta_iterations": iteration,
+        "ess": float(ess_final),
+        "total_mcmc_steps": total_steps,
     }

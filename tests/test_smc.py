@@ -59,6 +59,9 @@ def test_smc_gaussian_posterior_and_evidence():
     With prior U([0,1]^2) and likelihood N(x; mu, s^2 I) well inside the box,
     Z = integral = ~1 * (2 pi s^2)^-0 ... here logl is a proper normalized
     Gaussian log-density, so Z ~= 1 and log Z ~= 0 (edge effects tiny).
+
+    The persistent-sampling posterior is WEIGHTED (pocoMC contract): the
+    nonuniform importance weights must integrate to the correct moments.
     """
     mu = jnp.asarray([0.4, 0.6])
     s = 0.05
@@ -77,16 +80,26 @@ def test_smc_gaussian_posterior_and_evidence():
         n_max_steps=30, n_total=3000, n_evidence=2000, seed=1,
         flow_config=CFG, flow_fit_steps=200,
     )
-    samples = result["samples"]
-    assert samples.shape == (3000, 2)
-    np.testing.assert_allclose(samples.mean(axis=0), mu, atol=0.02)
-    np.testing.assert_allclose(samples.std(axis=0), s, rtol=0.2)
+    samples, w = result["samples"], result["weights"]
+    assert samples.shape[1] == 2
+    assert samples.shape[0] == w.shape[0] == result["logl"].shape[0]
+    # real (nonuniform) importance weights, normalized, with ESS >= n_total
+    np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-10)
+    assert w.std() > 0.0
+    assert result["ess"] >= 3000
+    mean_w = np.average(samples, axis=0, weights=w)
+    std_w = np.sqrt(np.average((samples - mean_w) ** 2, axis=0, weights=w))
+    np.testing.assert_allclose(mean_w, mu, atol=0.02)
+    np.testing.assert_allclose(std_w, s, rtol=0.2)
     # prior volume is 1 and the likelihood is normalized: log Z ~ 0
     assert abs(result["logz"]) < 0.1, result["logz"]
     assert result["logz_err"] < 0.1
     assert np.isfinite(result["logl"]).all()
     # logp of in-box samples = -log(volume) = 0
     np.testing.assert_allclose(result["logp"], 0.0, atol=1e-5)
+    # the adaptive MCMC phase must use fewer evaluations than the old
+    # fixed-length schedule (cap * iterations)
+    assert result["total_mcmc_steps"] < 30 * result["beta_iterations"]
 
 
 def test_smc_bimodal_recovers_both_modes():
@@ -106,8 +119,8 @@ def test_smc_bimodal_recovers_both_modes():
         n_max_steps=30, n_total=4000, n_evidence=0, seed=3,
         flow_config=CFG, flow_fit_steps=200,
     )
-    samples = result["samples"]
-    frac_mode1 = np.mean(samples[:, 0] < 0.5)
+    samples, w = result["samples"], result["weights"]
+    frac_mode1 = np.sum(w * (samples[:, 0] < 0.5))
     assert 0.2 < frac_mode1 < 0.8, frac_mode1
 
 
@@ -149,7 +162,11 @@ def test_chain_run_pocomc(tmp_path, rng, training_pickle_factory):
         data = pickle.load(f)
     for k in ("chain", "weights", "logl", "logp", "logz", "logz_err"):
         assert k in data
-    assert data["chain"].shape == (2000, 2)
+    # persistent sampling: the run terminates once the weight ESS reaches
+    # n_total, so at least that many (weighted) samples come back
+    assert data["chain"].shape[0] >= 2000 and data["chain"].shape[1] == 2
+    assert data["weights"].shape == (data["chain"].shape[0],)
+    assert data["weights"].std() > 0.0  # real importance weights, not 1/n
     post_mean = np.average(data["chain"], axis=0, weights=data["weights"])
     assert np.all(np.abs(post_mean - truth) < 0.2), post_mean
     assert np.isfinite(data["logz"])
@@ -226,7 +243,8 @@ def test_smc_with_rqs_preconditioner():
         n_max_steps=25, n_total=2000, n_evidence=1000, seed=2,
         flow_config=RQS_CFG, flow_fit_steps=200,
     )
-    np.testing.assert_allclose(result["samples"].mean(axis=0), mu, atol=0.02)
+    mean_w = np.average(result["samples"], axis=0, weights=result["weights"])
+    np.testing.assert_allclose(mean_w, mu, atol=0.02)
     assert abs(result["logz"]) < 0.15, result["logz"]
 
 
@@ -253,14 +271,47 @@ def test_smc_custom_scipy_prior():
         n_max_steps=25, n_total=3000, n_evidence=0, seed=4,
         flow_config=CFG, flow_fit_steps=200, custom_prior=prior,
     )
-    samples = result["samples"]
+    samples, w = result["samples"], result["weights"]
     # posterior mean on dim 0 pulled toward the prior: analytic product of
     # normals: mean = (0.5/s^2 + 0.3/0.05^2)/(1/s^2 + 1/0.05^2)
     expected0 = (0.5 / s**2 + 0.3 / 0.05**2) / (1 / s**2 + 1 / 0.05**2)
-    np.testing.assert_allclose(samples[:, 0].mean(), expected0, atol=0.02)
-    np.testing.assert_allclose(samples[:, 1].mean(), 0.5, atol=0.02)
+    np.testing.assert_allclose(np.average(samples[:, 0], weights=w), expected0, atol=0.02)
+    np.testing.assert_allclose(np.average(samples[:, 1], weights=w), 0.5, atol=0.02)
     # logp reflects the custom prior, not the uniform box
     assert result["logp"].std() > 0.1
+
+
+def test_smc_rwm_kernel():
+    """The random-walk-Metropolis kernel (pocoMC's alternative to tpcn,
+    src/mcmc.py:760-762) is a real sampler, not a silent pcn fallback."""
+    mu = jnp.asarray([0.35, 0.65])
+    s = 0.06
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+
+    result = run_smc(
+        logl, jnp.zeros(2), jnp.ones(2), sample="rwm",
+        n_effective=400, n_active=200, n_prior=800,
+        n_max_steps=30, n_total=2000, n_evidence=0, seed=5,
+        flow_config=CFG, flow_fit_steps=200,
+    )
+    mean_w = np.average(result["samples"], axis=0, weights=result["weights"])
+    np.testing.assert_allclose(mean_w, mu, atol=0.03)
+
+
+def test_smc_rejects_n_active_above_n_effective():
+    def logl(state, x, finite):
+        return -jnp.sum(x**2, axis=1)
+
+    with pytest.raises(ValueError, match="n_active"):
+        run_smc(
+            logl, jnp.zeros(2), jnp.ones(2),
+            n_effective=100, n_active=200, n_prior=400, n_total=100,
+            n_evidence=0, flow_config=CFG,
+        )
 
 
 def test_smc_rejects_numpy_only_prior():
