@@ -247,22 +247,25 @@ class Chain:
             return make_cholesky_block(e, i0, i1)
 
         mode = getattr(self, "likelihood_mode", "auto")
-        if mode not in ("auto", "generic"):
+        if mode not in ("auto", "generic", "stitched"):
             raise ValueError(
                 f"unknown likelihood_mode {mode!r}: use 'auto' (Woodbury/"
-                "diagonal fast paths) or 'generic' (per-block Cholesky)"
+                "diagonal fast paths), 'generic' (per-block Cholesky), or "
+                "'stitched' (full dense-covariance Cholesky, the reference's "
+                "src/mcmc.py:214 shape)"
             )
+        use_stitched = (not exp_cov_is_diagonal) or mode == "stitched"
         block_fns: list = []
         block_states: list = []
-        if exp_cov_is_diagonal:
+        if use_stitched:
+            for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
+                block_states.append({"emu": e.predict_state})
+        else:
             maker = pick_block if mode == "auto" else make_cholesky_block
             for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
                 fn, bs = maker(e, i0, i1)
                 block_fns.append(fn)
                 block_states.append(bs)
-        else:
-            for e, i0, i1 in zip(emus, offsets[:-1], offsets[1:]):
-                block_states.append({"emu": e.predict_state})
 
         self._like_state = {
             "lo": lo,
@@ -293,7 +296,7 @@ class Chain:
         # clamping keeps extreme proposals (e.g. SMC latent-space excursions)
         # numerically safe inside the emulator.
         loglike_core = (
-            loglike_core_blocked if exp_cov_is_diagonal else loglike_core_stitched
+            loglike_core_stitched if use_stitched else loglike_core_blocked
         )
 
         # The reference's finite floor is -1e300 (src/mcmc.py:196-198), which
@@ -421,6 +424,8 @@ class Chain:
             nburn0 = nburnsteps // 2
             key, k1, k2, k3 = jax.random.split(key, 4)
             x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
+            if not skip_initial_state_check:
+                self._check_initial_state(log_post, like_state, x0)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
             res = self._run_segments(
                 log_post, like_state, x0, nburn0, k1, status, move
@@ -447,6 +452,8 @@ class Chain:
         else:
             logger.info("restarting from last point of existing chain")
             x0 = jnp.asarray(chain_data["chain"][:, -1, :], dtype=dtype)
+            if not skip_initial_state_check:
+                self._check_initial_state(log_post, like_state, x0)
             key, prod_key = jax.random.split(key)
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
@@ -467,6 +474,31 @@ class Chain:
         with open(self.mcmc_path, "wb") as f:
             pickle.dump(chain_data, f)
         return res
+
+    def _check_initial_state(self, log_post, like_state, x0):
+        """emcee's initial-state check (skipped via
+        ``skip_initial_state_check=True``, same kwarg as emcee): every
+        starting walker must have a finite log-posterior, and the ensemble
+        must be linearly independent (a degenerate ensemble breaks the
+        stretch move's affine invariance)."""
+        lp0 = np.asarray(log_post(like_state, x0))
+        n_bad = int(np.sum(~np.isfinite(lp0)))
+        if n_bad:
+            raise ValueError(
+                f"{n_bad} of {len(lp0)} initial walkers have non-finite "
+                "log-posterior; fix the starting state or pass "
+                "skip_initial_state_check=True"
+            )
+        x_np = np.asarray(x0, dtype=np.float64)
+        centered = x_np - x_np.mean(axis=0)
+        rank = np.linalg.matrix_rank(centered)
+        if rank < min(self.ndim, x_np.shape[0] - 1):
+            raise ValueError(
+                "initial walker ensemble is linearly dependent (rank "
+                f"{rank} < {min(self.ndim, x_np.shape[0] - 1)}); the stretch "
+                "move cannot explore the full space from it; pass "
+                "skip_initial_state_check=True to bypass"
+            )
 
     @staticmethod
     def _log_acceptance(res):

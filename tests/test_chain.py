@@ -150,6 +150,98 @@ def test_chain_rescoring(chain_setup, tmp_path):
     np.testing.assert_allclose(ll, direct, rtol=1e-10)
 
 
+def _rebuild_with_mode(chain, mode):
+    chain.likelihood_mode = mode
+    chain._device_fns = None
+    return chain
+
+
+def test_likelihood_mode_generic_matches_auto(chain_setup, rng):
+    """'generic' (per-block dense Cholesky via mvn_loglike_best) must equal
+    'auto' (Woodbury fast path) exactly -- same math, different factorization
+    (reference kernel: src/mcmc.py:23-65)."""
+    chain, _, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(8, 3))
+    lp_auto = chain.log_posterior(X)
+    lp_generic = _rebuild_with_mode(chain, "generic").log_posterior(X)
+    np.testing.assert_allclose(lp_generic, lp_auto, rtol=1e-8)
+
+
+def test_likelihood_mode_stitched_matches_auto(chain_setup, rng):
+    """'stitched' (full (nobs, nobs) covariance Cholesky, the reference's
+    src/mcmc.py:214 shape) must equal the block-factorized path when the
+    experimental covariance is diagonal (off-diagonals zero)."""
+    chain, _, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(8, 3))
+    lp_auto = chain.log_posterior(X)
+    lp_stitched = _rebuild_with_mode(chain, "stitched").log_posterior(X)
+    np.testing.assert_allclose(lp_stitched, lp_auto, rtol=1e-8)
+
+
+def test_dense_expdata_cov_matches_manual(chain_setup, rng):
+    """A DENSE experimental covariance (off-diagonal correlations) must take
+    the stitched path automatically and match a hand-built scipy Cholesky
+    likelihood (reference accepts dense blocks at src/mcmc.py:214)."""
+    from scipy import linalg as sla
+
+    chain, _, _ = chain_setup
+    nobs = chain.nobs
+    # correlate neighboring observables ACROSS the emulator-block boundary
+    dense = np.array(chain.expdata_cov, dtype=np.float64)
+    sd = np.sqrt(np.diag(dense))
+    for i in range(nobs - 1):
+        c = 0.3 * sd[i] * sd[i + 1]
+        dense[i, i + 1] = dense[i + 1, i] = c
+    np.linalg.cholesky(dense)  # stays PD
+    chain.expdata_cov = dense
+    chain._device_fns = None
+
+    X = rng.uniform(0.2, 0.8, size=(5, 3))
+    got = chain.log_posterior(X)
+    mean, cov = chain._predict(X)
+    expected = np.empty(5)
+    for i in range(5):
+        c = cov[i] + dense
+        y = mean[i] - chain.expdata.flatten()
+        L = np.linalg.cholesky(c)
+        alpha = sla.cho_solve((L, True), y)
+        expected[i] = -0.5 * y @ alpha - np.log(np.diag(L)).sum() + 2 * np.log(1e-16)
+    np.testing.assert_allclose(got, expected, rtol=1e-8)
+    # and it must DIFFER from the diagonal-covariance posterior
+    chain.expdata_cov = np.diag(np.diag(dense))
+    chain._device_fns = None
+    lp_diag = chain.log_posterior(X)
+    assert np.max(np.abs(lp_diag - got)) > 1e-3
+
+
+def test_unknown_likelihood_mode_raises(chain_setup):
+    chain, _, _ = chain_setup
+    with pytest.raises(ValueError, match="likelihood_mode"):
+        _rebuild_with_mode(chain, "banana").log_posterior(np.full((1, 3), 0.5))
+
+
+def test_initial_state_check(chain_setup):
+    """skip_initial_state_check is WIRED (emcee semantics): a resume state
+    with non-finite posterior or a degenerate ensemble raises unless
+    skipped."""
+    chain, _, _ = chain_setup
+    bad = np.full((8, 1, 3), 0.5)
+    bad[0, 0, 0] = 1.5  # outside the box -> -inf posterior
+    with open(chain.mcmc_path, "wb") as f:
+        pickle.dump({"chain": bad}, f)
+    with pytest.raises(ValueError, match="non-finite"):
+        chain.run_mcmc(nsteps=4, nburnsteps=4, nwalkers=8, nthin=1)
+
+    degenerate = np.full((8, 1, 3), 0.5)  # rank-0 ensemble
+    with open(chain.mcmc_path, "wb") as f:
+        pickle.dump({"chain": degenerate}, f)
+    with pytest.raises(ValueError, match="linearly dependent"):
+        chain.run_mcmc(nsteps=4, nburnsteps=4, nwalkers=8, nthin=1)
+    # the escape hatch works
+    chain.run_mcmc(nsteps=4, nburnsteps=4, nwalkers=8, nthin=1,
+                   skip_initial_state_check=True)
+
+
 def test_ensemble_de_move_gaussian_moments():
     """The differential-evolution move recovers a correlated Gaussian."""
     cov = jnp.asarray([[0.04, 0.03], [0.03, 0.04]])  # strong correlation
