@@ -3,25 +3,41 @@
 Reproduces the reference's flagship workload scale (BASELINE.md):
 20 -> 17 effective parameters, 9 emulators with observable blocks summing to
 544 (the likelihood covariance dimension), npc=4 GPs per emulator, ~1000
-training designs.  Measures:
+training designs -- and, unlike round 1, drives the REAL production objects:
+nine trained :class:`Emulator` instances loaded into a :class:`Chain`, whose
+fused ``posterior_with_state()`` program is what the samplers consume
+(reference hot path: src/mcmc.py:217, 345-426).
 
-- ensemble-MCMC effective samples per second on this device (ESS via
-  integrated autocorrelation time, emcee-style FFT estimator);
+Measures and prints ONE JSON line on stdout (progress goes to stderr):
+
+- ``value``: ensemble-MCMC effective samples per second through
+  ``Chain.posterior_with_state()`` + ``run_ensemble`` -- the better of the
+  stretch and differential-evolution moves (ESS via integrated
+  autocorrelation time, emcee-style FFT estimator);
 - ``vs_baseline``: ratio of posterior-evaluation throughput against a
-  reference-style CPU evaluator that mirrors the reference stack's
-  computational pattern (serial Python map over walkers; per-PC numpy GP
-  predict; stitched 544x544 covariance factored with scipy LAPACK
-  dpotrf/dpotrs, exactly src/mcmc.py:23-65's kernel).  ESS-per-evaluation is
-  a sampler property independent of backend, so the ESS/sec ratio equals the
+  reference-style CPU evaluator built from the SAME trained emulators
+  (serial Python map over walkers; per-PC numpy GP predict; stitched
+  544x544 covariance factored with scipy LAPACK dpotrf/dpotrs, exactly
+  src/mcmc.py:23-65's kernel).  ESS-per-evaluation is a sampler property
+  independent of backend, so the ESS/sec ratio equals the
   evaluation-throughput ratio.
+- secondary fields: ``gp_train_s`` (9-emulator GP training),
+  ``evals_per_sec`` (posterior evaluations/s of the winning run),
+  ``pallas_evals_per_sec`` (likelihood_mode='generic': the per-block dense
+  Cholesky route through ops.pallas_mvn.mvn_loglike_best), ``smc_wall_s``
+  and ``smc_logz`` (full flow-preconditioned SMC pipeline via
+  ``Chain.run_pocoMC``), and the winning ``move`` / ``tau``.
 
-Prints ONE JSON line on stdout; progress goes to stderr.
+``--no-smc`` skips the SMC pipeline (field reported as null).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import pickle
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -43,123 +59,76 @@ NSTEPS = 1024
 CPU_BASELINE_WALKERS = 3
 
 
-def build_problem(dtype):
-    import jax
-    import jax.numpy as jnp
+def build_chain():
+    """Train 9 real emulators on flagship-scale synthetic physics and load
+    them into a real Chain (the exact objects RunBayesianAnalysis.ipynb
+    drives in the reference)."""
+    from gpbayestools_hic_tpu.models import Emulator
+    from gpbayestools_hic_tpu.samplers import Chain
 
-    from gpbayestools_hic_tpu.models.gp import GPConfig, gp_fit
-
+    tmpdir = tempfile.mkdtemp(prefix="bench_flagship_")
     rng = np.random.default_rng(0)
-    design = rng.uniform(0, 1, size=(NEV, NDIM)).astype(dtype)
+    design = rng.uniform(0, 1, size=(NEV, NDIM))
     truth = rng.uniform(0.35, 0.65, size=NDIM)
+    parfile = os.path.join(tmpdir, "pars.txt")
+    with open(parfile, "w") as f:
+        f.write("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(NDIM)))
 
-    emu_states = []
-    exp_means = []
-    t0 = time.perf_counter()
-    for nobs in BLOCKS:
+    emus, exp_blocks = [], []
+    gp_train_s = 0.0
+    for b, nobs in enumerate(BLOCKS):
         freqs = rng.uniform(0.5, 2.0, size=(NDIM, nobs))
         base = 2.0 + np.sin(design @ freqs)
-        # project to NPC principal directions as targets (flagship: npc=4)
-        base_std = (base - base.mean(0)) / base.std(0)
-        u, s, vt = np.linalg.svd(base_std, full_matrices=False)
-        z = (u[:, :NPC] * np.sqrt(NEV - 1)).T.astype(dtype)  # whitened scores
-        state = gp_fit(
-            jnp.asarray(design),
-            jnp.asarray(z),
-            jnp.ones(NDIM, dtype=dtype),
-            config=GPConfig(),
-            maxiter=30,
-        )
-        trans = (vt[:NPC] * (s[:NPC, None] / np.sqrt(NEV - 1)) * base.std(0)).astype(dtype)
-        emu_states.append(
-            dict(state=state, trans=jnp.asarray(trans),
-                 mean_shift=jnp.asarray(base.mean(0).astype(dtype)),
-                 scaler_var=jnp.asarray((base.std(0) ** 2).astype(dtype)),
-                 freqs=freqs)
-        )
-        exp_means.append(2.0 + np.sin(truth @ freqs))
-    train_time = time.perf_counter() - t0
-    exp_mean = np.concatenate(exp_means).astype(dtype)
-    exp_var = (0.05 * np.abs(exp_mean)) ** 2
-    return emu_states, exp_mean, exp_var, train_time
-
-
-def make_log_post(emu_states, exp_mean, exp_var, dtype):
-    """Woodbury-form likelihood, mirroring Chain's low-rank fast path:
-    per block, C0 = diag(1e-4 var + exp var) is fixed and the per-walker
-    covariance is C0 + A^T diag(v) A -- exact O(n^2) likelihood."""
-    import jax
-    import jax.numpy as jnp
-
-    from gpbayestools_hic_tpu.models.gp import GPConfig, gp_predict
-
-    offsets = np.cumsum([0] + list(BLOCKS))
-    lo = jnp.zeros(NDIM, dtype=dtype)
-    hi = jnp.ones(NDIM, dtype=dtype)
-
-    blocks = []
-    for e, i0, i1 in zip(emu_states, offsets[:-1], offsets[1:]):
-        a64 = np.asarray(e["trans"], dtype=np.float64)
-        c0_diag = (
-            1e-4 * np.asarray(e["scaler_var"], dtype=np.float64)
-            + np.asarray(exp_var[i0:i1], dtype=np.float64)
-        )
-        logdet_c0 = float(np.sum(np.log(c0_diag)))
-        c0_inv_diag = 1.0 / c0_diag
-        g = a64 * c0_inv_diag[None, :]
-        m_mat = g @ a64.T
-        blocks.append(dict(
-            state=e["state"], trans=e["trans"], mean_shift=e["mean_shift"],
-            exp_block=jnp.asarray(exp_mean[i0:i1]),
-            c0_inv_diag=jnp.asarray(c0_inv_diag, dtype=dtype),
-            g=jnp.asarray(g, dtype=dtype),
-            m=jnp.asarray(m_mat, dtype=dtype),
-            logdet_c0=jnp.asarray(logdet_c0, dtype=dtype),
-            eye=jnp.eye(a64.shape[0], dtype=dtype),
-        ))
-
-    bench_state = {"blocks": blocks, "lo": lo, "hi": hi}
-
-    def log_post(st, x):
-        inside = jnp.all((x > st["lo"]) & (x < st["hi"]), axis=1)
-        xs = jnp.clip(x, st["lo"], st["hi"])
-        ll = jnp.zeros((x.shape[0],), dtype=x.dtype)
-        for b in st["blocks"]:
-            gp_mean, gp_var = gp_predict(b["state"], xs, config=GPConfig())
-            mean = gp_mean.T @ b["trans"] + b["mean_shift"]
-            v = gp_var.T
-            y = mean - b["exp_block"]
-            t = y * b["c0_inv_diag"]
-            q0 = jnp.sum(y * t, axis=1)
-            u = y @ b["g"].T
-            sv = jnp.sqrt(jnp.maximum(v, 0.0))
-            s = b["eye"] + sv[:, :, None] * b["m"] * sv[:, None, :]
-            s_chol = jnp.linalg.cholesky(s)
-            rhs = (sv * u)[:, :, None]
-            w = jax.scipy.linalg.cho_solve((s_chol, True), rhs)[:, :, 0]
-            corr = jnp.sum(sv * u * w, axis=1)
-            logdet = b["logdet_c0"] + 2.0 * jnp.sum(
-                jnp.log(jnp.diagonal(s_chol, axis1=1, axis2=2)), axis=1
+        err = 0.01 * np.abs(base)
+        pkl = os.path.join(tmpdir, f"train{b}.pkl")
+        with open(pkl, "wb") as f:
+            pickle.dump(
+                {
+                    str(i): {
+                        "parameter": design[i],
+                        "obs": np.stack([base[i], err[i]]),
+                    }
+                    for i in range(NEV)
+                },
+                f,
             )
-            lp = -0.5 * (q0 - corr) - 0.5 * logdet
-            ll = ll + jnp.where(jnp.isfinite(lp), lp, -jnp.inf)
-        return jnp.where(inside, ll, -jnp.inf)
+        emu = Emulator(pkl, parfile, npc=NPC, gp_maxiter=30)
+        t0 = time.perf_counter()
+        emu.trainEmulatorAutoMask()
+        gp_train_s += time.perf_counter() - t0
+        emus.append(emu)
+        exp_blocks.append(2.0 + np.sin(truth @ freqs))
 
-    return log_post, bench_state
+    exp_mean = np.concatenate(exp_blocks)
+    exp_pkl = os.path.join(tmpdir, "exp.pkl")
+    with open(exp_pkl, "wb") as f:
+        pickle.dump(
+            {"0": {"obs": np.stack([exp_mean, 0.05 * np.abs(exp_mean)])}}, f
+        )
+    chain = Chain(
+        mcmc_path=os.path.join(tmpdir, "mcmc", "chain.pkl"),
+        expdata_path=exp_pkl,
+        model_parafile=parfile,
+    )
+    chain.loadEmulator(emus)
+    return chain, gp_train_s
 
 
-def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
-    """Reference-style evaluator: serial map over walkers, numpy per-PC GP
-    predict, stitched 544x544 covariance, scipy dpotrf/dpotrs."""
+def cpu_reference_eval_rate(chain, walkers):
+    """Reference-style evaluator from the SAME trained emulators: serial map
+    over walkers, per-PC numpy GP predict, stitched 544x544 covariance,
+    scipy dpotrf/dpotrs (src/mcmc.py:23-65, 153-166, 217)."""
     from scipy.linalg import lapack
 
-    nobs_total = int(np.sum(BLOCKS))
-    offsets = np.cumsum([0] + list(BLOCKS))
+    nobs_total = chain.nobs
+    offsets = np.cumsum([0] + [e.nobs for e in chain.emuList])
+    exp_mean = np.asarray(chain.expdata, dtype=np.float64).flatten()
+    exp_var = np.diag(np.asarray(chain.expdata_cov, dtype=np.float64))
 
-    # Pull GP state to numpy (as the reference's sklearn GPs hold it).
     nps = []
-    for e in emu_states:
-        st = e["state"]
+    for e in chain.emuList:
+        st = e.gp_state
+        a, cov_trunc = e.lowrank_parts()
         nps.append(
             dict(
                 x=np.asarray(st.x, dtype=np.float64),
@@ -168,9 +137,9 @@ def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
                 ls=np.exp(np.asarray(st.params["log_ls"], dtype=np.float64)),
                 amp=np.exp(np.asarray(st.params["log_amp"], dtype=np.float64)),
                 noise=np.exp(np.asarray(st.params["log_noise"], dtype=np.float64)),
-                trans=np.asarray(e["trans"], dtype=np.float64),
-                mean_shift=np.asarray(e["mean_shift"], dtype=np.float64),
-                scaler_var=np.asarray(e["scaler_var"], dtype=np.float64),
+                trans=np.asarray(a, dtype=np.float64),
+                mean_shift=np.asarray(e.scaler.mean, dtype=np.float64),
+                cov_trunc=np.asarray(cov_trunc, dtype=np.float64),
             )
         )
 
@@ -191,9 +160,7 @@ def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
                 gp_var[k] = e["amp"][k] + e["noise"][k] - v @ v
             a = e["trans"]
             mean_full[i0:i1] = gp_mean @ a + e["mean_shift"]
-            cov_full[i0:i1, i0:i1] = (a.T * gp_var @ a) + np.diag(
-                1e-4 * e["scaler_var"]
-            )
+            cov_full[i0:i1, i0:i1] = (a.T * gp_var @ a) + e["cov_trunc"]
         cov_full[np.diag_indices_from(cov_full)] += exp_var
         dy = mean_full - exp_mean
         L, info = lapack.dpotrf(cov_full, clean=False)
@@ -212,45 +179,109 @@ def cpu_reference_eval_rate(emu_states, exp_mean, exp_var, walkers):
     return 1.0 / best
 
 
-def run_smc_pipeline(emu_states, exp_mean, exp_var, dtype):
-    """BASELINE config #5: full flow-preconditioned SMC + posterior
-    clustering on the flagship posterior (numbers go to stderr; the primary
-    JSON metric stays the ensemble ESS/sec)."""
+def bench_move(chain, move, dtype):
+    """Compile + time NSTEPS production ensemble steps with ``move``;
+    returns (ess_per_sec, evals_per_sec, tau)."""
+    import jax
     import jax.numpy as jnp
 
-    from gpbayestools_hic_tpu.samplers.smc import run_smc
-    from gpbayestools_hic_tpu.utils.cluster import kmeans
-    import jax
+    from gpbayestools_hic_tpu.samplers.ensemble import run_ensemble
 
-    log_post, st = make_log_post(emu_states, exp_mean, exp_var, dtype)
+    log_post, like_state = chain.posterior_with_state()
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
 
-    def logl(state, x, finite):
-        lp = log_post(state, x)
-        return jnp.where(jnp.isfinite(lp), lp, -1e30)
+    # Warmup/compile the exact NSTEPS program (nsteps is a static argument:
+    # warming with a different length would leave compilation in the timing).
+    log(f"[{move}] compiling sampler ...")
+    t0 = time.perf_counter()
+    res = run_ensemble(log_post, x0, NSTEPS, jax.random.PRNGKey(0),
+                       state=like_state, move=move)
+    res.final_log_prob.block_until_ready()
+    log(f"[{move}] compile+warmup: {time.perf_counter() - t0:.1f}s")
 
     t0 = time.perf_counter()
-    out = run_smc(
-        logl, jnp.zeros(NDIM, dtype), jnp.ones(NDIM, dtype),
-        likelihood_state=st,
+    res = run_ensemble(log_post, res.final_state, NSTEPS, jax.random.PRNGKey(1),
+                       state=like_state, move=move)
+    res.final_log_prob.block_until_ready()
+    dt = time.perf_counter() - t0
+    steps_per_sec = NSTEPS / dt
+    evals_per_sec = steps_per_sec * NWALKERS
+
+    chain_arr = np.asarray(res.chain)  # (nwalkers, nsteps, ndim)
+    taus = [integrated_autocorr_time(chain_arr[:, :, d]) for d in range(NDIM)]
+    tau = float(np.max(taus))
+    ess_per_sec = (NWALKERS / tau) * steps_per_sec
+    log(f"[{move}] {dt:.2f}s -> {steps_per_sec:.1f} steps/s, "
+        f"{evals_per_sec:.0f} evals/s, max tau {tau:.1f}, "
+        f"ESS/sec {ess_per_sec:.1f}, acc {float(res.acceptance.mean()):.3f}")
+    return ess_per_sec, evals_per_sec, tau
+
+
+def bench_pallas_block_route(chain, dtype):
+    """likelihood_mode='generic': per-block dense Cholesky through
+    ops.pallas_mvn.mvn_loglike_best (the Pallas TPU kernel), checked against
+    the Woodbury path and timed."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(0.3, 0.7, size=(512, NDIM)).astype(dtype))
+
+    lp_auto = np.asarray(chain.log_posterior(x))
+    chain.likelihood_mode = "generic"
+    chain._device_fns = None
+    fns = chain.device_fns
+    fn, st = fns["log_posterior"], chain._like_state
+    lp = fn(st, x)
+    lp.block_until_ready()
+    lp_generic = np.asarray(lp)
+    # agreement between the Cholesky-block route and the Woodbury fast path
+    denom = np.maximum(np.abs(lp_auto), 1.0)
+    max_rel = float(np.max(np.abs(lp_generic - lp_auto) / denom))
+    log(f"[pallas] generic vs auto max rel diff: {max_rel:.2e}")
+    t0 = time.perf_counter()
+    n_rep = 5
+    for _ in range(n_rep):
+        lp = fn(st, x)
+    lp.block_until_ready()
+    rate = n_rep * x.shape[0] / (time.perf_counter() - t0)
+    log(f"[pallas] generic-mode (dense block Cholesky): {rate:.0f} evals/s")
+    chain.likelihood_mode = "auto"
+    chain._device_fns = None
+    return rate, max_rel
+
+
+def bench_smc(chain):
+    """Full flow-preconditioned SMC pipeline (BASELINE config #5) through
+    the production Chain.run_pocoMC + posterior k-means clustering."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.utils.cluster import kmeans
+
+    t0 = time.perf_counter()
+    out = chain.run_pocoMC(
         n_effective=2000, n_active=1000, n_prior=4000,
-        n_max_steps=50, n_total=8000, n_evidence=2000, seed=0,
+        n_max_steps=50, n_total=8000, n_evidence=2000, random_state=0,
     )
     dt = time.perf_counter() - t0
-    log(f"SMC pipeline: {dt:.1f}s, {out['beta_iterations']} beta iterations, "
-        f"logz={out['logz']:.2f}+-{out['logz_err']:.3f}, "
-        f"{8000/dt:.0f} posterior samples/s")
+    w = out["weights"]
+    ess = 1.0 / np.sum(w**2)
+    log(f"[smc] {dt:.1f}s, {len(w)} weighted samples, ESS {ess:.0f}, "
+        f"logz={out['logz']:.2f}+-{out['logz_err']:.3f}")
+    # posterior clustering on an unweighted resample (C18 parity)
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(w), size=2000, p=w)
     centers, _, inertia = kmeans(
-        jnp.asarray(out["samples"][:2000]), 3, key=jax.random.PRNGKey(0)
+        jnp.asarray(out["chain"][idx]), 3, key=jax.random.PRNGKey(0)
     )
-    log(f"posterior k-means: inertia {float(inertia):.1f}")
-    return out
+    log(f"[smc] posterior k-means: inertia {float(inertia):.1f}")
+    return dt, float(out["logz"])
 
 
 def main():
-    import sys as _sys
-
     import jax
-    import jax.numpy as jnp
 
     from gpbayestools_hic_tpu.config import enable_compilation_cache
 
@@ -260,64 +291,45 @@ def main():
     log(f"device: {dev.platform} ({dev.device_kind})")
 
     log("building flagship problem (9 emulators, 544 observables) ...")
-    emu_states, exp_mean, exp_var, train_time = build_problem(dtype)
-    log(f"GP training (36 GPs, nev={NEV}): {train_time:.1f}s")
-
-    log_post, bench_state = make_log_post(emu_states, exp_mean, exp_var, dtype)
-
-    from gpbayestools_hic_tpu.samplers.ensemble import run_ensemble
-
-    rng = np.random.default_rng(2)
-    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
-    key = jax.random.PRNGKey(0)
-
-    # Warmup/compile the exact NSTEPS program (nsteps is a static argument:
-    # warming with a different length would leave compilation in the timing).
-    log("compiling sampler ...")
     t0 = time.perf_counter()
-    res = run_ensemble(log_post, x0, NSTEPS, key, state=bench_state)
-    res.final_log_prob.block_until_ready()
-    log(f"compile+warmup: {time.perf_counter() - t0:.1f}s")
+    chain, gp_train_s = build_chain()
+    log(f"emulator training ({len(BLOCKS)} emulators x {NPC} GPs, nev={NEV}): "
+        f"{gp_train_s:.1f}s (total build {time.perf_counter() - t0:.1f}s)")
 
-    log(f"running {NSTEPS} steps x {NWALKERS} walkers ...")
-    t0 = time.perf_counter()
-    res = run_ensemble(log_post, res.final_state, NSTEPS, jax.random.PRNGKey(1),
-                       state=bench_state)
-    res.final_log_prob.block_until_ready()
-    dt = time.perf_counter() - t0
-    steps_per_sec = NSTEPS / dt
-    evals_per_sec = steps_per_sec * NWALKERS  # 2 half-batches per step
-    log(f"sampling: {dt:.2f}s -> {steps_per_sec:.1f} steps/s, "
-        f"{evals_per_sec:.0f} posterior evals/s")
+    results = {}
+    for move in ("stretch", "de"):
+        results[move] = bench_move(chain, move, dtype)
+    best_move = max(results, key=lambda m: results[m][0])
+    ess_per_sec, evals_per_sec, tau = results[best_move]
+    log(f"best move: {best_move}")
 
-    chain = np.asarray(res.chain)  # (nwalkers, nsteps, ndim)
-    taus = [
-        integrated_autocorr_time(chain[:, :, d]) for d in range(NDIM)
-    ]
-    tau = float(np.max(taus))
-    ess_per_step = NWALKERS / tau
-    ess_per_sec = ess_per_step * steps_per_sec
-    ess_per_eval = ess_per_step / NWALKERS
-    log(f"max tau: {tau:.1f} -> ESS/sec: {ess_per_sec:.1f}")
+    pallas_rate, pallas_rel = bench_pallas_block_route(chain, dtype)
 
     log(f"measuring reference-style CPU baseline "
         f"({CPU_BASELINE_WALKERS} serial evals) ...")
-    cpu_rate = cpu_reference_eval_rate(
-        emu_states, np.asarray(exp_mean, dtype=np.float64),
-        np.asarray(exp_var, dtype=np.float64), CPU_BASELINE_WALKERS,
-    )
+    cpu_rate = cpu_reference_eval_rate(chain, CPU_BASELINE_WALKERS)
     log(f"reference-style CPU: {cpu_rate:.2f} evals/s")
-    baseline_ess_per_sec = cpu_rate * ess_per_eval
-    vs_baseline = ess_per_sec / baseline_ess_per_sec
+    # ESS/eval is a sampler property -> ESS/sec ratio == eval-rate ratio
+    vs_baseline = evals_per_sec / cpu_rate
 
-    if "--smc" in _sys.argv:
-        run_smc_pipeline(emu_states, exp_mean, exp_var, dtype)
+    smc_wall_s, smc_logz = None, None
+    if "--no-smc" not in sys.argv:
+        smc_wall_s, smc_logz = bench_smc(chain)
+        smc_wall_s = round(smc_wall_s, 1)
+        smc_logz = round(smc_logz, 2)
 
     print(json.dumps({
         "metric": "ess_per_sec_flagship_544obs_17param",
         "value": round(ess_per_sec, 2),
         "unit": "effective samples/s",
         "vs_baseline": round(vs_baseline, 1),
+        "move": best_move,
+        "tau": round(tau, 1),
+        "evals_per_sec": round(evals_per_sec, 0),
+        "gp_train_s": round(gp_train_s, 1),
+        "pallas_evals_per_sec": round(pallas_rate, 0),
+        "smc_wall_s": smc_wall_s,
+        "smc_logz": smc_logz,
     }))
 
 

@@ -177,7 +177,12 @@ class Emulator:
             raise ValueError(f"Unknown kernel type: {kernel_type}")
         eventMask = np.asarray(eventMask, dtype=bool)
         dtype = self._dtype
-        data = jnp.asarray(self.model_data[eventMask, :], dtype=dtype)
+        # Training prep runs on the HOST: fit/transform are one-time numpy
+        # work (see ops/scalers.py), and on this runtime every eager device
+        # op pays a multi-second remote compile -- only gp_fit and the fused
+        # predict programs belong on the device.
+        np_dtype = np.dtype(dtype)
+        data = self.model_data[eventMask, :].astype(np_dtype)
 
         self.scaler = fit_standard_scaler(data)
         standardized = scaler_transform(self.scaler, data)
@@ -195,7 +200,7 @@ class Emulator:
             logger.info(
                 "%d PCs explain %.5f of variance",
                 npc_used,
-                float(jnp.sum(self.pca.explained_variance_ratio[:npc_used])),
+                float(np.sum(self.pca.explained_variance_ratio[:npc_used])),
             )
         self._npc_used = npc_used
 
@@ -208,7 +213,7 @@ class Emulator:
             kernel=KernelConfig(kernel_type), alpha=self.gp_alpha
         )
         noise_diag = self._pc_noise_diag(eventMask, npc_used)
-        return design, z.T, ptp, noise_diag
+        return design, jnp.asarray(np.asarray(z).T, dtype=dtype), ptp, noise_diag
 
     def _finalize_training(self, gp_state: GPState):
         """Stage 3 of training: transform matrices + jitted predict programs."""
@@ -242,21 +247,26 @@ class Emulator:
         # Full linear map PC-space -> physical space:
         # rows scaled by each PC's explained std dev, columns by the
         # standardization scale (reference: src/emulator.py:335-339).
-        trans = (
-            self.pca.components
-            * jnp.sqrt(self.pca.explained_variance)[:, None]
-            * self.scaler.scale
-        )
-        self._trans_matrix = trans
+        # Host numpy (one-time training prep; shipped to device once by
+        # _collect_predict_state).
+        comps = np.asarray(self.pca.components, dtype=np.float64)
+        ev = np.asarray(self.pca.explained_variance, dtype=np.float64)
+        scale = np.asarray(self.scaler.scale, dtype=np.float64)
+        np_dtype = np.dtype(self._dtype)
+        trans = comps * np.sqrt(ev)[:, None] * scale
+        self._trans_matrix = trans.astype(np_dtype)
         a = trans[:npc_used]
         # var propagation: cov_ij = sum_k A_ki var_k A_kj
-        self._var_trans = jnp.einsum("ki,kj->kij", a, a).reshape(
-            npc_used, self.nobs * self.nobs
+        self._var_trans = (
+            np.einsum("ki,kj->kij", a, a)
+            .reshape(npc_used, self.nobs * self.nobs)
+            .astype(np_dtype)
         )
         b = trans[npc_used:]
-        cov_trunc = b.T @ b
-        cov_trunc = cov_trunc + jnp.diag(1e-4 * self.scaler.var)
-        self._cov_trunc = cov_trunc
+        cov_trunc = b.T @ b + np.diag(
+            1e-4 * np.asarray(self.scaler.var, dtype=np.float64)
+        )
+        self._cov_trunc = cov_trunc.astype(np_dtype)
 
     def _select_npc(self, pca) -> int:
         """Number of PCs to emulate; subclass hook (BAND heads use an
@@ -296,10 +306,15 @@ class Emulator:
             st["trans_matrix"] = self._trans_matrix
             st["var_trans"] = self._var_trans
             st["cov_trunc"] = self._cov_trunc
-            st["cov_trunc_diag"] = jnp.diagonal(self._cov_trunc)
+            st["cov_trunc_diag"] = np.diagonal(np.asarray(self._cov_trunc))
         if self.parameterTrafoPCA_:
             st["pp_packed"] = pack_param_pca(self.param_pca_state)
-        return st
+        # one device upload for everything (training prep is host numpy)
+        return jax.tree.map(
+            lambda a: jnp.asarray(a, dtype=self._dtype)
+            if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
+            st,
+        )
 
     def _build_predict_fn(self):
         """Assemble the fused predict programs (jitted once per training)."""

@@ -96,7 +96,11 @@ def _build_augmented(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     return a
 
 
-def _pick_chunk(b: int, np_pad: int, vmem_budget: int = 8 * 2**20) -> int:
+def _pick_chunk(b: int, np_pad: int, vmem_budget: int = 6 * 2**20) -> int:
+    # The budget covers the INPUT block only; the rank-1 update in the body
+    # materializes one more block-sized temporary, so the true VMEM need is
+    # ~2x this plus the output block.  8 MiB overflowed the 16 MiB scoped
+    # limit by 36 KiB on a (512, 256, 256) f32 batch; 6 MiB leaves headroom.
     per_mat = np_pad * np_pad * 4
     chunk = max(1, min(b, vmem_budget // max(per_mat, 1)))
     while b % chunk != 0:

@@ -16,6 +16,15 @@ Conventions match sklearn numerically:
   A deterministic sign convention (largest-|coefficient| entry of each
   component is positive) is applied; signs cancel in any round-trip so parity
   with sklearn holds at the prediction level.
+
+Host/device split: the FIT functions compute on the host in numpy/LAPACK
+f64 and return numpy-backed states.  Fitting is one-time training prep --
+on this runtime every eager device op pays a multi-second remote compile,
+and TPU has no native SVD at all (XLA's iterative lowering is ~1000x slower
+than LAPACK on the flagship blocks).  The TRANSFORM functions are written
+with dtype-generic operators so they work both on host arrays (training
+prep) and traced values (inside the fused jitted predict programs, where
+the fitted state enters as a device pytree).
 """
 
 from __future__ import annotations
@@ -23,6 +32,11 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
+
+
+def _result_dtype(x) -> np.dtype:
+    return np.dtype(getattr(x, "dtype", np.float64))
 
 
 class StandardScalerState(NamedTuple):
@@ -31,13 +45,17 @@ class StandardScalerState(NamedTuple):
     var: jnp.ndarray    # (nfeatures,) biased variance (sklearn's .var_)
 
 
-def fit_standard_scaler(x: jnp.ndarray) -> StandardScalerState:
-    """Fit mean/std over axis 0 of ``x`` (nsamples, nfeatures)."""
-    mean = jnp.mean(x, axis=0)
-    var = jnp.var(x, axis=0)
-    scale = jnp.sqrt(var)
-    scale = jnp.where(scale == 0.0, 1.0, scale)
-    return StandardScalerState(mean=mean, scale=scale, var=var)
+def fit_standard_scaler(x) -> StandardScalerState:
+    """Fit mean/std over axis 0 of ``x`` (nsamples, nfeatures); host-side."""
+    dt = _result_dtype(x)
+    xn = np.asarray(x, dtype=np.float64)
+    mean = xn.mean(axis=0)
+    var = xn.var(axis=0)
+    scale = np.sqrt(var)
+    scale = np.where(scale == 0.0, 1.0, scale)
+    return StandardScalerState(
+        mean=mean.astype(dt), scale=scale.astype(dt), var=var.astype(dt)
+    )
 
 
 def scaler_transform(state: StandardScalerState, x: jnp.ndarray) -> jnp.ndarray:
@@ -56,51 +74,58 @@ class PCAState(NamedTuple):
     whiten: bool
 
 
-def fit_pca(x: jnp.ndarray, whiten: bool = True) -> PCAState:
+def fit_pca(x, whiten: bool = True) -> PCAState:
     """Full-SVD PCA of ``x`` (nsamples, nfeatures); keeps all components.
 
     Variance-threshold truncation (sklearn's ``n_components=0.99``) is a
     *post-fit* index selection -- see :func:`n_components_for_variance` --
     so shapes stay static under jit.
+
+    Host-side: LAPACK dgesdd in f64, the same engine sklearn's
+    svd_solver='full' uses (see module docstring on the host/device split).
     """
-    mean = jnp.mean(x, axis=0)
-    xc = x - mean
-    n = x.shape[0]
+    dt = _result_dtype(x)
+    xn = np.asarray(x, dtype=np.float64)
+    mean = xn.mean(axis=0)
+    xc = xn - mean
+    n = xn.shape[0]
     # full_matrices=False: U (n, k), s (k,), vt (k, nfeatures), k = min(n, nfeat)
-    u, s, vt = jnp.linalg.svd(xc, full_matrices=False)
+    _, s, vt = np.linalg.svd(xc, full_matrices=False)
     # Deterministic sign: make the max-|.| coefficient of each component >= 0.
-    max_idx = jnp.argmax(jnp.abs(vt), axis=1)
-    signs = jnp.sign(vt[jnp.arange(vt.shape[0]), max_idx])
-    signs = jnp.where(signs == 0.0, 1.0, signs)
+    max_idx = np.argmax(np.abs(vt), axis=1)
+    signs = np.sign(vt[np.arange(vt.shape[0]), max_idx])
+    signs = np.where(signs == 0.0, 1.0, signs)
     vt = vt * signs[:, None]
     explained_variance = (s**2) / (n - 1)
-    total_var = jnp.sum(explained_variance)
-    ratio = explained_variance / total_var
+    ratio = explained_variance / explained_variance.sum()
     return PCAState(
-        mean=mean,
-        components=vt,
-        explained_variance=explained_variance,
-        explained_variance_ratio=ratio,
+        mean=mean.astype(dt),
+        components=vt.astype(dt),
+        explained_variance=explained_variance.astype(dt),
+        explained_variance_ratio=ratio.astype(dt),
         whiten=whiten,
     )
 
 
-def pca_transform(state: PCAState, x: jnp.ndarray, npc: int | None = None) -> jnp.ndarray:
-    """Project ``x`` onto the first ``npc`` components (all if None)."""
+def pca_transform(state: PCAState, x, npc: int | None = None):
+    """Project ``x`` onto the first ``npc`` components (all if None).
+
+    Operator-generic: host numpy in, host numpy out; traced in, traced out.
+    """
     comps = state.components if npc is None else state.components[:npc]
     z = (x - state.mean) @ comps.T
     if state.whiten:
         ev = state.explained_variance if npc is None else state.explained_variance[:npc]
-        z = z / jnp.sqrt(ev)
+        z = z / ev**0.5
     return z
 
 
-def pca_inverse_transform(state: PCAState, z: jnp.ndarray) -> jnp.ndarray:
+def pca_inverse_transform(state: PCAState, z):
     """Map scores back to feature space (uses first z.shape[-1] components)."""
     npc = z.shape[-1]
     comps = state.components[:npc]
     if state.whiten:
-        z = z * jnp.sqrt(state.explained_variance[:npc])
+        z = z * state.explained_variance[:npc] ** 0.5
     return z @ comps + state.mean
 
 
@@ -111,6 +136,6 @@ def n_components_for_variance(state: PCAState, target: float) -> int:
     (searchsorted on the cumulative ratio, side='right', then +1).
     Host-side helper (returns a Python int; call outside jit).
     """
-    csum = jnp.cumsum(state.explained_variance_ratio)
-    k = int(jnp.searchsorted(csum, target, side="right")) + 1
+    csum = np.cumsum(np.asarray(state.explained_variance_ratio))
+    k = int(np.searchsorted(csum, target, side="right")) + 1
     return min(k, int(state.components.shape[0]))
