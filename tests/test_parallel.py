@@ -62,6 +62,85 @@ def test_sharded_ensemble_step_matches_single_device():
     )
 
 
+def test_sharded_ptlmc_scan_matches_single_device():
+    """The PTLMC main loop gives identical chains with the chain axis
+    sharded over the mesh (swaps become XLA collectives)."""
+    from gpbayestools_hic_tpu.samplers.ptlmc import (
+        _ptlmc_scan,
+        _temperature_ladder,
+    )
+
+    mesh = make_mesh(8)
+    state = {"mu": jnp.asarray([0.4, 0.6])}
+
+    def log_prob(s, x):
+        return -0.5 * jnp.sum(((x - s["mu"]) / 0.1) ** 2, axis=-1)
+
+    numtemps, numchain = 16, 16  # totnum = 32, divisible by 8
+    dtype = jnp.float64
+    temps = _temperature_ladder(numtemps, numchain, 30.0, dtype)
+    thetac = jax.random.uniform(jax.random.PRNGKey(0), (32, 2), dtype)
+    fval0 = log_prob(state, thetac) / temps
+    hc = 0.05 * jnp.eye(2, dtype=dtype)
+    tau0 = jnp.asarray(-1.0, dtype)
+    rho0 = 2.0 * (1.0 + jnp.tanh(tau0))
+
+    def run(theta_in, fval_in):
+        return _ptlmc_scan(
+            log_prob, state, theta_in, fval_in, temps, hc, tau0, rho0,
+            jax.random.PRNGKey(1), jnp.eye(2, dtype=dtype),
+            total_steps=12, samptunning=8, numtemps=numtemps,
+            taracc=0.25, use_gradients=False,
+        )
+
+    plain = run(thetac, fval0)
+    sharded = run(shard_batch(mesh, thetac), shard_batch(mesh, fval0))
+    np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=1e-9)
+
+
+def test_sharded_smc_round_matches_single_device():
+    """One adaptive tPCN MCMC round gives identical particles with the
+    particle axis sharded over the mesh."""
+    from gpbayestools_hic_tpu.samplers.flows import FlowConfig, init_flow
+    from gpbayestools_hic_tpu.samplers.smc import (
+        _eval_u,
+        _mcmc_adaptive,
+        _to_unbounded,
+    )
+
+    mesh = make_mesh(8)
+    cfg = FlowConfig(n_layers=2, hidden=16)
+    mu = jnp.asarray([0.4, 0.6])
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / 0.05**2
+
+    lo, hi = jnp.zeros(2), jnp.ones(2)
+    x0 = jax.random.uniform(jax.random.PRNGKey(0), (32, 2), jnp.float64) * 0.6 + 0.2
+    u0 = _to_unbounded(x0, lo, hi)
+    log_prior_x = jnp.asarray(0.0)
+    _, logl0, logp_u0, _ = _eval_u(logl, None, (), u0, lo, hi, log_prior_x)
+    flow = init_flow(jax.random.PRNGKey(1), 2, cfg, jnp.float64)
+
+    def run(u, lv, pv):
+        out = _mcmc_adaptive(
+            logl, None, (), flow, u, lv, pv,
+            jnp.asarray(0.7), jnp.asarray(0.5), jnp.asarray(1e6),
+            jax.random.PRNGKey(2), lo, hi, log_prior_x,
+            jnp.asarray(10, jnp.int32), kernel="tpcn", config=cfg,
+        )
+        return out[0], out[1], out[5]
+
+    u_p, logl_p, steps_p = run(u0, logl0, logp_u0)
+    u_s, logl_s, steps_s = run(
+        shard_batch(mesh, u0), shard_batch(mesh, logl0),
+        shard_batch(mesh, logp_u0),
+    )
+    assert int(steps_p) == int(steps_s)
+    np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_s), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(logl_p), np.asarray(logl_s), rtol=1e-9)
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dry run must pass on the virtual mesh."""
     import subprocess
