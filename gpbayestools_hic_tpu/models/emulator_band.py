@@ -139,32 +139,28 @@ class EmulatorBAND(Emulator):
         return npc
 
     def _pc_noise_diag(self, eventMask, npc_used):
+        # host numpy (training prep; see ops/scalers.py on the host/device
+        # split) -- gp_fit receives the result as an input array
         mask = np.asarray(eventMask, dtype=bool)
         if self.method_ == "PCSK":
             # standardized stat errors -> PC-space variances:
             # var_z[k, i] = sum_j (W_kj sigma_std_ij)^2,
             # W_kj = components_kj / sqrt(ev_k) (whitened projection weights)
-            err_var = jnp.asarray(
-                self.model_data_err[mask, :] ** 2, dtype=self._dtype
-            )
+            err_var = np.asarray(self.model_data_err[mask, :], np.float64) ** 2
         elif self.method_ == "PCGPwM" and self._impute_mask is not None:
             # missingness-aware: imputed entries carry the per-column SVD
             # reconstruction residual variance as known noise
-            err_var = jnp.asarray(
-                np.where(
-                    self._impute_mask[mask, :],
-                    self._impute_col_var[None, :],
-                    0.0,
-                ),
-                dtype=self._dtype,
+            err_var = np.where(
+                self._impute_mask[mask, :], self._impute_col_var[None, :], 0.0
             )
         else:
             return None
-        var_std = err_var / (self.scaler.scale**2)
-        w = self.pca.components[:npc_used] / jnp.sqrt(
-            self.pca.explained_variance[:npc_used]
+        var_std = err_var / np.asarray(self.scaler.scale, np.float64) ** 2
+        w = np.asarray(self.pca.components[:npc_used], np.float64) / np.sqrt(
+            np.asarray(self.pca.explained_variance[:npc_used], np.float64)
         )[:, None]
-        return (var_std @ (w**2).T).T  # (npc, nev) for gp_fit
+        out = (var_std @ (w**2).T).T  # (npc, nev) for gp_fit
+        return jnp.asarray(out, dtype=self._dtype)
 
     # ---------------------------------------------------------------- train
 

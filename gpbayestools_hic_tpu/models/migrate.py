@@ -76,24 +76,89 @@ def _kernel_params_from_sklearn(gp, dtype):
     )
 
 
+def _load_dill(source):
+    """Load a reference dill file, or pass a live object through.
+
+    Raises a targeted error when unpickling fails because the file embeds a
+    surmise object and surmise is not installed (the reference's
+    EmulatorBAND dill-dumps its whole wrapper including ``self.emu``,
+    src/emulator_BAND.py:268-292, loaded at src/mcmc.py:145-150)."""
+    if not (isinstance(source, (str, bytes)) or hasattr(source, "__fspath__")):
+        return source
+    import dill
+
+    try:
+        with open(source, "rb") as f:
+            return dill.load(f)
+    except ModuleNotFoundError as e:
+        raise ValueError(
+            f"cannot unpickle {source!r}: it references the module "
+            f"{e.name!r}, which is not installed (reference EmulatorBAND "
+            "files embed a live surmise emulator).  Either install "
+            f"{e.name!r} to unpickle and re-run this conversion, or retrain "
+            "natively from the original training pickle: "
+            "EmulatorBAND(training_set_path=..., parameter_file=..., "
+            "method=...).trainEmulatorAutoMask()"
+        ) from e
+
+
+def _convert_param_pca(self, ref, dtype):
+    """Import the reference's fitted parameter-space PCA transform
+    (scalers + PCAs for the bulk/shear/yloss groups)."""
+    groups = [
+        ParamPCAGroup(
+            name="bulk",
+            indices=tuple(ref.indices_zeta_s_parameters),
+            grid=tuple(np.linspace(0.0, 0.5, 100)),
+            curve="zeta",
+        ),
+        ParamPCAGroup(
+            name="shear",
+            indices=tuple(ref.indices_eta_s_parameters),
+            grid=tuple(np.linspace(0.0, 0.6, 100)),
+            curve="eta",
+        ),
+        ParamPCAGroup(
+            name="yloss",
+            indices=tuple(ref.indices_yloss_parameters),
+            grid=tuple(np.linspace(0.0, 6.2, 100)),
+            curve="yloss",
+        ),
+    ]
+    self.param_pca_groups = groups
+    scalers, pcas, npcs = [], [], []
+    for sc, pc in [
+        (ref.paramTrafoScaler_bulk, ref.paramTrafoPCA_bulk),
+        (ref.paramTrafoScaler_shear, ref.paramTrafoPCA_shear),
+        (ref.paramTrafoScaler_yloss, ref.paramTrafoPCA_yloss),
+    ]:
+        scalers.append(_scaler_state(sc, dtype))
+        pcas.append(_pca_state(pc, dtype, whiten=False))
+        npcs.append(int(pc.n_components_))
+    self.param_pca_state = ParamPCAState(
+        scalers=tuple(scalers), pcas=tuple(pcas), npcs=tuple(npcs)
+    )
+    self.PCA_new_design_points = np.asarray(ref.PCA_new_design_points)
+
+
 def from_reference(source) -> Emulator:
     """Convert a reference sklearn-backed emulator to a native one.
 
     ``source``: a path to the reference's dill ``.sav`` file, or the live
     reference ``Emulator`` object.  Returns a trained native
     :class:`Emulator` whose predictions match the source to float tolerance.
-    """
-    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
-        import dill
 
-        with open(source, "rb") as f:
-            ref = dill.load(f)
-    else:
-        ref = source
+    Reference ``EmulatorBAND`` objects (surmise-backed, recognizable by
+    their ``method_`` attribute and no ``gps``) are dispatched to
+    :func:`band_from_reference`.
+    """
+    ref = _load_dill(source)
     if not hasattr(ref, "gps"):
+        if hasattr(ref, "method_") and hasattr(ref, "model_data"):
+            return band_from_reference(ref)
         raise ValueError(
-            "source has no fitted sklearn GPs; only the reference's "
-            "sklearn-backed Emulator is convertible"
+            "source has no fitted sklearn GPs and no BAND method tag; only "
+            "the reference's Emulator / EmulatorBAND objects are convertible"
         )
 
     dtype = working_dtype()
@@ -155,41 +220,86 @@ def from_reference(source) -> Emulator:
     self.param_pca_groups = default_groups()
     self.param_pca_state = None
     if self.parameterTrafoPCA_:
-        groups = [
-            ParamPCAGroup(
-                name="bulk",
-                indices=tuple(ref.indices_zeta_s_parameters),
-                grid=tuple(np.linspace(0.0, 0.5, 100)),
-                curve="zeta",
-            ),
-            ParamPCAGroup(
-                name="shear",
-                indices=tuple(ref.indices_eta_s_parameters),
-                grid=tuple(np.linspace(0.0, 0.6, 100)),
-                curve="eta",
-            ),
-            ParamPCAGroup(
-                name="yloss",
-                indices=tuple(ref.indices_yloss_parameters),
-                grid=tuple(np.linspace(0.0, 6.2, 100)),
-                curve="yloss",
-            ),
-        ]
-        self.param_pca_groups = groups
-        scalers, pcas, npcs = [], [], []
-        for sc, pc in [
-            (ref.paramTrafoScaler_bulk, ref.paramTrafoPCA_bulk),
-            (ref.paramTrafoScaler_shear, ref.paramTrafoPCA_shear),
-            (ref.paramTrafoScaler_yloss, ref.paramTrafoPCA_yloss),
-        ]:
-            scalers.append(_scaler_state(sc, dtype))
-            pcas.append(_pca_state(pc, dtype, whiten=False))
-            npcs.append(int(pc.n_components_))
-        self.param_pca_state = ParamPCAState(
-            scalers=tuple(scalers), pcas=tuple(pcas), npcs=tuple(npcs)
-        )
-        self.PCA_new_design_points = np.asarray(ref.PCA_new_design_points)
+        _convert_param_pca(self, ref, dtype)
 
     self._npc_used = min(self._npc_used, len(ref.gps))
     self._finalize_training(self.gp_state)
+    return self
+
+
+def band_from_reference(source, *, gp_maxiter: int = 200, seed: int = 0):
+    """Convert a reference dill ``EmulatorBAND`` into a native one.
+
+    The reference BAND wrapper delegates all numerics to a live surmise
+    0.2.1 emulator stored in ``self.emu`` (src/emulator_BAND.py:268-292).
+    surmise's per-PC hyperparameters belong to its own kernel family and do
+    not transplant into the native Matern-ARD GP core -- but the wrapper
+    carries the COMPLETE training state verbatim: the (already noise-
+    filtered, optionally log-transformed) ``model_data`` / ``model_data_err``
+    arrays, the design, the method tag, and every transform flag.  The
+    conversion therefore rebuilds the native head on exactly that data -- a
+    deterministic retrain (seconds on TPU), after which the emulator serves
+    the same role in a :class:`..samplers.chain.Chain` as the reference's
+    dill object did (src/mcmc.py:145-150).
+
+    If unpickling itself fails because surmise is not installed, a targeted
+    error names the retrain path (see :func:`_load_dill`).
+    """
+    from .emulator_band import EmulatorBAND, _impute_iterative_svd
+
+    ref = _load_dill(source)
+    if not hasattr(ref, "method_") or not hasattr(ref, "model_data"):
+        raise ValueError(
+            "source does not look like a reference EmulatorBAND (no "
+            "method_/model_data attributes)"
+        )
+    method = str(ref.method_)
+    dtype = working_dtype()
+    self = EmulatorBAND.__new__(EmulatorBAND)
+    self.method_ = method
+    self.pc_target_variance = 0.99  # surmise's PC-retention default
+    self.logTrafo_ = bool(getattr(ref, "logTrafo_", False))
+    self.parameterTrafoPCA_ = bool(getattr(ref, "parameterTrafoPCA_", False))
+    self.exp_and_cov_diagonal_ = bool(getattr(ref, "exp_and_cov_diagonal_", False))
+    self.max_rel_uncertainty_data_ = float(
+        getattr(ref, "max_rel_uncertainty_data_", 0.1)
+    )
+    self.perform_no_PCA_ = False
+    self.npc = 10**9  # resolved by the variance threshold at train time
+    self.nrestarts = 0
+    self.seed = seed
+    self.gp_maxiter = gp_maxiter
+    self.gp_alpha = 1e-6
+    self._dtype = dtype
+    self.pardict = dict(getattr(ref, "pardict", {}))
+    self.design_min = np.asarray(ref.design_min, dtype=float)
+    self.design_max = np.asarray(ref.design_max, dtype=float)
+    self.model_data = np.asarray(ref.model_data, dtype=np.float64)
+    self.model_data_err = np.asarray(ref.model_data_err, dtype=np.float64)
+    self.design_points = np.asarray(ref.design_points, dtype=np.float64)
+    self.design_points_org_ = np.asarray(
+        getattr(ref, "design_points_org_", ref.design_points), dtype=np.float64
+    )
+    self.nev, self.nobs = self.model_data.shape
+    self.nparameters = self.design_points.shape[1]
+
+    self.param_pca_groups = default_groups()
+    self.param_pca_state = None
+    if self.parameterTrafoPCA_:
+        self.targetVariance = float(getattr(ref, "targetVariance", 0.99))
+        # ref.design_min/max are already the PC ranges (splice semantics)
+        _convert_param_pca(self, ref, dtype)
+
+    self._impute_mask = None
+    self._impute_col_var = None
+    if method in ("PCGPwImpute", "PCGPwM"):
+        self.model_data, self._impute_mask, self._impute_col_var = (
+            _impute_iterative_svd(self.model_data)
+        )
+    self._trained = False
+    logger.info(
+        "rebuilding native %s head from reference BAND state "
+        "(%d events x %d observables) ...", method, self.nev, self.nobs,
+    )
+    self.trainEmulatorAutoMask()
     return self

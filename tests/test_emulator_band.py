@@ -199,3 +199,92 @@ def test_full_flag_combination_roundtrip(tmp_path, rng, training_pickle_factory)
     e2.trainEmulatorAutoMask()  # retrain-after-load with every flag active
     m3 = e2.predict(design[:3], return_cov=False)
     assert np.isfinite(m3).all()
+
+
+# ---------------------------------------------------- reference dill import
+
+
+def _band_standin(design, base, err, method="PCSK"):
+    """Synthetic object mirroring the reference EmulatorBAND attribute
+    layout (src/emulator_BAND.py: model_data, design_points, method_, flags,
+    and a live surmise emulator in .emu)."""
+
+    class RefEmulatorBAND:
+        pass
+
+    ndim = design.shape[1]
+    obj = RefEmulatorBAND()
+    obj.method_ = method
+    obj.logTrafo_ = False
+    obj.parameterTrafoPCA_ = False
+    obj.exp_and_cov_diagonal_ = False
+    obj.max_rel_uncertainty_data_ = 0.1
+    obj.pardict = {f"p{i}": [f"$p_{i}$", 0.0, 1.0] for i in range(ndim)}
+    obj.design_min = np.zeros(ndim)
+    obj.design_max = np.ones(ndim)
+    obj.model_data = base
+    obj.model_data_err = err
+    obj.design_points = design
+    obj.nev, obj.nobs = base.shape
+    obj.nparameters = ndim
+    obj.emu = {"opaque": "surmise emulator stand-in"}
+    return obj
+
+
+def test_band_from_reference_standin(band_files, tmp_path):
+    """Chain.loadEmulator's dill path (src/mcmc.py:145-150) must accept
+    reference EmulatorBAND files: the native head is rebuilt from the
+    object's stored training state."""
+    import dill
+
+    from gpbayestools_hic_tpu.models import Emulator
+    from gpbayestools_hic_tpu.models.migrate import band_from_reference
+
+    _, _, design, base, err = band_files
+    obj = _band_standin(design, base, err, method="PCSK")
+    sav = tmp_path / "band.sav"
+    with open(sav, "wb") as f:
+        dill.dump(obj, f)
+
+    # the generic entry point dispatches BAND objects automatically
+    emu = Emulator.from_reference(str(sav))
+    assert isinstance(emu, EmulatorBAND)
+    assert emu.method_ == "PCSK"
+    mean, cov = emu.predict(design[:5])
+    assert mean.shape == (5, 8) and cov.shape == (5, 8, 8)
+    # rebuilt on the same training data: self-prediction is accurate
+    rel = np.abs(mean - base[:5]) / np.abs(base[:5])
+    assert np.median(rel) < 0.02, np.median(rel)
+
+    # direct entry point, live object
+    emu2 = band_from_reference(obj)
+    m2, _ = emu2.predict(design[:5])
+    np.testing.assert_allclose(m2, mean, rtol=1e-10)
+
+
+def test_band_from_reference_missing_module_error(tmp_path):
+    """A dill file that references an uninstalled module (the real failure
+    mode for surmise-backed files) produces a targeted error naming the
+    retrain path instead of a raw ModuleNotFoundError."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from gpbayestools_hic_tpu.models import Emulator
+
+    # Build the poisoned dill in a subprocess so the fake module never
+    # enters THIS process's sys.modules.
+    mod = tmp_path / "fake_surmise_pkg.py"
+    mod.write_text("class FakeEmu:\n    pass\n")
+    script = textwrap.dedent(f"""
+        import sys, dill
+        sys.path.insert(0, {str(tmp_path)!r})
+        import fake_surmise_pkg
+        with open({str(tmp_path / 'poisoned.sav')!r}, 'wb') as f:
+            dill.dump(fake_surmise_pkg.FakeEmu(), f, byref=True)
+    """)
+    subprocess.run([sys.executable, "-c", script], check=True)
+    mod.unlink()  # the module is now uninstalled
+
+    with pytest.raises(ValueError, match="retrain natively"):
+        Emulator.from_reference(str(tmp_path / "poisoned.sav"))
