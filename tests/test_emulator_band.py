@@ -288,3 +288,58 @@ def test_band_from_reference_missing_module_error(tmp_path):
 
     with pytest.raises(ValueError, match="retrain natively"):
         Emulator.from_reference(str(tmp_path / "poisoned.sav"))
+
+
+# ------------------------------------------------------------ golden pinning
+
+
+def test_band_heads_match_golden_fixtures(tmp_path):
+    """Regression pin for the rebuilt surmise heads (VERDICT r1 item 4):
+    fitted hyperparameters and predictions must match the committed golden
+    arrays (tools/make_golden_fixtures.py; derivation notes in
+    docs/SURMISE_PARITY.md).  Any drift in standardization, PC retention,
+    noise propagation, or the GP optimizer shows up here."""
+    import os
+    import pickle
+
+    fix = np.load(
+        os.path.join(os.path.dirname(__file__), "fixtures", "band_golden.npz")
+    )
+    design, base, err, xq = fix["design"], fix["base"], fix["err"], fix["xq"]
+    parfile = tmp_path / "pars.txt"
+    parfile.write_text(
+        "".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(design.shape[1]))
+    )
+    pkl = tmp_path / "train.pkl"
+    with open(pkl, "wb") as f:
+        pickle.dump(
+            {
+                str(i): {
+                    "parameter": design[i],
+                    "obs": np.stack([base[i], err[i]]),
+                }
+                for i in range(design.shape[0])
+            },
+            f,
+        )
+    for method in ("PCGP", "PCSK"):
+        emu = EmulatorBAND(str(pkl), str(parfile), method=method)
+        emu.trainEmulatorAutoMask()
+        assert int(emu._npc_used) == int(fix[f"{method}_npc"])
+        for k in ("log_ls", "log_amp", "log_noise"):
+            np.testing.assert_allclose(
+                np.asarray(emu.gp_state.params[k]), fix[f"{method}_{k}"],
+                rtol=1e-5, err_msg=f"{method} {k} drifted",
+            )
+        mean, cov = emu.predict(xq)
+        np.testing.assert_allclose(
+            mean, fix[f"{method}_mean"], rtol=1e-6,
+            err_msg=f"{method} predictive mean drifted",
+        )
+        np.testing.assert_allclose(
+            np.diagonal(cov, axis1=1, axis2=2), fix[f"{method}_covdiag"],
+            rtol=1e-5, atol=1e-12,
+            err_msg=f"{method} predictive variance drifted",
+        )
+    # PCSK != PCGP on this data (the heteroskedastic nugget is live)
+    assert np.max(np.abs(fix["PCSK_mean"] - fix["PCGP_mean"])) > 1e-4

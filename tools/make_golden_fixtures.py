@@ -1,0 +1,77 @@
+"""Generate the committed golden fixtures pinning the BAND heads' numerics.
+
+Run on forced-CPU x64 JAX (deterministic LAPACK/XLA path):
+
+    python tools/make_golden_fixtures.py
+
+Writes ``tests/fixtures/band_golden.npz``: for each method (PCGP, PCSK) on a
+fixed synthetic dataset, the fitted per-PC hyperparameters and the
+predictions (mean + covariance diagonal) at fixed query points.  The paired
+test ``tests/test_emulator_band.py::test_band_heads_match_golden_fixtures``
+fails on any numerical drift of the rebuilt surmise heads (VERDICT round 1,
+item 4; derivation notes in docs/SURMISE_PARITY.md).
+"""
+
+import os
+import pickle
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+
+def build(out_path):
+    from gpbayestools_hic_tpu.models import EmulatorBAND
+
+    rng = np.random.default_rng(20240816)
+    nev, ndim, nobs = 50, 3, 10
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    freqs = rng.uniform(1, 3, size=(ndim, nobs))
+    base = 2.0 + np.sin(design @ freqs) + 0.3 * (design**2) @ freqs
+    err = 0.02 * np.abs(base) * rng.uniform(0.5, 1.0, size=base.shape)
+    xq = rng.uniform(0.1, 0.9, size=(6, ndim))
+
+    tmp = tempfile.mkdtemp()
+    parfile = os.path.join(tmp, "pars.txt")
+    with open(parfile, "w") as f:
+        f.write("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(ndim)))
+    pkl = os.path.join(tmp, "train.pkl")
+    with open(pkl, "wb") as f:
+        pickle.dump(
+            {
+                str(i): {
+                    "parameter": design[i],
+                    "obs": np.stack([base[i], err[i]]),
+                }
+                for i in range(nev)
+            },
+            f,
+        )
+
+    out = {"design": design, "base": base, "err": err, "xq": xq}
+    for method in ("PCGP", "PCSK"):
+        emu = EmulatorBAND(pkl, parfile, method=method)
+        emu.trainEmulatorAutoMask()
+        mean, cov = emu.predict(xq)
+        out[f"{method}_mean"] = mean
+        out[f"{method}_covdiag"] = np.diagonal(cov, axis1=1, axis2=2)
+        out[f"{method}_npc"] = np.asarray(emu._npc_used)
+        for k, v in emu.gp_state.params.items():
+            out[f"{method}_{k}"] = np.asarray(v)
+        print(method, "npc =", int(emu._npc_used), "mean[0,:3] =", mean[0, :3])
+    np.savez(out_path, **out)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dest = os.path.join(here, "tests", "fixtures", "band_golden.npz")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    build(dest)
