@@ -546,7 +546,18 @@ class Emulator:
 
     def print_learning_curve(self, train_sizes=(0.2, 0.4, 0.6, 0.8, 0.9), n_folds=5):
         """Learning curve per PC: mean train/test R^2 over CV folds at each
-        train fraction (reference: src/emulator.py:424-462 via sklearn).
+        train fraction (reference: src/emulator.py:424-462 via
+        ``sklearn.model_selection.learning_curve``).
+
+        Protocol parity with the reference: 5-fold CV; at each fraction the
+        GP is refit from scratch on the leading ``frac`` share of the fold's
+        training split and scored with R^2 on both splits; the GP uses THIS
+        emulator's kernel/alpha configuration (``self.gp_config``), exactly
+        as the reference passes its own kernel + ``alpha=0.1`` GPR into
+        ``learning_curve``.  Differences from sklearn's implementation:
+        hyperparameters are re-optimized by the native vmapped L-BFGS
+        (sklearn refits per fold too), and folds come from a fixed seed-0
+        permutation rather than sklearn's default splitter ordering.
 
         Returns a list (one per PC) of arrays (len(train_sizes), 3) with
         columns (n_train, mean train R^2, mean test R^2).
@@ -584,13 +595,18 @@ class Emulator:
                 )
                 n_used = max(int(np.ceil(frac * len(train_idx))), 2)
                 train_idx = train_idx[:n_used]
+                cfg = getattr(
+                    self, "gp_config",
+                    GPConfig(alpha=self.gp_alpha),
+                )
                 x_tr = jnp.asarray(design[train_idx], dtype=dtype)
                 y_tr = jnp.asarray(z[train_idx].T, dtype=dtype)
-                state = gp_fit(x_tr, y_tr, ptp, config=GPConfig(alpha=1e-10))
-                pred_tr, _ = gp_predict(state, x_tr, config=GPConfig(alpha=1e-10))
+                state = gp_fit(x_tr, y_tr, ptp, config=cfg,
+                               maxiter=self.gp_maxiter)
+                pred_tr, _ = gp_predict(state, x_tr, config=cfg)
                 pred_te, _ = gp_predict(
                     state, jnp.asarray(design[test_idx], dtype=dtype),
-                    config=GPConfig(alpha=1e-10),
+                    config=cfg,
                 )
                 for i in range(npc_used):
                     tr_scores[i, f] = r2(z[train_idx, i], np.asarray(pred_tr[i]))

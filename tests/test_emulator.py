@@ -362,3 +362,29 @@ def test_bad_likelihood_mode_raises(toy_emulator_files, tmp_path):
     chain.loadEmulator([emu])
     with pytest.raises(ValueError, match="likelihood_mode"):
         chain.log_posterior(design[:2])
+
+
+def test_print_learning_curve_protocol(tmp_path, rng, training_pickle_factory):
+    """Reference learning-curve protocol (src/emulator.py:424-462): per-PC
+    5-fold CV train/test R^2 at each train fraction, using the emulator's
+    OWN GP configuration."""
+    from gpbayestools_hic_tpu.models import Emulator
+
+    ndim, nev, nobs = 2, 40, 6
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    freqs = rng.uniform(1, 2.5, size=(ndim, nobs))
+    base = 2.0 + np.sin(design @ freqs)
+    pkl = training_pickle_factory(
+        tmp_path / "t.pkl", design, base, 0.01 * np.abs(base)
+    )
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(ndim)))
+    emu = Emulator(str(pkl), str(parfile), npc=2, gp_maxiter=40)
+    emu.trainEmulatorAutoMask()
+    curves = emu.print_learning_curve(train_sizes=(0.4, 0.9), n_folds=4)
+    assert len(curves) == 2  # one per PC
+    for c in curves:
+        assert c.shape == (2, 3)
+        assert c[1, 0] > c[0, 0]        # more training points at 0.9
+        assert c[1, 2] > 0.5            # test R^2 decent at the top size
+        assert c[1, 1] > 0.9            # train R^2 high
