@@ -1,9 +1,10 @@
 """On-hardware numerical validation: f32 TPU posterior vs f64 ground truth.
 
-Run on a real TPU (no arguments).  Rebuilds the flagship benchmark problem,
-evaluates the fused f32 Woodbury log-posterior on-device, recomputes the
-same quantity in float64 numpy from the identical GP state, and checks the
-worst-case disagreement.
+Run on a real TPU (no arguments).  Builds the flagship benchmark problem
+with the REAL production objects (nine trained Emulators in a Chain,
+bench.build_chain), evaluates the fused f32 Woodbury log-posterior
+on-device, recomputes the same quantity in float64 numpy from the identical
+GP state, and checks the worst-case disagreement.
 
 This check exists because it caught two real TPU-precision bugs during
 development (bf16 default matmuls producing non-PSD covariances; a bf16
@@ -18,38 +19,39 @@ import sys
 
 import numpy as np
 
+# the reference's zeroed-extra_std constant kept in the posterior
+_EXTRA_STD_CONST = 2.0 * np.log(1e-16)
+
 
 def main(tol: float = 0.5) -> int:
-    import jax
-    import jax.numpy as jnp
-
     sys.path.insert(0, ".")
     import bench
     from gpbayestools_hic_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
-    dtype = np.float32
-    emu_states, exp_mean, exp_var, _ = bench.build_problem(dtype)
-    log_post, st = bench.make_log_post(emu_states, exp_mean, exp_var, dtype)
+    chain, _ = bench.build_chain()
     rng = np.random.default_rng(9)
-    x = rng.uniform(0.3, 0.7, (64, bench.NDIM))
-    lp32 = np.asarray(jax.jit(log_post)(st, jnp.asarray(x, jnp.float32)))
+    x = rng.uniform(0.3, 0.7, (64, chain.ndim))
 
-    offsets = np.cumsum([0] + list(bench.BLOCKS))
-    lp64 = np.zeros(len(x))
-    for e, i0, i1 in zip(emu_states, offsets[:-1], offsets[1:]):
-        stt = e["state"]
+    # --- f32 on TPU through the production program -------------------------
+    lp32 = chain.log_posterior(x)
+
+    # --- f64 ground truth on host from the identical GP state --------------
+    exp_mean_full = np.asarray(chain.expdata, np.float64).flatten()
+    exp_var_full = np.diag(np.asarray(chain.expdata_cov, np.float64))
+    offsets = np.cumsum([0] + [e.nobs for e in chain.emuList])
+    lp64 = np.full(len(x), _EXTRA_STD_CONST)
+    for e, i0, i1 in zip(chain.emuList, offsets[:-1], offsets[1:]):
+        stt = e.gp_state
         ls = np.exp(np.asarray(stt.params["log_ls"], np.float64))
         amp = np.exp(np.asarray(stt.params["log_amp"], np.float64))
         noise = np.exp(np.asarray(stt.params["log_noise"], np.float64))
         xt = np.asarray(stt.x, np.float64)
         av = np.asarray(stt.alpha_vec, np.float64)
         kinv = np.asarray(stt.kinv, np.float64)
-        a = np.asarray(e["trans"], np.float64)
-        c0 = (
-            1e-4 * np.asarray(e["scaler_var"], np.float64)
-            + np.asarray(exp_var[i0:i1], np.float64)
-        )
+        a, cov_trunc = e.lowrank_parts()
+        a = np.asarray(a, np.float64)
+        cov_trunc = np.asarray(cov_trunc, np.float64)
         npc = av.shape[0]
         mean = np.zeros((len(x), i1 - i0))
         gv = np.zeros((len(x), npc))
@@ -65,15 +67,16 @@ def main(tol: float = 0.5) -> int:
             gv[:, k] = np.maximum(
                 amp[k] + noise[k] - np.sum(kstar * (kinv[k] @ kstar), 0), 0
             )
-        mean += np.asarray(e["mean_shift"], np.float64)
-        y = mean - np.asarray(exp_mean[i0:i1], np.float64)
+        mean += np.asarray(e.scaler.mean, np.float64)
+        y = mean - exp_mean_full[i0:i1]
+        c0 = cov_trunc + np.diag(exp_var_full[i0:i1])
         for i in range(len(x)):
-            cov = (a.T * gv[i]) @ a + np.diag(c0)
+            cov = (a.T * gv[i]) @ a + c0
             chol = np.linalg.cholesky(cov)
             alpha = np.linalg.solve(cov, y[i])
             lp64[i] += -0.5 * y[i] @ alpha - np.log(np.diag(chol)).sum()
 
-    d = np.abs(lp32 - lp64)
+    d = np.abs(np.asarray(lp32) - lp64)
     print(f"f32 vs f64 log-posterior: max {d.max():.4f}, median "
           f"{np.median(d):.4f} (tolerance {tol})")
     if d.max() < tol:
