@@ -40,16 +40,20 @@ def mean_log_honesty(pred, pred_err, truth) -> float:
 
 
 def delta_d(chain: np.ndarray, truth: np.ndarray, prior_min: np.ndarray,
-            prior_max: np.ndarray) -> float:
+            prior_max: np.ndarray, weights: np.ndarray | None = None) -> float:
     """Closure metric Delta_d (PlotMCMC.ipynb cells 18-19).
 
     ``chain``: posterior samples (..., ndim) (any leading shape).
-    Returns ``mean_samples[ sum_d ((theta_d - truth_d)/width_d)^2 ] / ndim``.
+    ``weights``: optional per-sample importance weights (the SMC sampler's
+    persistent-sampling posterior is weighted).
+    Returns ``E_samples[ sum_d ((theta_d - truth_d)/width_d)^2 ] / ndim``.
     """
     samples = np.asarray(chain).reshape(-1, len(truth))
     width = np.asarray(prior_max) - np.asarray(prior_min)
     z2 = ((samples - np.asarray(truth)) / width) ** 2
-    return float(np.mean(np.sum(z2, axis=1)) / len(truth))
+    if weights is not None:
+        weights = np.asarray(weights).reshape(-1)
+    return float(np.average(np.sum(z2, axis=1), weights=weights) / len(truth))
 
 
 def coverage(pred, pred_err, truth, n_sigma: float = 1.0) -> float:

@@ -48,10 +48,15 @@ def _flat(chain):
     return chain.reshape(-1, chain.shape[-1])
 
 
-def trace_plot(chain, labels=None, bins=50, fig_path=None):
-    """Per-parameter marginal histograms (PlotMCMC.ipynb cell 3)."""
+def trace_plot(chain, labels=None, bins=50, fig_path=None, weights=None):
+    """Per-parameter marginal histograms (PlotMCMC.ipynb cell 3).
+
+    ``weights``: optional per-sample importance weights (use for the SMC
+    sampler's weighted persistent-sampling posterior)."""
     plt = _mpl()
     flat = _flat(chain)
+    if weights is not None:
+        weights = np.asarray(weights).reshape(-1)
     ndim = flat.shape[1]
     ncols = min(ndim, 5)
     nrows = -(-ndim // ncols)
@@ -61,7 +66,7 @@ def trace_plot(chain, labels=None, bins=50, fig_path=None):
     for d in range(ndim):
         ax = axes[d // ncols][d % ncols]
         ax.hist(flat[:, d], bins=bins, color=CATEGORICAL[0],
-                histtype="stepfilled", alpha=0.85, zorder=2)
+                histtype="stepfilled", alpha=0.85, zorder=2, weights=weights)
         ax.set_xlabel(labels[d] if labels else f"p{d}", color=_TEXT)
         ax.set_yticks([])
         ax.grid(True, **_GRID)
@@ -82,17 +87,26 @@ def corner_plot(
     bins=40,
     levels=(0.68, 0.95),
     fig_path=None,
+    weights=None,
 ):
     """Corner plot: 1D marginals on the diagonal, 2D contours below.
 
     ``chains``: one chain or a list of chains (each (..., ndim)); multiple
     chains are overlaid in the fixed categorical order with a legend
     (PlotMCMC.ipynb cells 4-6).  ``truths`` draws reference markers.
+    ``weights``: per-sample importance weights -- one array, or a list
+    aligned with ``chains`` (None entries allowed) -- for weighted (SMC)
+    posteriors.
     """
     plt = _mpl()
     if not isinstance(chains, (list, tuple)):
         chains = [chains]
+        if weights is not None and not isinstance(weights, (list, tuple)):
+            weights = [weights]
+    if weights is None:
+        weights = [None] * len(chains)
     flats = [_flat(c) for c in chains]
+    wts = [None if w is None else np.asarray(w).reshape(-1) for w in weights]
     ndim = flats[0].shape[1]
     fig, axes = plt.subplots(
         ndim, ndim, figsize=(1.9 * ndim, 1.9 * ndim), squeeze=False
@@ -115,7 +129,7 @@ def corner_plot(
                 for c_idx, f in enumerate(flats):
                     ax.hist(
                         f[:, i], bins=bins, range=lims[i], density=True,
-                        histtype="step", linewidth=1.6,
+                        histtype="step", linewidth=1.6, weights=wts[c_idx],
                         color=CATEGORICAL[c_idx % len(CATEGORICAL)], zorder=2,
                     )
                 if truths is not None:
@@ -126,7 +140,7 @@ def corner_plot(
                 for c_idx, f in enumerate(flats):
                     h, xe, ye = np.histogram2d(
                         f[:, j], f[:, i], bins=bins,
-                        range=[lims[j], lims[i]],
+                        range=[lims[j], lims[i]], weights=wts[c_idx],
                     )
                     h = h.T / h.sum()
                     order = np.sort(h.ravel())[::-1]
@@ -179,21 +193,29 @@ def posterior_band_plot(
     ylabel="f(x)",
     truth_params=None,
     fig_path=None,
+    weights=None,
 ):
     """Credible bands of a parametric curve over ``grid``.
 
     ``curve_fn(params (m, k), grid (g,)) -> (m, g)`` (the vectorized
     viscosity parametrizations in :mod:`..models.param_pca` fit directly);
     ``param_indices`` selects the curve's parameter columns from the chain
-    (PlotMCMC.ipynb cells 37-42).
+    (PlotMCMC.ipynb cells 37-42).  ``weights``: optional per-sample
+    importance weights (weighted SMC posterior) -- the subsample is drawn
+    proportionally to them.
     """
     plt = _mpl()
     import jax.numpy as jnp
 
     flat = _flat(chain)
     rng = np.random.default_rng(seed)
-    idx = rng.choice(flat.shape[0], size=min(n_samples, flat.shape[0]),
-                     replace=False)
+    if weights is not None:
+        p = np.asarray(weights).reshape(-1)
+        idx = rng.choice(flat.shape[0], size=min(n_samples, flat.shape[0]),
+                         replace=True, p=p / p.sum())
+    else:
+        idx = rng.choice(flat.shape[0], size=min(n_samples, flat.shape[0]),
+                         replace=False)
     params = jnp.asarray(flat[idx][:, param_indices])
     curves = np.asarray(curve_fn(params, jnp.asarray(grid)))
 

@@ -242,3 +242,35 @@ def test_lhs_cache_key_includes_niters(tmp_path, monkeypatch):
     x2 = generate_lhs(10, 2, seed=5, niters=5000)
     # different niters must not silently return the cached default design
     assert not np.array_equal(x1, x2)
+
+
+def test_weighted_metrics_and_plots(rng, tmp_path):
+    """Weighted-posterior support (SMC persistent sampling): delta_d and the
+    plotting entry points accept importance weights and agree with an
+    explicit weighted resample."""
+    from gpbayestools_hic_tpu.utils.metrics import delta_d
+    from gpbayestools_hic_tpu.utils.plotting import (
+        corner_plot,
+        trace_plot,
+    )
+
+    n = 4000
+    samples = rng.normal([0.5, 0.4], 0.05, size=(n, 2))
+    # weights that shift the effective mean of dim 0 upward
+    w = np.exp(5.0 * samples[:, 0])
+    w = w / w.sum()
+    truth = np.array([0.5, 0.4])
+    d_w = delta_d(samples, truth, np.zeros(2), np.ones(2), weights=w)
+    idx = rng.choice(n, size=20000, p=w)
+    d_res = delta_d(samples[idx], truth, np.zeros(2), np.ones(2))
+    np.testing.assert_allclose(d_w, d_res, rtol=0.05)
+    assert d_w != delta_d(samples, truth, np.zeros(2), np.ones(2))
+
+    fig = trace_plot(samples, weights=w, fig_path=str(tmp_path / "t.png"))
+    assert fig is not None
+    fig = corner_plot(samples, weights=w, fig_path=str(tmp_path / "c.png"))
+    assert fig is not None
+    fig = corner_plot([samples, samples[idx]], weights=[w, None],
+                      chain_names=["weighted", "resampled"],
+                      fig_path=str(tmp_path / "c2.png"))
+    assert fig is not None
