@@ -34,8 +34,6 @@ Measures and prints ONE JSON line on stdout (progress goes to stderr):
 from __future__ import annotations
 
 import json
-import os
-import pickle
 import sys
 import tempfile
 import time
@@ -63,55 +61,12 @@ def build_chain():
     """Train 9 real emulators on flagship-scale synthetic physics and load
     them into a real Chain (the exact objects RunBayesianAnalysis.ipynb
     drives in the reference)."""
-    from gpbayestools_hic_tpu.models import Emulator
-    from gpbayestools_hic_tpu.samplers import Chain
+    from gpbayestools_hic_tpu.utils.synthetic import build_synthetic_chain
 
-    tmpdir = tempfile.mkdtemp(prefix="bench_flagship_")
-    rng = np.random.default_rng(0)
-    design = rng.uniform(0, 1, size=(NEV, NDIM))
-    truth = rng.uniform(0.35, 0.65, size=NDIM)
-    parfile = os.path.join(tmpdir, "pars.txt")
-    with open(parfile, "w") as f:
-        f.write("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(NDIM)))
-
-    emus, exp_blocks = [], []
-    gp_train_s = 0.0
-    for b, nobs in enumerate(BLOCKS):
-        freqs = rng.uniform(0.5, 2.0, size=(NDIM, nobs))
-        base = 2.0 + np.sin(design @ freqs)
-        err = 0.01 * np.abs(base)
-        pkl = os.path.join(tmpdir, f"train{b}.pkl")
-        with open(pkl, "wb") as f:
-            pickle.dump(
-                {
-                    str(i): {
-                        "parameter": design[i],
-                        "obs": np.stack([base[i], err[i]]),
-                    }
-                    for i in range(NEV)
-                },
-                f,
-            )
-        emu = Emulator(pkl, parfile, npc=NPC, gp_maxiter=30)
-        t0 = time.perf_counter()
-        emu.trainEmulatorAutoMask()
-        gp_train_s += time.perf_counter() - t0
-        emus.append(emu)
-        exp_blocks.append(2.0 + np.sin(truth @ freqs))
-
-    exp_mean = np.concatenate(exp_blocks)
-    exp_pkl = os.path.join(tmpdir, "exp.pkl")
-    with open(exp_pkl, "wb") as f:
-        pickle.dump(
-            {"0": {"obs": np.stack([exp_mean, 0.05 * np.abs(exp_mean)])}}, f
-        )
-    chain = Chain(
-        mcmc_path=os.path.join(tmpdir, "mcmc", "chain.pkl"),
-        expdata_path=exp_pkl,
-        model_parafile=parfile,
+    return build_synthetic_chain(
+        nev=NEV, ndim=NDIM, nobs_blocks=BLOCKS, npc=NPC, gp_maxiter=30,
+        seed=0, tmpdir=tempfile.mkdtemp(prefix="bench_flagship_"),
     )
-    chain.loadEmulator(emus)
-    return chain, gp_train_s
 
 
 def cpu_reference_eval_rate(chain, walkers):

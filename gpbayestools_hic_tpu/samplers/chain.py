@@ -425,7 +425,7 @@ class Chain:
             key, k1, k2, k3 = jax.random.split(key, 4)
             x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
             if not skip_initial_state_check:
-                self._check_initial_state(log_post, like_state, x0)
+                self._check_initial_state(like_state, x0)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
             res = self._run_segments(
                 log_post, like_state, x0, nburn0, k1, status, move
@@ -453,7 +453,7 @@ class Chain:
             logger.info("restarting from last point of existing chain")
             x0 = jnp.asarray(chain_data["chain"][:, -1, :], dtype=dtype)
             if not skip_initial_state_check:
-                self._check_initial_state(log_post, like_state, x0)
+                self._check_initial_state(like_state, x0)
             key, prod_key = jax.random.split(key)
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
@@ -475,13 +475,19 @@ class Chain:
             pickle.dump(chain_data, f)
         return res
 
-    def _check_initial_state(self, log_post, like_state, x0):
+    def _check_initial_state(self, like_state, x0):
         """emcee's initial-state check (skipped via
         ``skip_initial_state_check=True``, same kwarg as emcee): every
         starting walker must have a finite log-posterior, and the ensemble
         must be linearly independent (a degenerate ensemble breaks the
-        stretch move's affine invariance)."""
-        lp0 = np.asarray(log_post(like_state, x0))
+        stretch move's affine invariance).
+
+        Uses the JITTED posterior program: evaluating the traceable form
+        eagerly would pay this runtime's multi-second remote compile per op
+        (see CLAUDE.md), turning the check into minutes of startup cost."""
+        lp0 = np.asarray(
+            self.device_fns["log_posterior"](like_state, x0)
+        )
         n_bad = int(np.sum(~np.isfinite(lp0)))
         if n_bad:
             raise ValueError(

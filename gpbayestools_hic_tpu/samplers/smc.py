@@ -263,13 +263,17 @@ def _mcmc_adaptive(
 # --------------------------------------------- persistent-sampling weights
 
 
-def _log_weights(logl_h, betas, logzs, counts, beta):
-    """Balance-heuristic log-weights of every history particle at ``beta``.
+def _mixture_terms(logl_h, betas, logzs, counts):
+    """Beta-INDEPENDENT pieces of the balance-heuristic weights.
 
     ``logl_h (N,)``: history log-likelihoods; ``betas/logzs/counts (T,)``:
     per-iteration inverse temperature, evidence estimate, particle count.
-    The prior density cancels between the target and every mixture
-    component (see module docstring).
+    Returns ``(logl_clean (N,), log_mix (N,))`` with
+    ``log w_j(beta) = beta * logl_clean_j - log_mix_j`` -- the prior density
+    cancels between the target and every mixture component (see module
+    docstring).  Computed ONCE per SMC iteration; the beta bisection then
+    reuses it across its ~60 ESS evaluations (the (N, T) matrix does not
+    depend on the query beta).
     """
     logl_h = np.nan_to_num(np.asarray(logl_h, dtype=np.float64), neginf=-1e300)
     betas = np.asarray(betas, dtype=np.float64)
@@ -284,7 +288,13 @@ def _log_weights(logl_h, betas, logzs, counts, beta):
     )
     m = comp.max(axis=1)
     log_mix = m + np.log(np.sum(np.exp(comp - m[:, None]), axis=1))
-    return beta * logl_h - log_mix
+    return logl_h, log_mix
+
+
+def _log_weights(logl_h, betas, logzs, counts, beta):
+    """Balance-heuristic log-weights of every history particle at ``beta``."""
+    logl_clean, log_mix = _mixture_terms(logl_h, betas, logzs, counts)
+    return beta * logl_clean - log_mix
 
 
 def _ess(log_w):
@@ -293,14 +303,15 @@ def _ess(log_w):
     return (w.sum() ** 2) / np.sum(w**2)
 
 
-def _next_beta(logl_h, betas, logzs, counts, beta, n_effective):
+def _next_beta(logl_clean, log_mix, beta, n_effective):
     """Largest beta' in [beta, 1] whose history-weight ESS >= n_effective.
 
-    Returns ``beta`` unchanged when even the current temperature cannot
-    support the target ESS -- the iteration then only accumulates particles
+    Takes the precomputed :func:`_mixture_terms`.  Returns ``beta``
+    unchanged when even the current temperature cannot support the target
+    ESS -- the iteration then only accumulates particles
     (persistent-sampling behavior)."""
     def ess_at(b):
-        return _ess(_log_weights(logl_h, betas, logzs, counts, b))
+        return _ess(b * logl_clean - log_mix)
 
     if ess_at(beta) < n_effective:
         return beta
@@ -428,16 +439,14 @@ def run_smc(
     def history():
         return np.concatenate(logl_h), np.concatenate(u_h)
 
-    def logz_at(b, hl):
-        lw = _log_weights(hl, betas, logzs, counts, b)
+    def logmeanexp(lw):
         m = lw.max()
         return m + np.log(np.mean(np.exp(lw - m)))
 
-    def run_iteration(beta_target):
-        """Resample n_active from history, precondition, MCMC-move, append."""
+    def run_iteration(beta_target, lw, hl, hu):
+        """Resample n_active from the ``lw``-weighted history, precondition,
+        MCMC-move, append."""
         nonlocal flow_params, rho, nu_dev, key, total_steps
-        hl, hu = history()
-        lw = _log_weights(hl, betas, logzs, counts, beta_target)
         idx = _systematic_resample(rng, lw, n_active)
         u_act = jnp.asarray(hu[idx], dtype=dtype)
         logl_act = jnp.asarray(hl[idx], dtype=dtype)
@@ -472,10 +481,12 @@ def run_smc(
     # ----------------------------------------------------- annealing phase
     while beta < 1.0 and iteration < max_iterations:
         iteration += 1
-        hl, _ = history()
-        beta_new = _next_beta(hl, betas, logzs, counts, beta, n_effective)
-        logz_new = logz_at(beta_new, hl)
-        steps, acc, flow_loss = run_iteration(beta_new)
+        hl, hu = history()
+        lc, lm = _mixture_terms(hl, betas, logzs, counts)
+        beta_new = _next_beta(lc, lm, beta, n_effective)
+        lw = beta_new * lc - lm
+        logz_new = logmeanexp(lw)
+        steps, acc, flow_loss = run_iteration(beta_new, lw, hl, hu)
         betas.append(beta_new)
         logzs.append(logz_new)
         counts.append(n_active)
@@ -493,14 +504,15 @@ def run_smc(
     # ------------------------------------------------- posterior collection
     # keep iterating at beta = 1 until the history ESS reaches n_total
     while iteration < max_iterations:
-        hl, _ = history()
-        lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
+        hl, hu = history()
+        lc, lm = _mixture_terms(hl, betas, logzs, counts)
+        lw1 = lc - lm  # beta = 1
         ess1 = _ess(lw1)
         if ess1 >= n_total:
             break
         iteration += 1
-        logz1 = logz_at(1.0, hl)
-        steps, acc, _ = run_iteration(1.0)
+        logz1 = logmeanexp(lw1)
+        steps, acc, _ = run_iteration(1.0, lw1, hl, hu)
         betas.append(1.0)
         logzs.append(logz1)
         counts.append(n_active)
@@ -512,7 +524,7 @@ def run_smc(
     hl, hu = history()
     hp = np.concatenate(logp_h)
     lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
-    logz_ps = logz_at(1.0, hl)
+    logz_ps = logmeanexp(lw1)
     w = np.exp(lw1 - lw1.max())
     weights = w / w.sum()
     ess_final = _ess(lw1)

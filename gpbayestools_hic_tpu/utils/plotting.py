@@ -101,10 +101,21 @@ def corner_plot(
     plt = _mpl()
     if not isinstance(chains, (list, tuple)):
         chains = [chains]
-        if weights is not None and not isinstance(weights, (list, tuple)):
-            weights = [weights]
     if weights is None:
         weights = [None] * len(chains)
+    elif not isinstance(weights, (list, tuple)):
+        # a bare weights array applies to a single chain; with multiple
+        # chains it is ambiguous (which chain?) -- require an aligned list
+        if len(chains) != 1:
+            raise ValueError(
+                "pass weights as a list aligned with chains (None entries "
+                "allowed) when plotting multiple chains"
+            )
+        weights = [weights]
+    elif len(weights) != len(chains):
+        raise ValueError(
+            f"weights list has {len(weights)} entries for {len(chains)} chains"
+        )
     flats = [_flat(c) for c in chains]
     wts = [None if w is None else np.asarray(w).reshape(-1) for w in weights]
     ndim = flats[0].shape[1]

@@ -97,9 +97,11 @@ def test_smc_gaussian_posterior_and_evidence():
     assert np.isfinite(result["logl"]).all()
     # logp of in-box samples = -log(volume) = 0
     np.testing.assert_allclose(result["logp"], 0.0, atol=1e-5)
-    # the adaptive MCMC phase must use fewer evaluations than the old
-    # fixed-length schedule (cap * iterations)
-    assert result["total_mcmc_steps"] < 30 * result["beta_iterations"]
+    # the adaptive MCMC phase never exceeds the cap, and on this easy
+    # posterior averages well under it (fewer evaluations than the old
+    # fixed-length schedule)
+    assert result["total_mcmc_steps"] <= 30 * result["beta_iterations"]
+    assert result["total_mcmc_steps"] / result["beta_iterations"] < 20
 
 
 def test_smc_bimodal_recovers_both_modes():

@@ -274,3 +274,13 @@ def test_weighted_metrics_and_plots(rng, tmp_path):
                       chain_names=["weighted", "resampled"],
                       fig_path=str(tmp_path / "c2.png"))
     assert fig is not None
+    # a single chain in a list with a bare weights array is accepted
+    fig = corner_plot([samples], weights=w, fig_path=str(tmp_path / "c3.png"))
+    assert fig is not None
+    # ambiguous / misaligned weights are rejected, not silently misapplied
+    import pytest
+
+    with pytest.raises(ValueError, match="aligned"):
+        corner_plot([samples, samples], weights=w)
+    with pytest.raises(ValueError, match="entries"):
+        corner_plot([samples, samples], weights=[w])

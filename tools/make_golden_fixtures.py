@@ -13,7 +13,6 @@ item 4; derivation notes in docs/SURMISE_PARITY.md).
 """
 
 import os
-import pickle
 import sys
 import tempfile
 
@@ -29,6 +28,10 @@ import numpy as np  # noqa: E402
 
 def build(out_path):
     from gpbayestools_hic_tpu.models import EmulatorBAND
+    from gpbayestools_hic_tpu.utils.synthetic import (
+        write_parameter_file,
+        write_training_pickle,
+    )
 
     rng = np.random.default_rng(20240816)
     nev, ndim, nobs = 50, 3, 10
@@ -39,21 +42,10 @@ def build(out_path):
     xq = rng.uniform(0.1, 0.9, size=(6, ndim))
 
     tmp = tempfile.mkdtemp()
-    parfile = os.path.join(tmp, "pars.txt")
-    with open(parfile, "w") as f:
-        f.write("".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(ndim)))
-    pkl = os.path.join(tmp, "train.pkl")
-    with open(pkl, "wb") as f:
-        pickle.dump(
-            {
-                str(i): {
-                    "parameter": design[i],
-                    "obs": np.stack([base[i], err[i]]),
-                }
-                for i in range(nev)
-            },
-            f,
-        )
+    parfile = write_parameter_file(os.path.join(tmp, "pars.txt"), ndim)
+    pkl = write_training_pickle(
+        os.path.join(tmp, "train.pkl"), design, base, err
+    )
 
     out = {"design": design, "base": base, "err": err, "xq": xq}
     for method in ("PCGP", "PCSK"):
