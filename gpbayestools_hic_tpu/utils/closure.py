@@ -11,13 +11,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def percentile_params(chain: np.ndarray, qs=(16, 50, 84)) -> np.ndarray:
+def percentile_params(
+    chain: np.ndarray, qs=(16, 50, 84), weights: np.ndarray | None = None
+) -> np.ndarray:
     """Per-parameter percentiles of a chain (reference cell 3).
 
-    ``chain``: (..., ndim); returns (len(qs), ndim).
+    ``chain``: (..., ndim); returns (len(qs), ndim).  ``weights``: optional
+    per-sample importance weights (the SMC sampler's persistent-sampling
+    posterior is weighted) -- percentiles are then read off the weighted
+    empirical CDF.
     """
     flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
-    return np.percentile(flat, qs, axis=0)
+    if weights is None:
+        return np.percentile(flat, qs, axis=0)
+    w = np.asarray(weights, dtype=np.float64).reshape(-1)
+    if w.shape[0] != flat.shape[0]:
+        raise ValueError(
+            f"weights length {w.shape[0]} != {flat.shape[0]} samples"
+        )
+    out = np.empty((len(qs), flat.shape[1]))
+    for d in range(flat.shape[1]):
+        order = np.argsort(flat[:, d])
+        cdf = np.cumsum(w[order])
+        cdf /= cdf[-1]
+        out[:, d] = np.interp(np.asarray(qs) / 100.0, cdf, flat[order, d])
+    return out
 
 
 def posterior_predictive(

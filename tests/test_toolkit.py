@@ -184,6 +184,26 @@ def test_closure_utilities(trained_emulator, rng):
     assert np.isfinite(preds).all()
 
 
+def test_weighted_percentile_params(rng):
+    # uniform weights must agree with the unweighted percentiles ...
+    chain = rng.normal(size=(4000, 2))
+    w = np.full(4000, 1.0 / 4000)
+    np.testing.assert_allclose(
+        percentile_params(chain, weights=w),
+        percentile_params(chain),
+        atol=0.02,
+    )
+    # ... and importance weights must reproduce the reweighted target:
+    # samples from N(0,1) weighted toward N(1,1) (ratio of densities)
+    x = rng.normal(size=(200_000, 1))
+    lw = x[:, 0] - 0.5  # log N(1,1)/N(0,1) up to a constant
+    wts = np.exp(lw - lw.max())
+    pct = percentile_params(x, qs=(16, 50, 84), weights=wts)
+    np.testing.assert_allclose(pct[:, 0], [1 - 1, 1, 1 + 1], atol=0.05)
+    with pytest.raises(ValueError):
+        percentile_params(x, weights=wts[:10])
+
+
 def test_delete_parameters_from_pickle(tmp_path, rng, training_pickle_factory):
     from gpbayestools_hic_tpu.utils.io import (
         delete_parameters_from_pickle,
