@@ -9,7 +9,10 @@
 - :mod:`.smc` -- flow-preconditioned sequential Monte Carlo (pocoMC
   semantics).
 - :mod:`.flows` -- normalizing flows used by the SMC preconditioner.
+- :mod:`.hmc` -- preconditioned Hamiltonian MC over the differentiable
+  posterior (beyond-reference; impossible on the reference's numpy path).
 """
 
 from .chain import Chain  # noqa: F401
 from .ensemble import run_ensemble, EnsembleResult  # noqa: F401
+from .hmc import run_hmc, HMCResult  # noqa: F401

