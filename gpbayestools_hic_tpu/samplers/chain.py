@@ -100,14 +100,22 @@ class Chain:
         """Assemble the fused log-likelihood / log-posterior programs."""
         if not self.emuList:
             raise RuntimeError("loadEmulator before evaluating the posterior")
+        # Build-time array prep stays in NUMPY: every eager device op here
+        # (slices, diag, eye, log) pays a multi-second remote compile on this
+        # runtime (see CLAUDE.md) -- measured 12.9 s of Chain construction
+        # before this was host-side.  Device arrays are created only via
+        # jnp.asarray (a device_put, no compilation).
         dtype = self._dtype
+        np_dtype = np.dtype(jnp.dtype(dtype).name)
         lo = jnp.asarray(self.min, dtype=dtype)
         hi = jnp.asarray(self.max, dtype=dtype)
-        expdata = jnp.asarray(self.expdata.flatten(), dtype=dtype)
-        expcov = jnp.asarray(self.expdata_cov, dtype=dtype)
+        expdata_np = np.asarray(self.expdata, dtype=np_dtype).flatten()
+        expcov_np = np.asarray(self.expdata_cov, dtype=np_dtype)
+        expdata = jnp.asarray(expdata_np)
+        expcov = jnp.asarray(expcov_np)
         nobs = self.nobs
-        log_prior_inside = -jnp.log(
-            jnp.asarray(self.prior_volume_, dtype=dtype)
+        log_prior_inside = jnp.asarray(
+            -np.log(self.prior_volume_), dtype=dtype
         )
         emus = list(self.emuList)
         offsets = np.cumsum([0] + [e.nobs for e in emus])
@@ -124,9 +132,9 @@ class Chain:
         # run) collapses to per-emulator blocks -- mathematically identical,
         # ~10-100x fewer FLOPs, and never materializes the stitched matrix.
         # Dense experimental covariance falls back to the stitched path.
-        off = expcov - jnp.diag(jnp.diagonal(expcov))
-        exp_cov_is_diagonal = bool(np.all(np.asarray(off) == 0.0))
-        exp_var = jnp.diagonal(expcov)
+        off = expcov_np - np.diag(np.diagonal(expcov_np))
+        exp_cov_is_diagonal = bool(np.all(off == 0.0))
+        exp_var_np = np.diagonal(expcov_np)
 
         def model_predict(state, x):
             """(m, ndim) -> mean (m, nobs), block-diagonal cov (m, nobs, nobs)."""
@@ -158,13 +166,11 @@ class Chain:
         # jitted programs take ALL arrays as arguments -- closure-captured
         # device arrays pay a ~25 ms per-call re-upload penalty on this
         # runtime (see models/emulator.py predict section).
-        exp_var_np = np.asarray(exp_var, dtype=np.float64)
-
         def make_lowrank_block(e, i0, i1):
             a_mat, cov_trunc = e.lowrank_parts()
             a64 = np.asarray(a_mat, dtype=np.float64)
             c0 = np.asarray(cov_trunc, dtype=np.float64) + np.diag(
-                exp_var_np[i0:i1]
+                exp_var_np[i0:i1].astype(np.float64)
             )
             c0_chol = np.linalg.cholesky(c0)
             logdet_c0 = 2.0 * np.sum(np.log(np.diag(c0_chol)))
@@ -174,12 +180,12 @@ class Chain:
             npc = a64.shape[0]
             bstate = {
                 "emu": e.predict_state,
-                "exp_block": expdata[i0:i1],
+                "exp_block": jnp.asarray(expdata_np[i0:i1]),
                 "c0_inv": jnp.asarray(c0_inv, dtype=dtype),
                 "g": jnp.asarray(g, dtype=dtype),
                 "m": jnp.asarray(m_mat, dtype=dtype),
                 "logdet_c0": jnp.asarray(logdet_c0, dtype=dtype),
-                "eye_npc": jnp.eye(npc, dtype=dtype),
+                "eye_npc": jnp.asarray(np.eye(npc, dtype=np_dtype)),
             }
             predict_pc = e.predict_pc_pure
 
@@ -206,8 +212,8 @@ class Chain:
         def make_diag_block(e, i0, i1):
             bstate = {
                 "emu": e.predict_state,
-                "exp_block": expdata[i0:i1],
-                "exp_var_block": exp_var[i0:i1],
+                "exp_block": jnp.asarray(expdata_np[i0:i1]),
+                "exp_var_block": jnp.asarray(exp_var_np[i0:i1]),
             }
             predict_diag = e.predict_diag_pure
 
@@ -221,8 +227,8 @@ class Chain:
         def make_cholesky_block(e, i0, i1):
             bstate = {
                 "emu": e.predict_state,
-                "exp_block": expdata[i0:i1],
-                "exp_var_block": exp_var[i0:i1],
+                "exp_block": jnp.asarray(expdata_np[i0:i1]),
+                "exp_var_block": jnp.asarray(exp_var_np[i0:i1]),
             }
             predict_full = e.predict_fn_pure
 

@@ -26,6 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax import lax
 
@@ -45,16 +46,18 @@ class FlowConfig(NamedTuple):
     rqs_bound: float = 5.0  # spline support [-B, B]; identity tails outside
 
 
-def _mlp_init(key, sizes, dtype):
+def _mlp_init(rng, sizes, np_dtype):
+    """He-normal MLP init in HOST numpy: building parameters with eager
+    jax.random ops costs one remote XLA compile per op/shape on some
+    runtimes (measured: 7.6 s of init_flow before this was host-side)."""
     params = []
-    for k, (din, dout) in zip(
-        jax.random.split(key, len(sizes) - 1), zip(sizes[:-1], sizes[1:])
-    ):
-        kw, kb = jax.random.split(k)
-        w = jax.random.normal(kw, (din, dout), dtype) * jnp.sqrt(2.0 / din)
-        params.append({"w": w, "b": jnp.zeros((dout,), dtype)})
+    for din, dout in zip(sizes[:-1], sizes[1:]):
+        w = (rng.standard_normal((din, dout)) * np.sqrt(2.0 / din)).astype(
+            np_dtype
+        )
+        params.append({"w": w, "b": np.zeros((dout,), np_dtype)})
     # zero-init the last layer: the flow starts as the identity
-    params[-1]["w"] = jnp.zeros_like(params[-1]["w"])
+    params[-1]["w"] = np.zeros_like(params[-1]["w"])
     return params
 
 
@@ -73,24 +76,33 @@ def _conditioner_width(ndim: int, config: FlowConfig) -> int:
 
 
 def init_flow(key, ndim: int, config: FlowConfig = FlowConfig(), dtype=jnp.float32):
-    """Initialize flow parameters (identity transform at init)."""
-    keys = jax.random.split(key, config.n_layers)
+    """Initialize flow parameters (identity transform at init).
+
+    Deterministic in ``key`` (the key data seeds a host RNG); all arrays are
+    built in numpy and uploaded with ``jnp.asarray`` -- zero XLA compiles.
+    """
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    seed = np.asarray(jax.random.key_data(key)).astype(np.uint32).ravel()
+    rng = np.random.default_rng(seed.tolist())
     out_dim = _conditioner_width(ndim, config)
     layers = []
-    for i, k in enumerate(keys):
+    for _ in range(config.n_layers):
         # NOTE: the alternating binary mask is NOT a parameter -- it is
         # recomputed inside _coupling.  (A trainable mask leaf silently
         # breaks the triangular-Jacobian logdet once the optimizer -- or
         # AdamW weight decay -- moves it off exactly 0/1.)
         layers.append({
-            "mlp": _mlp_init(k, [ndim, config.hidden, config.hidden, out_dim], dtype),
+            "mlp": _mlp_init(
+                rng, [ndim, config.hidden, config.hidden, out_dim], np_dtype
+            ),
         })
-    return {
+    host = {
         "layers": layers,
         # affine pre-layer (data whitening); set by fit_flow
-        "pre_mean": jnp.zeros((ndim,), dtype),
-        "pre_log_scale": jnp.zeros((ndim,), dtype),
+        "pre_mean": np.zeros((ndim,), np_dtype),
+        "pre_log_scale": np.zeros((ndim,), np_dtype),
     }
+    return jax.tree.map(jnp.asarray, host)
 
 
 def _layer_mask(i: int, ndim: int, dtype):

@@ -95,6 +95,27 @@ def _to_bounded(u, lo, hi):
     return x, logdet
 
 
+# Host (numpy) twins for the DRIVER loop: eager device calls of the above
+# pay a remote XLA compile per shape on some runtimes, and the final
+# history-collection shape differs every run.
+def _to_unbounded_np(x, lo, hi):
+    p = np.clip((x - lo) / (hi - lo), 1e-7, 1 - 1e-7)
+    return np.log(p) - np.log1p(-p)
+
+
+def _log_sigmoid_np(u):
+    return -np.logaddexp(0.0, -u)
+
+
+def _to_bounded_np(u, lo, hi):
+    sig = 1.0 / (1.0 + np.exp(-u))
+    x = lo + (hi - lo) * sig
+    logdet = np.sum(
+        np.log(hi - lo) + _log_sigmoid_np(u) + _log_sigmoid_np(-u), axis=-1
+    )
+    return x, logdet
+
+
 # -------------------------------------------------------------- core kernels
 
 
@@ -355,6 +376,7 @@ def run_smc(
     custom_prior=None,
     flow_config: FlowConfig = FlowConfig(),
     flow_fit_steps: int = 300,
+    flow_fit_steps_warm: int | None = None,
     max_iterations: int = 400,
 ) -> dict:
     """Run the preconditioned SMC sampler; see module docstring.
@@ -384,11 +406,14 @@ def run_smc(
     state = likelihood_state if likelihood_state is not None else ()
     ll_fn = log_likelihood
     dtype = prior_lo.dtype
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
     ndim = prior_lo.shape[0]
+    lo_np = np.asarray(prior_lo, dtype=np.float64)
+    hi_np = np.asarray(prior_hi, dtype=np.float64)
     rng = np.random.default_rng(seed)
     key = jax.random.PRNGKey(seed)
     log_prior_x = jnp.asarray(
-        -np.sum(np.log(np.asarray(prior_hi) - np.asarray(prior_lo))), dtype=dtype
+        -np.sum(np.log(hi_np - lo_np)), dtype=dtype
     )
 
     logger.info(
@@ -413,8 +438,8 @@ def run_smc(
             np.asarray(prior_hi) - 1e-9,
         )
     else:
-        x0 = rng.uniform(np.asarray(prior_lo), np.asarray(prior_hi), (n_prior, ndim))
-    u0 = _to_unbounded(jnp.asarray(x0, dtype=dtype), prior_lo, prior_hi)
+        x0 = rng.uniform(lo_np, hi_np, (n_prior, ndim))
+    u0 = jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype))
     _, logl0, _, logp_x0 = _eval_u(
         ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
     )
@@ -428,6 +453,7 @@ def run_smc(
 
     key, k_flow = jax.random.split(key)
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
+    flow_weights = jnp.asarray(np.ones(n_active, np_dtype))
     rho = jnp.asarray(0.5, dtype)
     nu_dev = jnp.asarray(1e6, dtype)
     cap = jnp.asarray(n_max_steps, jnp.int32)
@@ -448,18 +474,27 @@ def run_smc(
         MCMC-move, append."""
         nonlocal flow_params, rho, nu_dev, key, total_steps
         idx = _systematic_resample(rng, lw, n_active)
-        u_act = jnp.asarray(hu[idx], dtype=dtype)
+        u_np = hu[idx]
+        u_act = jnp.asarray(u_np, dtype=dtype)
         logl_act = jnp.asarray(hl[idx], dtype=dtype)
-        _, logdet_xu = _to_bounded(u_act, prior_lo, prior_hi)
-        logp_x_act = jnp.asarray(
-            np.concatenate(logp_h)[idx], dtype=dtype
+        _, logdet_xu = _to_bounded_np(u_np, lo_np, hi_np)
+        logp_u_act = jnp.asarray(
+            (np.concatenate(logp_h)[idx] + logdet_xu).astype(np_dtype)
         )
-        logp_u_act = logp_x_act + logdet_xu
 
         key, k_fit, k_mcmc = jax.random.split(key, 3)
+        # first fit trains from the identity flow and needs the full budget;
+        # subsequent fits warm-start from the previous iteration's flow on a
+        # slowly-shifting population (fit_flow re-whitens the pre-layer each
+        # call), so a fraction of the steps suffices -- the fit was 40% of
+        # SMC wall time at full budget (profiled on TPU)
+        warm = flow_fit_steps_warm
+        if warm is None:
+            warm = max(75, flow_fit_steps // 3)
+        steps_fit = flow_fit_steps if iteration <= 1 else warm
         flow_params, flow_loss = fit_flow(
-            flow_params, u_act, jnp.ones(n_active, dtype), k_fit,
-            config=flow_config, steps=flow_fit_steps,
+            flow_params, u_act, flow_weights, k_fit,
+            config=flow_config, steps=steps_fit,
         )
         if sample == "tpcn":
             z_act, _ = flow_forward(flow_params, u_act, flow_config)
@@ -528,10 +563,7 @@ def run_smc(
     w = np.exp(lw1 - lw1.max())
     weights = w / w.sum()
     ess_final = _ess(lw1)
-    x_all = np.asarray(
-        _to_bounded(jnp.asarray(hu, dtype=dtype), prior_lo, prior_hi)[0],
-        dtype=np.float64,
-    )
+    x_all = _to_bounded_np(hu, lo_np, hi_np)[0]
     logger.info(
         "SMC done: %d iterations, %d MCMC steps, %d particles, ESS %.0f",
         iteration, total_steps, len(hl), ess_final,
@@ -550,7 +582,7 @@ def run_smc(
         key, k_refit = jax.random.split(key)
         flow_params, _ = fit_flow(
             flow_params, jnp.asarray(hu[fit_idx], dtype=dtype),
-            jnp.ones(n_fit, dtype), k_refit,
+            jnp.asarray(np.ones(n_fit, np_dtype)), k_refit,
             config=flow_config, steps=flow_fit_steps,
         )
         key, k_ev = jax.random.split(key)
