@@ -10,17 +10,25 @@ fused ``posterior_with_state()`` program is what the samplers consume
 
 Measures and prints ONE JSON line on stdout (progress goes to stderr):
 
-- ``value``: ensemble-MCMC effective samples per second through
-  ``Chain.posterior_with_state()`` + ``run_ensemble`` -- the better of the
-  stretch and differential-evolution moves (ESS via integrated
-  autocorrelation time, emcee-style FFT estimator);
-- ``vs_baseline``: ratio of posterior-evaluation throughput against a
-  reference-style CPU evaluator built from the SAME trained emulators
-  (serial Python map over walkers; per-PC numpy GP predict; stitched
-  544x544 covariance factored with scipy LAPACK dpotrf/dpotrs, exactly
-  src/mcmc.py:23-65's kernel).  ESS-per-evaluation is a sampler property
-  independent of backend, so the ESS/sec ratio equals the
-  evaluation-throughput ratio.
+- ``value``: effective samples per second through
+  ``Chain.posterior_with_state()`` -- the best of the stretch move, the
+  differential-evolution move (``run_ensemble``), and the preconditioned
+  HMC sampler (``run_hmc``; gradients of the same fused program).  ESS via
+  integrated autocorrelation time (emcee-style FFT estimator).  Honesty
+  note: the ensemble moves' tau keeps growing with the measurement window
+  on this posterior (22 -> 87 from 256 -> 2048 steps), so their ESS/s at
+  the 1024-step window is an UPPER bound; HMC's tau ~ 1.9 is fully
+  converged at its window (>> 50 tau) and its wall clock includes the two
+  windowed-adaptation warmup phases.  HMC wins on both counts.
+- ``vs_baseline``: ratio of ENSEMBLE posterior-evaluation throughput
+  against a reference-style CPU evaluator built from the SAME trained
+  emulators (serial Python map over walkers; per-PC numpy GP predict;
+  stitched 544x544 covariance factored with scipy LAPACK dpotrf/dpotrs,
+  exactly src/mcmc.py:23-65's kernel).  ESS-per-evaluation is a sampler
+  property independent of backend, so for the like-for-like emcee-style
+  sampler the ESS/sec ratio equals this evaluation-throughput ratio; the
+  HMC headline (no reference counterpart: the reference posterior has no
+  gradients) makes the TRUE end-to-end ratio even larger.
 - secondary fields: ``gp_train_s`` (9-emulator GP training),
   ``evals_per_sec`` (posterior evaluations/s of the winning run),
   ``pallas_evals_per_sec`` (likelihood_mode='generic': the per-block dense
@@ -54,6 +62,9 @@ NEV = 1000
 NPC = 4
 NWALKERS = 1024
 NSTEPS = 1024
+HMC_STEPS = 512      # >> 50 * tau (~1.9): the tau estimate is converged
+HMC_WARMUP = 128     # per windowed-adaptation phase (two phases)
+HMC_LEAPFROG = 8
 CPU_BASELINE_WALKERS = 3
 
 
@@ -173,6 +184,43 @@ def bench_move(chain, move, dtype):
     return ess_per_sec, evals_per_sec, tau
 
 
+def bench_hmc(chain, dtype):
+    """Preconditioned HMC through the same fused posterior: ESS/s charged
+    with the FULL wall clock of a fresh adaptive run (2 x HMC_WARMUP
+    adaptation steps + HMC_STEPS production), compilation excluded."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.samplers.hmc import run_hmc
+
+    log_post, like_state = chain.posterior_with_state()
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
+    kwargs = dict(state=like_state, lo=chain.min, hi=chain.max,
+                  n_leapfrog=HMC_LEAPFROG, warmup=HMC_WARMUP)
+
+    log("[hmc] compiling sampler ...")
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, x0, HMC_STEPS, jax.random.PRNGKey(0), **kwargs)
+    np.asarray(res.final_state)
+    log(f"[hmc] compile+first adaptive run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, res.final_state, HMC_STEPS, jax.random.PRNGKey(1),
+                  **kwargs)
+    chain_arr = np.asarray(res.chain)  # (nwalkers, nsteps, ndim); syncs
+    dt = time.perf_counter() - t0
+
+    taus = [integrated_autocorr_time(chain_arr[:, :, d]) for d in range(NDIM)]
+    tau = float(np.max(taus))
+    ess_per_sec = (NWALKERS * HMC_STEPS / tau) / dt
+    acc = float(np.mean(np.asarray(res.acceptance)))
+    log(f"[hmc] {dt:.2f}s for {2 * HMC_WARMUP}+{HMC_STEPS} steps, "
+        f"max tau {tau:.2f} (converged: window {HMC_STEPS} >> 50 tau), "
+        f"ESS/sec {ess_per_sec:.1f}, acc {acc:.3f}, eps {res.step_size:.4f}")
+    return ess_per_sec, tau
+
+
 def bench_pallas_block_route(chain, dtype):
     """likelihood_mode='generic': per-block dense Cholesky through
     ops.pallas_mvn.mvn_loglike_best (the Pallas TPU kernel), checked against
@@ -254,9 +302,15 @@ def main():
     results = {}
     for move in ("stretch", "de"):
         results[move] = bench_move(chain, move, dtype)
-    best_move = max(results, key=lambda m: results[m][0])
-    ess_per_sec, evals_per_sec, tau = results[best_move]
-    log(f"best move: {best_move}")
+    best_ens = max(results, key=lambda m: results[m][0])
+    ens_ess, evals_per_sec, ens_tau = results[best_ens]
+
+    hmc_ess, hmc_tau = bench_hmc(chain, dtype)
+    if hmc_ess > ens_ess:
+        best_move, ess_per_sec, tau = "hmc", hmc_ess, hmc_tau
+    else:
+        best_move, ess_per_sec, tau = best_ens, ens_ess, ens_tau
+    log(f"best sampler: {best_move}")
 
     pallas_rate, pallas_rel = bench_pallas_block_route(chain, dtype)
 
@@ -279,7 +333,10 @@ def main():
         "unit": "effective samples/s",
         "vs_baseline": round(vs_baseline, 1),
         "move": best_move,
-        "tau": round(tau, 1),
+        "tau": round(tau, 2),
+        "ensemble_ess_per_sec": round(ens_ess, 1),
+        "ensemble_move": best_ens,
+        "hmc_ess_per_sec": round(hmc_ess, 1),
         "evals_per_sec": round(evals_per_sec, 0),
         "gp_train_s": round(gp_train_s, 1),
         "pallas_evals_per_sec": round(pallas_rate, 0),

@@ -636,9 +636,9 @@ class Chain:
 
         Exact gradients of the fused posterior program power leapfrog
         trajectories in a whitened, logit-unconstrained space; samples come
-        out nearly independent (tau ~ 1.7 on the flagship posterior vs ~40+
-        for the ensemble moves).  See :mod:`.hmc` for when to prefer this
-        over ``run_mcmc(move="de")``.  ``nburnsteps`` is the per-phase
+        out nearly independent (tau ~ 1.9 on the flagship posterior vs a
+        window-growing ~60-90+ for the ensemble moves) -- the measured
+        ESS/s winner (see :mod:`.hmc`).  ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
         size).  Writes the standard chain contract
         ``{"chain": (nwalkers, nsteps//nthin, ndim)}``.

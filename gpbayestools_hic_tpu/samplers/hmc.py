@@ -22,12 +22,13 @@ Design (standard windowed adaptation, all phases compiled ``lax.scan``s):
 - **Leapfrog length** ``n_leapfrog`` is fixed (static for XLA).
 
 Measured on the flagship 544-observable posterior (TPU v5e, 1024 walkers):
-``n_leapfrog=8`` reaches tau ~ 1.7 (vs ~39-58 for the DE ensemble move) at
-acceptance 0.80 -- near-iid draws -- with ESS/sec roughly TYING the DE move
-(gradients cost ~3x a forward pass, cancelling the tau advantage).  Use DE
-for raw ESS/sec on cheap posteriors; use HMC when per-sample quality
-matters (small walker budgets, short chains, expensive downstream
-processing of correlated samples).
+``n_leapfrog=8`` reaches tau ~ 1.9 at acceptance 0.80 -- near-iid draws --
+for **4054 ESS/sec** charging the full warmup wall clock, vs 2390 for the
+DE ensemble move.  The honest gap is even larger: ensemble-move tau keeps
+growing with the measurement window on this posterior (22.5/38.9/61.3/86.5
+at 256/512/1024/2048 steps -- the windowed estimate never converges), so
+DE's number is an upper bound while HMC's tau is converged (window >>
+50 tau).  Gradients cost ~3x a forward pass; the 30x+ tau reduction wins.
 """
 
 from __future__ import annotations
