@@ -27,7 +27,7 @@ def build_chain(mcmc_name: str) -> Chain:
     return chain
 
 
-def main(sampler: str = "pocoMC"):
+def main(sampler: str = "pocoMC"):  # pocoMC | emcee | PTLMC | HMC
     if sampler == "pocoMC":  # recommended (reference cell 4)
         chain = build_chain("chain_smc.pkl")
         chain.run_pocoMC(
@@ -40,6 +40,9 @@ def main(sampler: str = "pocoMC"):
     elif sampler == "PTLMC":  # reference cell 6
         chain = build_chain("chain_ptlmc.pkl")
         chain.run_MCMC_PTLMC(nsteps=1000, nwalkers=16, ntemps=30, maxtemp=100)
+    elif sampler == "HMC":  # beyond-reference: gradient-based, near-iid
+        chain = build_chain("chain_hmc.pkl")
+        chain.run_MCMC_HMC(nsteps=500, nwalkers=64, nburnsteps=128)
     else:
         raise SystemExit(f"unknown sampler {sampler}")
     print(f"{sampler} chain written under {DATA / 'mcmc'}")
