@@ -175,11 +175,15 @@ def bench_move(chain, move, dtype):
     evals_per_sec = steps_per_sec * NWALKERS
 
     chain_arr = np.asarray(res.chain)  # (nwalkers, nsteps, ndim)
-    taus = [integrated_autocorr_time(chain_arr[:, :, d]) for d in range(NDIM)]
+    taus, convs = zip(*(
+        integrated_autocorr_time(chain_arr[:, :, d], return_converged=True)
+        for d in range(NDIM)
+    ))
     tau = float(np.max(taus))
     ess_per_sec = (NWALKERS / tau) * steps_per_sec
+    conv_note = "" if all(convs) else " (window-limited: tau is a lower bound)"
     log(f"[{move}] {dt:.2f}s -> {steps_per_sec:.1f} steps/s, "
-        f"{evals_per_sec:.0f} evals/s, max tau {tau:.1f}, "
+        f"{evals_per_sec:.0f} evals/s, max tau {tau:.1f}{conv_note}, "
         f"ESS/sec {ess_per_sec:.1f}, acc {float(res.acceptance.mean()):.3f}")
     return ess_per_sec, evals_per_sec, tau
 
@@ -211,7 +215,10 @@ def bench_hmc(chain, dtype):
     chain_arr = np.asarray(res.chain)  # (nwalkers, nsteps, ndim); syncs
     dt = time.perf_counter() - t0
 
-    taus = [integrated_autocorr_time(chain_arr[:, :, d]) for d in range(NDIM)]
+    taus = [
+        integrated_autocorr_time(chain_arr[:, :, d], return_converged=True)[0]
+        for d in range(NDIM)
+    ]
     tau = float(np.max(taus))
     ess_per_sec = (NWALKERS * HMC_STEPS / tau) / dt
     acc = float(np.mean(np.asarray(res.acceptance)))

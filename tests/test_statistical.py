@@ -59,3 +59,31 @@ def test_ess_estimate_sane_on_iid_samples():
     chain = rng.normal(size=(8, 500, 2))
     ess = effective_sample_size(chain)
     assert ess > 0.5 * 8 * 500, ess
+
+
+def test_tau_convergence_flag():
+    """The windowed tau estimator flags short-chain (biased-low) estimates:
+    an AR(1) chain with tau ~ 200 measured over 256 steps is unreliable;
+    iid samples over the same window are fine."""
+    import warnings
+
+    from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
+
+    rng = np.random.default_rng(1)
+    # AR(1): x_t = phi x_{t-1} + e; tau = (1+phi)/(1-phi) ~ 199
+    phi, n = 0.99, 256
+    x = np.empty((8, n))
+    x[:, 0] = rng.normal(size=8)
+    for t in range(1, n):
+        x[:, t] = phi * x[:, t - 1] + np.sqrt(1 - phi**2) * rng.normal(size=8)
+    tau, ok = integrated_autocorr_time(x, return_converged=True)
+    assert not ok and tau > 5.0, (tau, ok)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        integrated_autocorr_time(x)
+    assert any("lower bound" in str(x.message) for x in w)
+
+    tau, ok = integrated_autocorr_time(
+        rng.normal(size=(8, 256)), return_converged=True
+    )
+    assert ok and tau < 3.0, (tau, ok)
