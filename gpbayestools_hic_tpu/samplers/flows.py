@@ -255,7 +255,7 @@ def flow_logprob(params, u, config: FlowConfig = FlowConfig()):
     return log_n + logdet
 
 
-@partial(jax.jit, static_argnames=("config", "steps"))
+@partial(jax.jit, static_argnames=("config", "steps", "patience"))
 def fit_flow(
     params,
     u: jnp.ndarray,
@@ -265,11 +265,16 @@ def fit_flow(
     config: FlowConfig = FlowConfig(),
     steps: int = 300,
     lr: float = 1e-3,
+    patience: int = 0,
 ):
     """Weighted maximum-likelihood fit on samples ``u`` (b, d).
 
     Re-initializes the whitening pre-layer from the weighted moments, then
-    runs ``steps`` full-batch Adam iterations (jitted scan).  Returns
+    runs up to ``steps`` full-batch Adam iterations.  With ``patience > 0``
+    the loop stops early (``lax.while_loop``) once the loss has not
+    improved on its best by more than 0.1% of |best| for ``patience``
+    consecutive steps -- warm-started refits inside the SMC loop plateau
+    quickly, and steps after the plateau are pure waste.  Returns
     (params, final_loss).
     """
     w = weights / jnp.sum(weights)
@@ -295,8 +300,7 @@ def fit_flow(
 
     opt_state = opt.init(params)
 
-    def step(carry, _):
-        p, s = carry
+    def adam_step(p, s):
         loss, grads = jax.value_and_grad(loss_fn)(p)
         # Freeze the whitening pre-layer: it is set from the data moments
         # above.  Letting the optimizer move pre_log_scale gives the model an
@@ -308,7 +312,35 @@ def fit_flow(
         grads["pre_log_scale"] = jnp.zeros_like(grads["pre_log_scale"])
         updates, s = opt.update(grads, s, p)
         p = optax.apply_updates(p, updates)
-        return (p, s), loss
+        return p, s, loss
 
-    (params, _), losses = lax.scan(step, (params, opt_state), None, length=steps)
-    return params, losses[-1]
+    if patience <= 0:
+        def step(carry, _):
+            p, s = carry
+            p, s, loss = adam_step(p, s)
+            return (p, s), loss
+
+        (params, _), losses = lax.scan(
+            step, (params, opt_state), None, length=steps
+        )
+        return params, losses[-1]
+
+    big = jnp.asarray(jnp.inf, u.dtype)
+
+    def cond(carry):
+        _, _, i, _, since, _ = carry
+        return (i < steps) & (since < patience)
+
+    def body(carry):
+        p, s, i, best, since, _ = carry
+        p, s, loss = adam_step(p, s)
+        improved = loss < best - 1e-3 * jnp.abs(best)
+        best = jnp.minimum(best, loss)
+        since = jnp.where(improved, 0, since + 1)
+        return p, s, i + 1, best, since, loss
+
+    params, _, _, _, _, last = lax.while_loop(
+        cond, body, (params, opt_state, jnp.asarray(0, jnp.int32), big,
+                     jnp.asarray(0, jnp.int32), big)
+    )
+    return params, last

@@ -377,6 +377,7 @@ def run_smc(
     flow_config: FlowConfig = FlowConfig(),
     flow_fit_steps: int = 300,
     flow_fit_steps_warm: int | None = None,
+    flow_fit_patience: int = 25,
     max_iterations: int = 400,
 ) -> dict:
     """Run the preconditioned SMC sampler; see module docstring.
@@ -494,7 +495,7 @@ def run_smc(
         steps_fit = flow_fit_steps if iteration <= 1 else warm
         flow_params, flow_loss = fit_flow(
             flow_params, u_act, flow_weights, k_fit,
-            config=flow_config, steps=steps_fit,
+            config=flow_config, steps=steps_fit, patience=flow_fit_patience,
         )
         if sample == "tpcn":
             z_act, _ = flow_forward(flow_params, u_act, flow_config)
@@ -584,6 +585,7 @@ def run_smc(
             flow_params, jnp.asarray(hu[fit_idx], dtype=dtype),
             jnp.asarray(np.ones(n_fit, np_dtype)), k_refit,
             config=flow_config, steps=flow_fit_steps,
+            patience=flow_fit_patience,
         )
         key, k_ev = jax.random.split(key)
         z = jax.random.normal(k_ev, (n_evidence, ndim), dtype)
