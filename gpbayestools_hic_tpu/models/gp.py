@@ -248,13 +248,21 @@ def gp_predict(
         )  # (n, m)
         mean = kstar.T @ alpha_vec
         # K^-1 k_* as a matmul (MXU) rather than a sequential triangular
-        # solve; see GPState.kinv.  Full precision is REQUIRED here even
-        # though it only feeds the variance: var = kdiag - sum(kstar * w) is
-        # a catastrophic cancellation of nearly equal O(1) quantities, so
-        # bf16's ~1e-2 product error becomes a ~30% variance error
-        # (measured), which the Woodbury likelihood amplifies through the
-        # dominant low-rank covariance term.
-        w = kinv @ kstar  # (n, m)
+        # solve; see GPState.kinv.  This is ~99% of the posterior-eval FLOPs
+        # (36 x (1000,1000)@(1000,512) per flagship walker batch), so its
+        # matmul precision IS the eval throughput -- and FULL precision is
+        # REQUIRED.  Measured ladder on TPU v5e (norm rel err of the product
+        # vs f64, then end-to-end posterior error via tools/tpu_validation):
+        #   default (1-pass bf16):  2.4e-3 product err -> ~30% variance err,
+        #           corrupted posterior (reverted in round 1);
+        #   high    (3-pass):       1.3e-5 product err, 1.18x faster end to
+        #           end (137 -> 162 ensemble steps/s) -- but the posterior
+        #           error blows up to max 2.21 / median 0.10 log-units
+        #           (tolerance 0.5): the Woodbury var = kdiag - sum
+        #           cancellation amplifies the product error ~40x.  REVERTED.
+        #   highest (6-pass):       8.6e-8 product err, max 0.049 log-units
+        #           posterior error.  This is the only acceptable setting.
+        w = kinv @ kstar  # (n, m)  [package-wide highest precision]
         if full_cov:
             kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
             cov = kqq - kstar.T @ w
