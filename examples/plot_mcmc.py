@@ -29,6 +29,7 @@ CHAIN_FILES = {  # sampler name -> pickle written by run_bayesian_analysis.py
     "SMC": "chain_smc.pkl",
     "ensemble": "chain_ensemble.pkl",
     "PTLMC": "chain_ptlmc.pkl",
+    "HMC": "chain_hmc.pkl",
 }
 
 

@@ -325,7 +325,9 @@ def fit_flow(
         )
         return params, losses[-1]
 
-    big = jnp.asarray(jnp.inf, u.dtype)
+    # large FINITE sentinel: with +inf, `best - tol*|best|` is inf-inf = NaN
+    # and the first step would never count as an improvement
+    big = jnp.asarray(jnp.finfo(u.dtype).max / 8, u.dtype)
 
     def cond(carry):
         _, _, i, _, since, _ = carry

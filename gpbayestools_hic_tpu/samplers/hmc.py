@@ -33,7 +33,7 @@ DE's number is an upper bound while HMC's tau is converged (window >>
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -52,6 +52,12 @@ class HMCResult(NamedTuple):
     precond_mu: np.ndarray    # (ndim,)
 
 
+@lru_cache(maxsize=64)
+def _stateless_wrapper(fn):
+    """Stable (state, x) adapter for a state-free log-prob function."""
+    return lambda _s, x: fn(x)
+
+
 def _u_to_x(u, tf, bounded):
     """Whitened-unbounded u -> parameter x, plus log|dx/du| (per sample)."""
     z = u @ tf["chol"].T + tf["mu"]
@@ -67,12 +73,10 @@ def _u_to_x(u, tf, bounded):
 
 def _x_to_u(x, lo, width, mu, chol):
     """Host-side inverse of :func:`_u_to_x` (numpy; used for starts)."""
+    from .smc import _to_unbounded_np  # shared clipped-logit transform
+
     x = np.asarray(x, dtype=np.float64)
-    if lo is not None:
-        frac = np.clip((x - lo) / width, 1e-7, 1 - 1e-7)
-        z = np.log(frac) - np.log1p(-frac)
-    else:
-        z = x
+    z = _to_unbounded_np(x, lo, lo + width) if lo is not None else x
     return np.linalg.solve(chol, (z - mu).T).T
 
 
@@ -199,8 +203,9 @@ def run_hmc(
     samples are returned in x-space.
     """
     if state is None:
-        base_fn = log_prob_fn
-        log_prob_fn = lambda _s, x: base_fn(x)  # noqa: E731
+        # cached wrapper: a fresh lambda per call would be a new static-arg
+        # hash for _hmc_scan's jit, recompiling all three phases every call
+        log_prob_fn = _stateless_wrapper(log_prob_fn)
         state = ()
     x0 = jnp.asarray(x0)
     dtype = x0.dtype

@@ -97,7 +97,9 @@ def _to_bounded(u, lo, hi):
 
 # Host (numpy) twins for the DRIVER loop: eager device calls of the above
 # pay a remote XLA compile per shape on some runtimes, and the final
-# history-collection shape differs every run.
+# history-collection shape differs every run.  (samplers/hmc.py reuses
+# _to_unbounded_np for its walker starts -- keep the two transforms in
+# sync with the jax forms above.)
 def _to_unbounded_np(x, lo, hi):
     p = np.clip((x - lo) / (hi - lo), 1e-7, 1 - 1e-7)
     return np.log(p) - np.log1p(-p)
@@ -108,8 +110,9 @@ def _log_sigmoid_np(u):
 
 
 def _to_bounded_np(u, lo, hi):
-    sig = 1.0 / (1.0 + np.exp(-u))
-    x = lo + (hi - lo) * sig
+    from scipy.special import expit  # overflow-stable sigmoid
+
+    x = lo + (hi - lo) * expit(u)
     logdet = np.sum(
         np.log(hi - lo) + _log_sigmoid_np(u) + _log_sigmoid_np(-u), axis=-1
     )

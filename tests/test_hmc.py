@@ -84,6 +84,18 @@ def test_hmc_deterministic_given_seed():
     np.testing.assert_array_equal(np.asarray(r1.chain), np.asarray(r2.chain))
     assert r1.step_size == r2.step_size
 
+    # state-free form: the cached adapter must give identical results (and a
+    # stable jit key -- a fresh lambda per call would recompile every run)
+    def log_prob_nostate(x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    r3 = run_hmc(log_prob_nostate, x0, 50, jax.random.PRNGKey(6), warmup=32)
+    np.testing.assert_array_equal(np.asarray(r1.chain), np.asarray(r3.chain))
+    from gpbayestools_hic_tpu.samplers.hmc import _stateless_wrapper
+    assert _stateless_wrapper(log_prob_nostate) is _stateless_wrapper(
+        log_prob_nostate
+    )
+
 
 def test_chain_run_hmc_contract(tmp_path):
     """Chain.run_MCMC_HMC writes the standard chain pickle and the samples
