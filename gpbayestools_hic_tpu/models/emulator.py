@@ -357,16 +357,27 @@ class Emulator:
                 cov = jax.vmap(jnp.diag)((fstd * mean) ** 2)
             return mean, cov
 
-        def pc_core(state, x):
-            x = transform_x(state, x)
-            gp_mean, gp_var = gp_predict(state["gp_state"], x, config=gp_config)
-            gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
-            scaler = state["scaler"]
-            if no_pca:
-                mean = gp_mean * scaler.scale + scaler.mean
-            else:
-                mean = gp_mean @ state["trans_matrix"][:npc_used] + scaler.mean
-            return mean, gp_var
+        def make_pc_core(fast_grad):
+            def pc_core(state, x):
+                x = transform_x(state, x)
+                gp_mean, gp_var = gp_predict(
+                    state["gp_state"], x, config=gp_config, fast_grad=fast_grad
+                )
+                gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
+                scaler = state["scaler"]
+                if no_pca:
+                    mean = gp_mean * scaler.scale + scaler.mean
+                else:
+                    mean = gp_mean @ state["trans_matrix"][:npc_used] + scaler.mean
+                return mean, gp_var
+
+            return pc_core
+
+        pc_core = make_pc_core(False)
+        # reverse-mode-optimized variant for the sampling likelihood (HMC/
+        # Langevin gradients); NOT jacfwd-compatible -- sensitivity analysis
+        # keeps the vanilla pc_core (see gp._quad_mean_var)
+        pc_core_fastgrad = make_pc_core(True)
 
         def predict_diag(state, x):
             mean, gp_var = pc_core(state, x)
@@ -383,6 +394,7 @@ class Emulator:
         self.predict_state = self._collect_predict_state()
         self.predict_fn_pure = predict_fn
         self.predict_pc_pure = pc_core
+        self.predict_pc_pure_fastgrad = pc_core_fastgrad
         self.predict_diag_pure = predict_diag
         self._predict_jit = jax.jit(predict_fn)
         self._predict_pc_jit = jax.jit(pc_core)

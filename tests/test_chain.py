@@ -266,3 +266,28 @@ def test_unknown_move_raises():
     x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2))
     with pytest.raises(ValueError):
         run_ensemble(log_prob, x0, 2, jax.random.PRNGKey(1), move="banana")
+
+
+def test_posterior_gradient_matches_finite_difference(chain_setup):
+    """The sampling likelihood uses the custom-VJP fast-gradient predict
+    (gp._quad_mean_var); its reverse gradient through the full Woodbury
+    posterior must match central finite differences."""
+    chain, _, _ = chain_setup
+    log_post, state = chain.posterior_with_state()
+
+    theta = jnp.asarray([[0.55, 0.45, 0.6]], dtype=jnp.float64)
+    g = np.asarray(
+        jax.grad(lambda t: jnp.sum(log_post(state, t)))(theta)
+    )[0]
+
+    h = 1e-6
+    fd = np.empty(3)
+    for d in range(3):
+        up = np.array(theta, dtype=np.float64)
+        dn = np.array(theta, dtype=np.float64)
+        up[0, d] += h
+        dn[0, d] -= h
+        lp_up = float(log_post(state, jnp.asarray(up))[0])
+        lp_dn = float(log_post(state, jnp.asarray(dn))[0])
+        fd[d] = (lp_up - lp_dn) / (2 * h)
+    np.testing.assert_allclose(g, fd, rtol=5e-5, atol=1e-4)

@@ -137,3 +137,42 @@ def test_gp_sample_moments(rng):
     mean, var = gp_predict(state, jnp.asarray(xq), config=GPConfig())
     np.testing.assert_allclose(samples[0].mean(axis=1), mean[0], atol=0.05)
     np.testing.assert_allclose(samples[0].var(axis=1), var[0], rtol=0.2, atol=0.01)
+
+
+def test_gp_predict_fast_grad_parity(rng):
+    """fast_grad=True (custom-VJP quadratic form) must give identical
+    values AND identical reverse-mode gradients to the vanilla path --
+    it only restructures the backward matmul (gp._quad_mean_var)."""
+    x, y = _toy_data(rng)
+    state = gp_fit(jnp.asarray(x), jnp.asarray(y)[None, :], jnp.ones(3),
+                   config=GPConfig(), maxiter=20)
+    xq = jnp.asarray(rng.uniform(0.1, 0.9, size=(7, 3)))
+
+    m0, v0 = gp_predict(state, xq, config=GPConfig())
+    m1, v1 = gp_predict(state, xq, config=GPConfig(), fast_grad=True)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v0), rtol=1e-10)
+
+    def scalar(fast):
+        def f(q):
+            m, v = gp_predict(state, q, config=GPConfig(), fast_grad=fast)
+            return jnp.sum(jnp.sin(m)) + jnp.sum(jnp.log1p(v))
+        return f
+
+    g0 = jax.grad(scalar(False))(xq)
+    g1 = jax.grad(scalar(True))(xq)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9,
+                               atol=1e-12)
+
+    # state-side cotangents are exact too (alpha_vec/kinv enter the VJP)
+    def wrt_state(fast):
+        def f(alpha):
+            st = state._replace(alpha_vec=alpha)
+            m, v = gp_predict(st, xq, config=GPConfig(), fast_grad=fast)
+            return jnp.sum(m * v)
+        return f
+
+    ga0 = jax.grad(wrt_state(False))(state.alpha_vec)
+    ga1 = jax.grad(wrt_state(True))(state.alpha_vec)
+    np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga0), rtol=1e-9,
+                               atol=1e-12)
