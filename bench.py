@@ -286,10 +286,11 @@ def bench_smc(chain):
     log(f"[smc] {dt:.1f}s, {len(w)} weighted samples, ESS {ess:.0f}, "
         f"logz={out['logz']:.2f}+-{out['logz_err']:.3f}")
     # posterior clustering on an unweighted resample (C18 parity)
-    rng = np.random.default_rng(0)
-    idx = rng.choice(len(w), size=2000, p=w)
+    from gpbayestools_hic_tpu.utils import resample_weighted
+
+    samples = resample_weighted(out["chain"], w, n=2000, seed=0)
     centers, _, inertia = kmeans(
-        jnp.asarray(out["chain"][idx]), 3, key=jax.random.PRNGKey(0)
+        jnp.asarray(samples), 3, key=jax.random.PRNGKey(0)
     )
     log(f"[smc] posterior k-means: inertia {float(inertia):.1f}")
     return dt, float(out["logz"])

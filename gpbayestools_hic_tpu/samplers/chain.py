@@ -643,7 +643,10 @@ class Chain:
         trajectories in a whitened, logit-unconstrained space; samples come
         out nearly independent (tau ~ 1.9 on the flagship posterior vs a
         window-growing ~60-90+ for the ensemble moves) -- the measured
-        ESS/s winner (see :mod:`.hmc`).  ``nburnsteps`` is the per-phase
+        ESS/s winner (see :mod:`.hmc`).  Best suited to unimodal
+        posteriors: like any single-chain gradient kernel it will not hop
+        between well-separated modes (use ``run_pocoMC`` for those).
+        ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
         size).  Writes the standard chain contract
         ``{"chain": (nwalkers, nsteps//nthin, ndim)}``.

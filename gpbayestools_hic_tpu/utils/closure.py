@@ -38,6 +38,35 @@ def percentile_params(
     return out
 
 
+def resample_weighted(
+    chain: np.ndarray,
+    weights: np.ndarray,
+    n: int | None = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Unweighted equal-weight resample of a weighted (SMC) posterior.
+
+    Systematic resampling (lower variance than multinomial) of ``n``
+    samples (default: the weight ESS, rounded) proportional to ``weights``.
+    Use when a downstream tool expects an unweighted chain; expectations
+    should still prefer ``np.average(..., weights=...)`` on the full
+    weighted chain.
+    """
+    flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
+    w = np.asarray(weights, dtype=np.float64).reshape(-1)
+    if w.shape[0] != flat.shape[0]:
+        raise ValueError(
+            f"weights length {w.shape[0]} != {flat.shape[0]} samples"
+        )
+    w = w / w.sum()
+    if n is None:
+        n = max(int(round(1.0 / np.sum(w**2))), 1)
+    rng = np.random.default_rng(seed)
+    positions = (rng.random() + np.arange(n)) / n
+    idx = np.searchsorted(np.cumsum(w), positions).clip(0, len(w) - 1)
+    return flat[idx]
+
+
 def posterior_predictive(
     chain: np.ndarray,
     emulators,

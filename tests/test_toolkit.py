@@ -204,6 +204,25 @@ def test_weighted_percentile_params(rng):
         percentile_params(x, weights=wts[:10])
 
 
+def test_resample_weighted_recovers_target_moments(rng):
+    from gpbayestools_hic_tpu.utils import resample_weighted
+
+    # N(0,1) draws importance-weighted toward N(1,1)
+    x = rng.normal(size=(100_000, 2))
+    lw = x[:, 0] - 0.5
+    w = np.exp(lw - lw.max())
+    out = resample_weighted(x, w, n=50_000, seed=1)
+    assert out.shape == (50_000, 2)
+    np.testing.assert_allclose(out[:, 0].mean(), 1.0, atol=0.03)
+    np.testing.assert_allclose(out[:, 0].std(), 1.0, atol=0.03)
+    np.testing.assert_allclose(out[:, 1].mean(), 0.0, atol=0.03)
+    # default n = weight ESS
+    ess = 1.0 / np.sum((w / w.sum()) ** 2)
+    assert abs(resample_weighted(x, w).shape[0] - ess) < 2
+    with pytest.raises(ValueError):
+        resample_weighted(x, w[:5])
+
+
 def test_delete_parameters_from_pickle(tmp_path, rng, training_pickle_factory):
     from gpbayestools_hic_tpu.utils.io import (
         delete_parameters_from_pickle,
