@@ -67,7 +67,7 @@ def build_synthetic_chain(
 
     Returns ``(chain, gp_train_seconds)``.
     """
-    from ..models import Emulator
+    from ..models import Emulator, train_emulators_jointly
     from ..samplers import Chain
 
     tmpdir = tmpdir or tempfile.mkdtemp(prefix="synthetic_chain_")
@@ -77,7 +77,6 @@ def build_synthetic_chain(
     parfile = write_parameter_file(os.path.join(tmpdir, "pars.txt"), ndim)
 
     emus, exp_blocks = [], []
-    gp_train_s = 0.0
     for b, nobs in enumerate(nobs_blocks):
         freqs = rng.uniform(*freq_range, size=(ndim, nobs))
         base = 2.0 + np.sin(design @ freqs)
@@ -85,12 +84,15 @@ def build_synthetic_chain(
             os.path.join(tmpdir, f"train{b}.pkl"),
             design, base, train_err_frac * np.abs(base),
         )
-        emu = Emulator(pkl, parfile, npc=npc, gp_maxiter=gp_maxiter)
-        t0 = time.perf_counter()
-        emu.trainEmulatorAutoMask()
-        gp_train_s += time.perf_counter() - t0
-        emus.append(emu)
+        emus.append(Emulator(pkl, parfile, npc=npc, gp_maxiter=gp_maxiter))
         exp_blocks.append(2.0 + np.sin(truth @ freqs))
+
+    # all blocks share the design, so the whole ensemble trains as ONE
+    # batched GP fit (models/joint.py) -- identical results to per-emulator
+    # trainEmulatorAutoMask, one device program instead of len(blocks)
+    t0 = time.perf_counter()
+    train_emulators_jointly(emus)
+    gp_train_s = time.perf_counter() - t0
 
     exp_mean = np.concatenate(exp_blocks)
     exp_pkl = write_exp_pickle(
