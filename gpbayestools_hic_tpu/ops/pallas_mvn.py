@@ -57,6 +57,12 @@ def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
     """
     chunk = a_ref.shape[0]
     col_ids = lax.broadcasted_iota(jnp.int32, (chunk, np_pad), dimension=1)
+    # Rows > n are inert identity padding: row r > n has zeros in every
+    # column <= n, so u_r = 0 and the rank-1 update never touches it.
+    # Restricting the update to the first sublane-aligned `rows` rows is
+    # EXACT and skips up to (np_pad - rows)/np_pad of the work (the lane
+    # padding 170 -> 256 at flagship shapes costs 31% otherwise).
+    rows = min(_round_up(n + 1, 8), np_pad)
 
     def body(k, logdet_half):
         row = a_ref[:, k, :]  # (chunk, np_pad) -- symmetric: row k == col k
@@ -65,8 +71,12 @@ def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
         pivot = jnp.sum(jnp.where(col_ids == k, row, 0.0), axis=1)  # (chunk,)
         logdet_half = logdet_half + 0.5 * jnp.log(pivot)
         u = jnp.where(col_ids > k, row, 0.0)  # eliminate only trailing rows
-        a_ref[:, :, :] = a_ref[:, :, :] - (
-            u[:, :, None] * (u[:, None, :] / pivot[:, None, None])
+        # row factor: lane-vector u moved onto the sublane axis FIRST, then
+        # sublane-sliced to `rows` (a direct lane slice to a non-multiple of
+        # 128 is not lowerable)
+        u_rows = u[:, :, None][:, :rows, :]
+        a_ref[:, :rows, :] = a_ref[:, :rows, :] - (
+            u_rows * (u[:, None, :] / pivot[:, None, None])
         )
         return logdet_half
 
