@@ -291,3 +291,13 @@ def test_posterior_gradient_matches_finite_difference(chain_setup):
         lp_dn = float(log_post(state, jnp.asarray(dn))[0])
         fd[d] = (lp_up - lp_dn) / (2 * h)
     np.testing.assert_allclose(g, fd, rtol=5e-5, atol=1e-4)
+
+
+def test_log_likelihood_point_by_point_alias(chain_setup, rng):
+    """API-parity alias (reference loops per point, src/mcmc.py:225-258);
+    here it must equal the batch path exactly."""
+    chain, _, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(6, 3))
+    np.testing.assert_array_equal(
+        chain.log_likelihood_point_by_point(X), chain.log_likelihood(X)
+    )

@@ -323,3 +323,15 @@ def test_weighted_metrics_and_plots(rng, tmp_path):
         corner_plot([samples, samples], weights=w)
     with pytest.raises(ValueError, match="entries"):
         corner_plot([samples, samples], weights=[w])
+
+
+def test_emulator_diagnostics_surface(trained_emulator):
+    """Reference-parity diagnostic methods (src/emulator.py:244-249,
+    418-421): PCA-vs-parameter scores and average training relative error."""
+    design, z_t = trained_emulator.outputPCAvsParam()
+    assert design.shape[0] == z_t.shape[1]  # one score row per PC
+    assert z_t.shape[0] <= trained_emulator.npc
+    assert np.isfinite(z_t).all()
+    rel = trained_emulator.getAvgTrainingDataRelError()
+    assert rel.shape == (trained_emulator.nobs,)
+    assert np.all(rel >= 0) and np.all(rel < 0.1)  # 1% synthetic errors
