@@ -352,11 +352,12 @@ def _next_beta(logl_clean, log_mix, beta, n_effective):
 
 
 def _systematic_resample(rng, log_w, n):
+    """Systematic resample from LOG-weights (shared core lives in
+    utils.closure.systematic_resample_indices)."""
+    from ..utils.closure import systematic_resample_indices
+
     log_w = np.nan_to_num(np.asarray(log_w, dtype=np.float64), neginf=-1e300)
-    w = np.exp(log_w - log_w.max())
-    w = w / w.sum()
-    positions = (rng.random() + np.arange(n)) / n
-    return np.searchsorted(np.cumsum(w), positions).clip(0, len(w) - 1)
+    return systematic_resample_indices(rng, np.exp(log_w - log_w.max()), n)
 
 
 # -------------------------------------------------------------------- driver

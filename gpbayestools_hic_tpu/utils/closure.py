@@ -38,6 +38,27 @@ def percentile_params(
     return out
 
 
+def systematic_resample_indices(
+    rng: np.random.Generator, weights: np.ndarray, n: int
+) -> np.ndarray:
+    """Indices of a systematic resample proportional to linear ``weights``.
+
+    The single implementation of the algorithm (the SMC sampler converts
+    its log-weights and calls this too).  Validates the weights: silent
+    corruption from negative/NaN/zero-sum weights (e.g. LOG-weights passed
+    by mistake) becomes a ValueError.
+    """
+    w = np.asarray(weights, dtype=np.float64).reshape(-1)
+    if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
+        raise ValueError(
+            "weights must be finite, nonnegative, and sum to > 0 "
+            "(log-weights? exponentiate first)"
+        )
+    w = w / w.sum()
+    positions = (rng.random() + np.arange(n)) / n
+    return np.searchsorted(np.cumsum(w), positions).clip(0, len(w) - 1)
+
+
 def resample_weighted(
     chain: np.ndarray,
     weights: np.ndarray,
@@ -58,12 +79,15 @@ def resample_weighted(
         raise ValueError(
             f"weights length {w.shape[0]} != {flat.shape[0]} samples"
         )
-    w = w / w.sum()
     if n is None:
-        n = max(int(round(1.0 / np.sum(w**2))), 1)
-    rng = np.random.default_rng(seed)
-    positions = (rng.random() + np.arange(n)) / n
-    idx = np.searchsorted(np.cumsum(w), positions).clip(0, len(w) - 1)
+        if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
+            raise ValueError(
+                "weights must be finite, nonnegative, and sum to > 0 "
+                "(log-weights? exponentiate first)"
+            )
+        s = w / w.sum()
+        n = max(int(round(1.0 / np.sum(s**2))), 1)
+    idx = systematic_resample_indices(np.random.default_rng(seed), w, n)
     return flat[idx]
 
 

@@ -335,3 +335,18 @@ def test_emulator_diagnostics_surface(trained_emulator):
     rel = trained_emulator.getAvgTrainingDataRelError()
     assert rel.shape == (trained_emulator.nobs,)
     assert np.all(rel >= 0) and np.all(rel < 0.1)  # 1% synthetic errors
+
+
+def test_resample_weighted_rejects_invalid_weights(rng):
+    from gpbayestools_hic_tpu.utils import resample_weighted
+
+    x = rng.normal(size=(100, 2))
+    for bad in (
+        -np.abs(rng.normal(size=100)),          # negative (log-weights?)
+        np.full(100, np.nan),                    # NaN
+        np.zeros(100),                           # zero-sum
+    ):
+        with pytest.raises(ValueError):
+            resample_weighted(x, bad)
+        with pytest.raises(ValueError):
+            resample_weighted(x, bad, n=10)
