@@ -30,21 +30,27 @@ def main():
     with open(DATA / "mcmc" / "chain_smc.pkl", "rb") as f:
         chain_data = pickle.load(f)
     chain = chain_data["chain"]
+    # the SMC chain is the WEIGHTED persistent-sampling history: every
+    # metric/plot must consume the weights or it summarizes the prior-
+    # contaminated mixture instead of the posterior
+    weights = chain_data.get("weights")
 
-    pct = percentile_params(chain)
+    pct = percentile_params(chain, weights=weights)
     print("16/50/84 percentiles:\n", np.round(pct, 3))
-    dd = delta_d(chain, truth, np.zeros(truth.size), np.ones(truth.size))
+    dd = delta_d(chain, truth, np.zeros(truth.size), np.ones(truth.size),
+                 weights=weights)
     print(f"closure metric Delta_d = {dd:.4f} (small is good)")
 
     emus = [
         Emulator.load(DATA / f"emulator_sklearn_{g}.sav") for g in GROUPS
     ]
-    preds = posterior_predictive(chain, emus, n_draws=15)
+    preds = posterior_predictive(chain, emus, n_draws=15, weights=weights)
     with open(DATA / "exp_data.pkl", "rb") as f:
         exp = pickle.load(f)["0"]["obs"]
     observables_plot(preds, exp[0], exp[1], fig_path=DATA / "closure_ppc.png")
-    trace_plot(chain, fig_path=DATA / "trace.png")
-    corner_plot(chain, truths=truth, fig_path=DATA / "corner.png")
+    trace_plot(chain, weights=weights, fig_path=DATA / "trace.png")
+    corner_plot(chain, truths=truth, weights=weights,
+                fig_path=DATA / "corner.png")
     print(f"plots written to {DATA}/")
 
 

@@ -309,12 +309,15 @@ class Emulator:
             st["cov_trunc_diag"] = np.diagonal(np.asarray(self._cov_trunc))
         if self.parameterTrafoPCA_:
             st["pp_packed"] = pack_param_pca(self.param_pca_state)
-        # one device upload for everything (training prep is host numpy)
-        return jax.tree.map(
-            lambda a: jnp.asarray(a, dtype=self._dtype)
-            if np.asarray(a).dtype.kind == "f" else jnp.asarray(a),
-            st,
-        )
+        # one device upload for everything (training prep is host numpy).
+        # dtype probed WITHOUT np.asarray: that would copy already-on-device
+        # leaves (kinv is ~16 MB per flagship emulator) back to host just to
+        # read .dtype.
+        def _upload(a):
+            kind = np.dtype(getattr(a, "dtype", np.result_type(a))).kind
+            return jnp.asarray(a, dtype=self._dtype if kind == "f" else None)
+
+        return jax.tree.map(_upload, st)
 
     def _build_predict_fn(self):
         """Assemble the fused predict programs (jitted once per training)."""
@@ -548,8 +551,9 @@ class Emulator:
 
     def outputPCAvsParam(self):
         """Return (design_points, PC scores^T) for diagnostics
-        (reference: src/emulator.py:244-249)."""
-        data = jnp.asarray(self.model_data, dtype=self._dtype)
+        (reference: src/emulator.py:244-249).  Host numpy throughout --
+        eager device ops pay a remote compile on this runtime."""
+        data = np.asarray(self.model_data, dtype=np.float64)
         scaler = fit_standard_scaler(data)
         pca = fit_pca(scaler_transform(scaler, data), whiten=True)
         npc_used = min(self.npc, pca.components.shape[0])
@@ -575,7 +579,8 @@ class Emulator:
         columns (n_train, mean train R^2, mean test R^2).
         """
         dtype = self._dtype
-        data = jnp.asarray(self.model_data, dtype=dtype)
+        # scaler/PCA prep in host numpy (training-prep rule; see CLAUDE.md)
+        data = np.asarray(self.model_data, dtype=np.float64)
         scaler = fit_standard_scaler(data)
         pca = fit_pca(scaler_transform(scaler, data), whiten=True)
         npc_used = min(self.npc, pca.components.shape[0])

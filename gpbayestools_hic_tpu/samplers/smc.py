@@ -157,20 +157,30 @@ def _estimate_dof(z: jnp.ndarray) -> jnp.ndarray:
     pocoMC fits the latent distribution's degrees of freedom each iteration;
     a coarse grid picks between heavy tails and Gaussian (nu = 1e6 ~
     Gaussian pCN).  Runs on device: no host round-trip of the latent batch.
+
+    The nu-only normalization ``gammaln((nu+d)/2) - gammaln(nu/2)
+    - d/2 log(nu)`` is precomputed on the HOST in float64 at trace time
+    (the grid is static): in f32 it is a difference of ~1e6-magnitude
+    values whose rounding noise (~1) is as large as the O(1) likelihood
+    gaps between grid points, which made the argmax flip at random.
     """
-    from jax.scipy.special import gammaln
+    from scipy.special import gammaln as gammaln_np
 
     z2 = jnp.sum(z**2, axis=1)
     d = z.shape[1]
+    grid_np = np.asarray(_DOF_GRID, dtype=np.float64)
+    const_np = (
+        gammaln_np((grid_np + d) / 2)
+        - gammaln_np(grid_np / 2)
+        - 0.5 * d * np.log(grid_np)
+    )
     grid = jnp.asarray(_DOF_GRID, dtype=z.dtype)
+    const = jnp.asarray(const_np, dtype=z.dtype)
 
-    def ll(nu):
-        return (
-            gammaln((nu + d) / 2) - gammaln(nu / 2) - 0.5 * d * jnp.log(nu)
-            - 0.5 * (nu + d) * jnp.mean(jnp.log1p(z2 / nu))
-        )
+    def ll(nu, c):
+        return c - 0.5 * (nu + d) * jnp.mean(jnp.log1p(z2 / nu))
 
-    lls = jax.vmap(ll)(grid)
+    lls = jax.vmap(ll)(grid, const)
     return grid[jnp.argmax(lls)]
 
 

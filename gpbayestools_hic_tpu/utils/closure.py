@@ -96,19 +96,32 @@ def posterior_predictive(
     emulators,
     n_draws: int = 15,
     seed: int = 0,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Propagate random posterior samples through the emulators.
 
     Returns predictions (n_draws, nobs_total) concatenated across emulators
     in order (reference cell 4 uses ``Chain._predict``).
     ``emulators`` may be a list of emulator objects or a Chain (its loaded
-    ensemble is used).
+    ensemble is used).  ``weights``: per-sample importance weights -- pass
+    the SMC sampler's weights, or its persistent-sampling history (which
+    contains near-zero-weight prior-born particles) would be sampled
+    uniformly and yield a PRIOR predictive.
     """
     if hasattr(emulators, "emuList"):
         emulators = emulators.emuList
     flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
     rng = np.random.default_rng(seed)
-    idx = rng.choice(flat.shape[0], size=n_draws, replace=False)
+    if weights is not None:
+        w = np.asarray(weights, dtype=np.float64).reshape(-1)
+        if w.shape[0] != flat.shape[0]:
+            raise ValueError(
+                f"weights length {w.shape[0]} != {flat.shape[0]} samples"
+            )
+        idx = rng.choice(flat.shape[0], size=n_draws, replace=True,
+                         p=w / w.sum())
+    else:
+        idx = rng.choice(flat.shape[0], size=n_draws, replace=False)
     thetas = flat[idx]
     preds = [e.predict(thetas, return_cov=False) for e in emulators]
     return np.concatenate(preds, axis=1)

@@ -48,6 +48,25 @@ def _flat(chain):
     return chain.reshape(-1, chain.shape[-1])
 
 
+def _axis_limits(flats, wts, d):
+    """Per-dimension plot limits.  Weighted chains use weighted 0.1/99.9
+    percentiles: an SMC persistent-sampling history contains prior-born
+    particles with ~zero weight spanning the whole prior box, and raw
+    min/max limits would collapse a tight posterior into a few bins."""
+    lo, hi = np.inf, -np.inf
+    for f, w in zip(flats, wts):
+        x = f[:, d]
+        if w is None:
+            lo, hi = min(lo, x.min()), max(hi, x.max())
+            continue
+        order = np.argsort(x)
+        cdf = np.cumsum(w[order])
+        cdf = cdf / cdf[-1]
+        lo = min(lo, np.interp(0.001, cdf, x[order]))
+        hi = max(hi, np.interp(0.999, cdf, x[order]))
+    return lo, hi
+
+
 def trace_plot(chain, labels=None, bins=50, fig_path=None, weights=None):
     """Per-parameter marginal histograms (PlotMCMC.ipynb cell 3).
 
@@ -65,7 +84,8 @@ def trace_plot(chain, labels=None, bins=50, fig_path=None, weights=None):
     )
     for d in range(ndim):
         ax = axes[d // ncols][d % ncols]
-        ax.hist(flat[:, d], bins=bins, color=CATEGORICAL[0],
+        rng_d = _axis_limits([flat], [weights], d)
+        ax.hist(flat[:, d], bins=bins, range=rng_d, color=CATEGORICAL[0],
                 histtype="stepfilled", alpha=0.85, zorder=2, weights=weights)
         ax.set_xlabel(labels[d] if labels else f"p{d}", color=_TEXT)
         ax.set_yticks([])
@@ -122,13 +142,7 @@ def corner_plot(
     fig, axes = plt.subplots(
         ndim, ndim, figsize=(1.9 * ndim, 1.9 * ndim), squeeze=False
     )
-    lims = [
-        (
-            min(f[:, d].min() for f in flats),
-            max(f[:, d].max() for f in flats),
-        )
-        for d in range(ndim)
-    ]
+    lims = [_axis_limits(flats, wts, d) for d in range(ndim)]
     for i in range(ndim):
         for j in range(ndim):
             ax = axes[i][j]
