@@ -292,14 +292,14 @@ class Emulator:
         """Device pytree of everything the predict programs need.
 
         The GPState is trimmed to the leaves gp_predict actually reads
-        (params/x/kinv/alpha_vec): shipping chol/y/lml would pin an unused
+        (params/x/linv/alpha_vec): shipping chol/y/lml would pin an unused
         extra ~(b, n, n) buffer per emulator (flagship: ~16 MB x 9) in every
         jitted-call pytree."""
         gs = self.gp_state
         empty = jnp.zeros((0,), dtype=self._dtype)
         slim = GPState(
             params=gs.params, x=gs.x, y=empty, chol=empty,
-            alpha_vec=gs.alpha_vec, kinv=gs.kinv, lml=empty,
+            alpha_vec=gs.alpha_vec, linv=gs.linv, lml=empty,
         )
         st = {"gp_state": slim, "scaler": self.scaler}
         if not self.perform_no_PCA_:
@@ -311,7 +311,7 @@ class Emulator:
             st["pp_packed"] = pack_param_pca(self.param_pca_state)
         # one device upload for everything (training prep is host numpy).
         # dtype probed WITHOUT np.asarray: that would copy already-on-device
-        # leaves (kinv is ~16 MB per flagship emulator) back to host just to
+        # leaves (linv is ~16 MB per flagship emulator) back to host just to
         # read .dtype.
         def _upload(a):
             kind = np.dtype(getattr(a, "dtype", np.result_type(a))).kind
@@ -379,7 +379,7 @@ class Emulator:
         pc_core = make_pc_core(False)
         # reverse-mode-optimized variant for the sampling likelihood (HMC/
         # Langevin gradients); NOT jacfwd-compatible -- sensitivity analysis
-        # keeps the vanilla pc_core (see gp._quad_mean_var)
+        # keeps the vanilla pc_core (see gp._norm_mean_var)
         pc_core_fastgrad = make_pc_core(True)
 
         def predict_diag(state, x):
@@ -660,7 +660,7 @@ class Emulator:
             "gp_y": self.gp_state.y,
             "gp_chol": self.gp_state.chol,
             "gp_alpha": self.gp_state.alpha_vec,
-            "gp_kinv": self.gp_state.kinv,
+            "gp_linv": self.gp_state.linv,
             "gp_lml": self.gp_state.lml,
             "scaler": self.scaler,
             "pca": self.pca,
@@ -728,13 +728,28 @@ class Emulator:
             ParamPCAGroup(**g) for g in meta["param_pca_groups"]
         ]
         as_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+        chol = jnp.asarray(tree["gp_chol"])
+        if "gp_linv" in tree:
+            linv = jnp.asarray(tree["gp_linv"])
+        else:
+            # legacy save files stored the explicit K^-1; rebuild the
+            # factored form from the Cholesky (host numpy: one-time load)
+            linv = jnp.asarray(
+                np.stack([
+                    np.linalg.solve(
+                        np.asarray(c, dtype=np.float64),
+                        np.eye(c.shape[0]),
+                    )
+                    for c in np.asarray(chol)
+                ]).astype(np.asarray(chol).dtype)
+            )
         self.gp_state = GPState(
             params=as_jnp(tree["gp_params"]),
             x=jnp.asarray(tree["gp_x"]),
             y=jnp.asarray(tree["gp_y"]),
-            chol=jnp.asarray(tree["gp_chol"]),
+            chol=chol,
             alpha_vec=jnp.asarray(tree["gp_alpha"]),
-            kinv=jnp.asarray(tree["gp_kinv"]),
+            linv=linv,
             lml=jnp.asarray(tree["gp_lml"]),
         )
         self.gp_config = GPConfig(

@@ -36,10 +36,23 @@ from ..ops.linalg import cholesky_jittered, solve_lower_triangular
 
 
 class GPConfig(NamedTuple):
-    """Static GP configuration (hashable, safe as a jit static arg)."""
+    """Static GP configuration (hashable, safe as a jit static arg).
+
+    ``var_precision`` sets the TPU matmul precision of the predictive-
+    variance product ``G @ k_*`` (see :class:`GPState`): "default" (1-pass
+    bf16), "high" (3-pass), or "highest" (6-pass).  Because the quadratic
+    form is a *norm* ``|G k_*|^2``, a norm-wise relative error eps in the
+    product perturbs the quadratic form by only ~2 eps -- no internal
+    cancellation -- so "high" passes the 0.5-log-unit posterior validation
+    (tools/tpu_validation.py) while running the dominant matmul in half the
+    passes of "highest" (the explicit-K^-1 formulation needed "highest":
+    its product error was amplified ~40x by cancellation inside
+    ``k_*^T K^-1 k_*``).  Ignored on CPU (always full precision).
+    """
 
     kernel: KernelConfig = KernelConfig("RBF")
     alpha: float = 0.1  # fixed diagonal regularization (sklearn GPR alpha)
+    var_precision: str = "high"
 
 
 class GPState(NamedTuple):
@@ -47,11 +60,15 @@ class GPState(NamedTuple):
 
     Leading axis of every field is the GP/batch axis (``npc``).
 
-    ``kinv`` (the explicit K^-1) is precomputed at fit time so that the
-    predictive variance is two MXU matmuls instead of a sequential
-    triangular solve -- on TPU the solve is ~50x slower than the matmul at
-    flagship scale (n=1000, m=128).  K carries the alpha=0.1 + white-noise
-    diagonal, so the inverse is well-conditioned even in f32.
+    ``linv`` (the explicit inverse Cholesky factor G = L^-1, lower
+    triangular, K^-1 = G^T G) is precomputed at fit time so the predictive
+    variance is one MXU matmul ``v = G k_*`` plus a column-norm reduction
+    ``|v|^2`` -- instead of a sequential triangular solve, which on TPU is
+    ~50x slower than the matmul at flagship scale (n=1000, m=128).  The
+    factored form keeps the quadratic form non-negative by construction
+    and cancellation-free, which is what lets the matmul run at 3-pass
+    ("high") precision (see :class:`GPConfig`).  K carries the alpha=0.1 +
+    white-noise diagonal, so the factor is well-conditioned even in f32.
     """
 
     params: dict          # {"log_amp": (b,), "log_ls": (b, d), "log_noise": (b,)}
@@ -59,8 +76,19 @@ class GPState(NamedTuple):
     y: jnp.ndarray        # (b, n) training targets
     chol: jnp.ndarray     # (b, n, n) Cholesky of K
     alpha_vec: jnp.ndarray  # (b, n) K^-1 y
-    kinv: jnp.ndarray     # (b, n, n) explicit K^-1 (for MXU-friendly predict)
+    linv: jnp.ndarray     # (b, n, n) explicit L^-1 (K^-1 = linv^T linv)
     lml: jnp.ndarray      # (b,) log marginal likelihood at the optimum
+
+
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,
+    "high": jax.lax.Precision.HIGH,
+    "highest": jax.lax.Precision.HIGHEST,
+}
+
+
+def _var_precision(config: GPConfig):
+    return _PRECISIONS[config.var_precision]
 
 
 def _build_k(params, x, config: GPConfig, noise_diag=None):
@@ -180,11 +208,11 @@ def finalize_gp_state(
     config: GPConfig,
     noise_diag: jnp.ndarray | None = None,
 ) -> GPState:
-    """Build the trained-state arrays (Cholesky, K^-1 y, explicit K^-1, LML)
+    """Build the trained-state arrays (Cholesky, K^-1 y, explicit L^-1, LML)
     for a batch of GPs with known hyperparameters.
 
     Shared by :func:`gp_fit` and the reference-emulator importer
-    (models/migrate.py), so the jitter-rescue and MXU-friendly K^-1
+    (models/migrate.py), so the jitter-rescue and MXU-friendly L^-1
     construction exist in exactly one place.
     """
     dtype = x.dtype
@@ -200,11 +228,9 @@ def finalize_gp_state(
     )(chols, whitened)
     n = x.shape[0]
     eye = jnp.eye(n, dtype=dtype)
-    kinvs = jax.vmap(
+    linvs = jax.vmap(
         lambda c: jax.lax.linalg.triangular_solve(
-            c,
-            jax.lax.linalg.triangular_solve(c, eye, left_side=True, lower=True),
-            left_side=True, lower=True, transpose_a=True,
+            c, eye, left_side=True, lower=True
         )
     )(chols)
     lml = (
@@ -214,7 +240,7 @@ def finalize_gp_state(
     )
     return GPState(
         params=params, x=x, y=y_batch, chol=chols, alpha_vec=alpha_vecs,
-        kinv=kinvs, lml=lml,
+        linv=linvs, lml=lml,
     )
 
 
@@ -225,47 +251,48 @@ def _chol_and_white(p, x, y, config, noise_diag=None):
     return chol, w
 
 
-@jax.custom_vjp
-def _quad_mean_var(kstar, kinv, alpha_vec):
-    """(kstar^T alpha, diag(kstar^T Kinv kstar)) with a hand-written VJP.
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _norm_mean_var(prec, kstar, linv, alpha_vec):
+    """(kstar^T alpha, |linv kstar|^2 per column) with a hand-written VJP.
 
-    The quadratic form's reverse pass under plain AD costs a SECOND
-    (n, n) @ (n, m) matmul (kinv^T @ ct_w) -- the single largest cost of a
-    posterior gradient (HMC/MALA/Langevin).  But the per-column cotangent
-    ct_q is a scalar per query, so by symmetry of Kinv:
+    The quadratic form ``q = k_*^T K^-1 k_*`` is computed in factored form
+    ``q = |v|^2, v = G k_*`` (G = L^-1): non-negative by construction and
+    free of the internal cancellation that made the explicit-K^-1 product
+    precision-critical, so ``prec`` can be 3-pass "high" (see GPConfig).
 
-        kinv^T @ (kstar * ct_q) = (kinv @ kstar) * ct_q = w * ct_q
-
-    i.e. d q / d kstar = 2 w, which the forward already computed.  The
-    custom VJP reuses ``w`` and eliminates the backward matmul entirely
-    (measured: posterior value_and_grad drops from ~3x to ~1.6x a forward
-    eval on the flagship problem).  Forward-mode (jacfwd) callers must use
-    the vanilla path -- custom_vjp functions cannot be forward-differentiated
-    (see gp_predict's ``fast_grad`` flag).
+    The hand-written VJP keeps the reverse pass at ONE extra matmul
+    (``G^T (v ct_q)``) instead of plain AD's two (it reuses the forward's
+    ``v``), and the state-side cotangents (ct_linv) are dead-code-eliminated
+    by XLA when the caller differentiates only w.r.t. the query points --
+    the sampling case.  Forward-mode (jacfwd) callers must use the vanilla
+    path -- custom_vjp functions cannot be forward-differentiated (see
+    gp_predict's ``fast_grad`` flag).
     """
-    w = kinv @ kstar
-    return kstar.T @ alpha_vec, jnp.sum(kstar * w, axis=0)
+    v = jnp.matmul(linv, kstar, precision=prec)
+    return kstar.T @ alpha_vec, jnp.sum(v * v, axis=0)
 
 
-def _quad_fwd(kstar, kinv, alpha_vec):
-    w = kinv @ kstar
-    out = (kstar.T @ alpha_vec, jnp.sum(kstar * w, axis=0))
-    return out, (w, alpha_vec, kinv, kstar)
+def _norm_fwd(prec, kstar, linv, alpha_vec):
+    v = jnp.matmul(linv, kstar, precision=prec)
+    out = (kstar.T @ alpha_vec, jnp.sum(v * v, axis=0))
+    return out, (v, alpha_vec, linv, kstar)
 
 
-def _quad_bwd(res, cts):
-    w, alpha_vec, kinv, kstar = res
+def _norm_bwd(prec, res, cts):
+    v, alpha_vec, linv, kstar = res
     ct_mean, ct_q = cts
-    ct_kstar = alpha_vec[:, None] * ct_mean[None, :] + 2.0 * w * ct_q[None, :]
-    # exact cotangents toward the state arrays too (these DO cost a matmul,
-    # but XLA dead-code-eliminates them when the caller differentiates only
-    # w.r.t. the query points -- the sampling case)
-    ct_kinv = (kstar * ct_q[None, :]) @ kstar.T
+    vq = v * ct_q[None, :]
+    ct_kstar = alpha_vec[:, None] * ct_mean[None, :] + 2.0 * jnp.matmul(
+        linv.T, vq, precision=prec
+    )
+    # exact cotangents toward the state arrays too (DCE'd when the caller
+    # differentiates only w.r.t. the query points -- the sampling case)
+    ct_linv = 2.0 * (vq @ kstar.T)
     ct_alpha = kstar @ ct_mean
-    return ct_kstar, ct_kinv, ct_alpha
+    return ct_kstar, ct_linv, ct_alpha
 
 
-_quad_mean_var.defvjp(_quad_fwd, _quad_bwd)
+_norm_mean_var.defvjp(_norm_fwd, _norm_bwd)
 
 
 @partial(jax.jit, static_argnames=("config", "full_cov", "fast_grad"))
@@ -286,46 +313,45 @@ def gp_predict(
     clipped at zero like sklearn does.
 
     ``fast_grad`` (diag path only) routes the mean/quadratic-form pair
-    through :func:`_quad_mean_var`, whose hand-written VJP reuses the
-    forward's ``Kinv kstar`` product and so halves the dominant matmul cost
-    of a reverse-mode gradient.  Identical values and reverse gradients;
-    NOT forward-differentiable (jacfwd callers use the default path).
+    through :func:`_norm_mean_var`, whose hand-written VJP reuses the
+    forward's ``G k_*`` product so a reverse-mode gradient costs one extra
+    matmul instead of plain AD's two.  Identical values and reverse
+    gradients; NOT forward-differentiable (jacfwd callers use the default
+    path).
     """
 
-    def one(params, kinv, alpha_vec):
+    prec = _var_precision(config)
+
+    def one(params, linv, alpha_vec):
         kstar = kernel_fn(
             params, state.x, xq, config=config.kernel, include_noise=False
         )  # (n, m)
         if fast_grad and not full_cov:
-            mean, q = _quad_mean_var(kstar, kinv, alpha_vec)
+            mean, q = _norm_mean_var(prec, kstar, linv, alpha_vec)
             kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
             return mean, jnp.maximum(kdiag - q, 0.0)
         mean = kstar.T @ alpha_vec
-        # K^-1 k_* as a matmul (MXU) rather than a sequential triangular
-        # solve; see GPState.kinv.  This is ~99% of the posterior-eval FLOPs
+        # G k_* as a matmul (MXU) rather than a sequential triangular solve;
+        # see GPState.linv.  This is ~99% of the posterior-eval FLOPs
         # (36 x (1000,1000)@(1000,512) per flagship walker batch), so its
-        # matmul precision IS the eval throughput -- and FULL precision is
-        # REQUIRED.  Measured ladder on TPU v5e (norm rel err of the product
-        # vs f64, then end-to-end posterior error via tools/tpu_validation):
-        #   default (1-pass bf16):  2.4e-3 product err -> ~30% variance err,
-        #           corrupted posterior (reverted in round 1);
-        #   high    (3-pass):       1.3e-5 product err, 1.18x faster end to
-        #           end (137 -> 162 ensemble steps/s) -- but the posterior
-        #           error blows up to max 2.21 / median 0.10 log-units
-        #           (tolerance 0.5): the Woodbury var = kdiag - sum
-        #           cancellation amplifies the product error ~40x.  REVERTED.
-        #   highest (6-pass):       8.6e-8 product err, max 0.049 log-units
-        #           posterior error.  This is the only acceptable setting.
-        w = kinv @ kstar  # (n, m)  [package-wide highest precision]
+        # matmul precision IS the eval throughput.  Measured ladder on TPU
+        # v5e for the OLD explicit-K^-1 form (product err vs f64, posterior
+        # err via tools/tpu_validation): default 2.4e-3 -> corrupted; high
+        # 1.3e-5 -> 2.21 log-units (the kdiag - k^T K^-1 k cancellation
+        # amplified it ~40x, REJECTED); highest 8.6e-8 -> 0.049 log-units.
+        # The factored norm form removes that amplification, so "high"
+        # (GPConfig.var_precision, the default) is validated acceptable and
+        # halves the matmul passes -- see GPConfig docstring.
+        v = jnp.matmul(linv, kstar, precision=prec)  # (n, m)
         if full_cov:
             kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
-            cov = kqq - kstar.T @ w
+            cov = kqq - jnp.matmul(v.T, v, precision=prec)
             return mean, cov
         kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
-        var = kdiag - jnp.sum(kstar * w, axis=0)
+        var = kdiag - jnp.sum(v * v, axis=0)
         return mean, jnp.maximum(var, 0.0)
 
-    return jax.vmap(one)(state.params, state.kinv, state.alpha_vec)
+    return jax.vmap(one)(state.params, state.linv, state.alpha_vec)
 
 
 def gp_sample(

@@ -98,7 +98,7 @@ def train_emulators_jointly(
             y=state_all.y[i0:i1],
             chol=state_all.chol[i0:i1],
             alpha_vec=state_all.alpha_vec[i0:i1],
-            kinv=state_all.kinv[i0:i1],
+            linv=state_all.linv[i0:i1],
             lml=state_all.lml[i0:i1],
         )
         e._finalize_training(sliced)

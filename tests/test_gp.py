@@ -142,7 +142,7 @@ def test_gp_sample_moments(rng):
 def test_gp_predict_fast_grad_parity(rng):
     """fast_grad=True (custom-VJP quadratic form) must give identical
     values AND identical reverse-mode gradients to the vanilla path --
-    it only restructures the backward matmul (gp._quad_mean_var)."""
+    it only restructures the backward matmul (gp._norm_mean_var)."""
     x, y = _toy_data(rng)
     state = gp_fit(jnp.asarray(x), jnp.asarray(y)[None, :], jnp.ones(3),
                    config=GPConfig(), maxiter=20)
@@ -164,7 +164,7 @@ def test_gp_predict_fast_grad_parity(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-9,
                                atol=1e-12)
 
-    # state-side cotangents are exact too (alpha_vec/kinv enter the VJP)
+    # state-side cotangents are exact too (alpha_vec/linv enter the VJP)
     def wrt_state(fast):
         def f(alpha):
             st = state._replace(alpha_vec=alpha)
@@ -175,4 +175,16 @@ def test_gp_predict_fast_grad_parity(rng):
     ga0 = jax.grad(wrt_state(False))(state.alpha_vec)
     ga1 = jax.grad(wrt_state(True))(state.alpha_vec)
     np.testing.assert_allclose(np.asarray(ga1), np.asarray(ga0), rtol=1e-9,
+                               atol=1e-12)
+
+    def wrt_linv(fast):
+        def f(linv):
+            st = state._replace(linv=linv)
+            m, v = gp_predict(st, xq, config=GPConfig(), fast_grad=fast)
+            return jnp.sum(m * v)
+        return f
+
+    gl0 = jax.grad(wrt_linv(False))(state.linv)
+    gl1 = jax.grad(wrt_linv(True))(state.linv)
+    np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl0), rtol=1e-9,
                                atol=1e-12)

@@ -48,7 +48,8 @@ def main(tol: float = 0.5) -> int:
         noise = np.exp(np.asarray(stt.params["log_noise"], np.float64))
         xt = np.asarray(stt.x, np.float64)
         av = np.asarray(stt.alpha_vec, np.float64)
-        kinv = np.asarray(stt.kinv, np.float64)
+        linv = np.asarray(stt.linv, np.float64)
+        kinv = np.einsum("kij,kil->kjl", linv, linv)  # K^-1 = G^T G
         a, cov_trunc = e.lowrank_parts()
         a = np.asarray(a, np.float64)
         cov_trunc = np.asarray(cov_trunc, np.float64)
