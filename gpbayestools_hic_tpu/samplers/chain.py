@@ -136,17 +136,22 @@ class Chain:
         exp_cov_is_diagonal = bool(np.all(off == 0.0))
         exp_var_np = np.diagonal(expcov_np)
 
-        def model_predict(state, x):
-            """(m, ndim) -> mean (m, nobs), block-diagonal cov (m, nobs, nobs)."""
+        def model_predict(state, x, extra_std):
+            """(m, ndim) -> mean (m, nobs), block-diagonal cov (m, nobs, nobs).
+
+            ``extra_std`` (scalar) follows the reference's ``_predict``
+            semantics (src/mcmc.py:153-166): scaled by each sample's LAST
+            parameter column, then added to every emulator's predictive
+            PC variance.  The likelihood path always passes 0 (the
+            reference zeroes it before use, src/mcmc.py:205, 281)."""
             m = x.shape[0]
+            extra = jnp.asarray(extra_std, dtype=dtype) * x[:, -1]
             mean = jnp.zeros((m, nobs), dtype=dtype)
             cov = jnp.zeros((m, nobs, nobs), dtype=dtype)
             for e, bstate, i0, i1 in zip(
                 emus, state["blocks"], offsets[:-1], offsets[1:]
             ):
-                mu_i, cov_i = e.predict_fn_pure(
-                    bstate["emu"], x, jnp.zeros((m,), dtype=dtype)
-                )
+                mu_i, cov_i = e.predict_fn_pure(bstate["emu"], x, extra)
                 mean = mean.at[:, i0:i1].set(mu_i)
                 cov = cov.at[:, i0:i1, i0:i1].set(cov_i)
             return mean, cov
@@ -189,7 +194,7 @@ class Chain:
             }
             # reverse-mode-optimized predict when the emulator provides it
             # (halves the gradient's matmul cost for HMC/Langevin; identical
-            # values and reverse gradients -- see models/gp._quad_mean_var)
+            # values and reverse gradients -- see models/gp._norm_mean_var)
             predict_pc = getattr(
                 e, "predict_pc_pure_fastgrad", None
             ) or e.predict_pc_pure
@@ -298,7 +303,7 @@ class Chain:
         def loglike_core_stitched(state, x):
             """Full stitched-covariance likelihood (dense exp covariance)."""
             x_safe = jnp.clip(x, state["lo"], state["hi"])
-            mean, cov = model_predict(state, x_safe)
+            mean, cov = model_predict(state, x_safe, jnp.zeros((), dtype=dtype))
             dy = mean - state["expdata"]
             cov = cov + state["expcov"]
             return mvn_loglike_best(dy, cov) + _EXTRA_STD_CONST
@@ -361,9 +366,14 @@ class Chain:
     # --------------------------------------------------------- numpy-facing
 
     def _predict(self, X, extra_std=0.0):
-        """Concatenated emulator predictions (reference: src/mcmc.py:153-166)."""
+        """Concatenated emulator predictions (reference: src/mcmc.py:153-166).
+
+        ``extra_std`` is passed through with reference semantics: the scalar
+        is scaled by each sample's last parameter column and enters every
+        emulator's predictive covariance (``extra_std * X[:, -1]``)."""
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
-        mean, cov = self.device_fns["model_predict"](self._like_state, X)
+        extra = jnp.asarray(extra_std, dtype=self._dtype).reshape(())
+        mean, cov = self.device_fns["model_predict"](self._like_state, X, extra)
         return np.asarray(mean), np.asarray(cov)
 
     def log_prior(self, X):
@@ -399,6 +409,32 @@ class Chain:
 
     # ----------------------------------------------------------------- emcee
 
+    @staticmethod
+    def _mesh_tools(devices, mesh, nwalkers=None, what="walkers"):
+        """Resolve the one-knob device mesh and return (shard, replicate)
+        callables (identity when unsharded).  Replaces the reference's
+        ``pool=N`` process-pool ergonomics (src/mcmc.py:775-804) with a
+        device count: ``devices=N`` shards the walker/particle axis over the
+        first N devices (``-1``: all devices)."""
+        from ..parallel.mesh import (
+            check_divisible,
+            replicate,
+            resolve_mesh,
+            shard_batch,
+        )
+
+        m = resolve_mesh(devices, mesh)
+        if m is None:
+            ident = lambda a: a  # noqa: E731
+            return None, ident, ident
+        if nwalkers is not None:
+            check_divisible(m, nwalkers, what)
+        return (
+            m,
+            lambda a: shard_batch(m, a),
+            lambda tree: replicate(m, tree),
+        )
+
     def run_mcmc(
         self,
         nsteps: int = 500,
@@ -409,11 +445,18 @@ class Chain:
         seed: int = 0,
         skip_initial_state_check: bool = False,
         move: str = "stretch",
+        devices: int | None = None,
+        mesh=None,
     ):
         """Ensemble-MCMC calibration with emcee semantics
         (reference: src/mcmc.py:345-426): two-phase burn-in with walker
         resampling at the top-lnprob unique points, thinning, and
-        resume-by-append from an existing chain pickle."""
+        resume-by-append from an existing chain pickle.
+
+        ``devices``/``mesh``: one-knob multi-device execution -- the walker
+        axis is sharded over a 1-D device mesh and the likelihood state
+        replicated (results identical to single-device up to float
+        reassociation; see :meth:`_mesh_tools`)."""
         chain_data = {}
         try:
             with open(self.mcmc_path, "rb") as f:
@@ -430,11 +473,20 @@ class Chain:
         key = jax.random.PRNGKey(seed)
         logger.info("Starting MCMC ...")
 
+        n_resume = (
+            chain_data["chain"].shape[0] if "chain" in chain_data else None
+        )
+        mesh, shard, repl = self._mesh_tools(
+            devices, mesh, nwalkers if burn_flag else n_resume
+        )
+        if mesh is not None:
+            like_state = repl(like_state)
+
         if burn_flag:
             logger.info("no existing chain found, starting initial burn-in")
             nburn0 = nburnsteps // 2
             key, k1, k2, k3 = jax.random.split(key, 4)
-            x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype)
+            x0 = shard(jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=dtype))
             if not skip_initial_state_check:
                 self._check_initial_state(like_state, x0)
             logger.info("running %d walkers for %d steps", nwalkers, nburn0)
@@ -447,10 +499,11 @@ class Chain:
             flat_lp = np.asarray(res.log_prob).reshape(-1)
             # top-lnprob unique points (reference: src/mcmc.py:392-397)
             uniq_idx = np.unique(flat_lp, return_index=True)[1][-nwalkers:]
-            x0 = jnp.asarray(flat[uniq_idx], dtype=dtype)
-            if x0.shape[0] < nwalkers:  # degenerate: pad by repeating best
-                reps = nwalkers - x0.shape[0]
-                x0 = jnp.concatenate([x0, jnp.repeat(x0[-1:], reps, axis=0)])
+            x0_np = flat[uniq_idx]
+            if x0_np.shape[0] < nwalkers:  # degenerate: pad by repeating best
+                reps = nwalkers - x0_np.shape[0]
+                x0_np = np.concatenate([x0_np, np.repeat(x0_np[-1:], reps, axis=0)])
+            x0 = shard(jnp.asarray(x0_np, dtype=dtype))
 
             nburn1 = nburnsteps - nburn0
             logger.info("running %d walkers for %d steps", nwalkers, nburn1)
@@ -462,7 +515,7 @@ class Chain:
             prod_key = k3
         else:
             logger.info("restarting from last point of existing chain")
-            x0 = jnp.asarray(chain_data["chain"][:, -1, :], dtype=dtype)
+            x0 = shard(jnp.asarray(chain_data["chain"][:, -1, :], dtype=dtype))
             if not skip_initial_state_check:
                 self._check_initial_state(like_state, x0)
             key, prod_key = jax.random.split(key)
@@ -528,13 +581,17 @@ class Chain:
     def _run_segments(self, log_post, like_state, x0, nsteps, key, status,
                       move: str = "stretch"):
         """Run ``nsteps`` ensemble steps, logging acceptance every ``status``
-        steps (reference: LoggingEnsembleSampler, src/mcmc.py:75-90).
+        steps (reference: LoggingEnsembleSampler, src/mcmc.py:75-90;
+        ``status=None`` defaults to ~10% of the segment as the reference
+        does at src/mcmc.py:77-78).
 
         Chunks are uniform so at most two scan lengths compile.  Returns the
         concatenated EnsembleResult-equivalent pieces.
         """
         from .ensemble import EnsembleResult
 
+        if status is None:
+            status = max(nsteps // 10, 1)
         if not status or status >= nsteps:
             res = run_ensemble(
                 log_post, x0, nsteps, key, state=like_state, move=move
@@ -598,16 +655,23 @@ class Chain:
         nstartparameters: int = 1000,
         seed: int = 0,
         use_gradients: bool = False,
+        devices: int | None = None,
+        mesh=None,
     ):
         """Parallel-tempered Langevin MC (reference: src/mcmc.py:431-726).
 
         ``use_gradients=True`` turns on the true Langevin drift (the
         reference's gradient branch, unusable there because its posterior
-        has no gradients; ours is differentiable)."""
+        has no gradients; ours is differentiable).  ``devices``/``mesh``:
+        shard the (ntemps + nwalkers) chain axis over a device mesh (see
+        :meth:`_mesh_tools`)."""
         from .ptlmc import run_ptlmc
 
         logger.info("Starting MCMC ...")
         log_post, like_state = self.posterior_with_state()
+        mesh, _, _ = self._mesh_tools(
+            devices, mesh, ntemps + nwalkers, "chains (ntemps + nwalkers)"
+        )
         theta = run_ptlmc(
             log_post,
             lambda n: jnp.asarray(self.random_pos(n, seed=seed), dtype=self._dtype),
@@ -619,6 +683,7 @@ class Chain:
             key=jax.random.PRNGKey(seed),
             state=like_state,
             use_gradients=use_gradients,
+            mesh=mesh,
         )
         self.chain = np.asarray(theta).reshape((nwalkers, nsteps, self.ndim))
         logger.info("Writing MCMC chains to file...")
@@ -636,6 +701,9 @@ class Chain:
         nthin: int = 1,
         seed: int = 0,
         target_accept: float = 0.8,
+        traj_jitter: int = 1,
+        devices: int | None = None,
+        mesh=None,
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -649,18 +717,22 @@ class Chain:
         ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
         size).  Writes the standard chain contract
-        ``{"chain": (nwalkers, nsteps//nthin, ndim)}``.
+        ``{"chain": (nwalkers, ceil(nsteps/nthin), ndim)}`` (stride
+        slicing keeps the first of each ``nthin`` block, so a non-divisible
+        ``nsteps`` rounds UP).
         """
         from .hmc import run_hmc
 
         logger.info("Starting HMC ...")
         log_post, like_state = self.posterior_with_state()
+        mesh, _, _ = self._mesh_tools(devices, mesh, nwalkers)
         x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=self._dtype)
         res = run_hmc(
             log_post, x0, nsteps, jax.random.PRNGKey(seed),
             state=like_state, lo=self.min, hi=self.max,
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
-            target_accept=target_accept,
+            target_accept=target_accept, traj_jitter=traj_jitter,
+            mesh=mesh,
         )
         logger.info(
             "HMC: step size %.4f, mean accept %.3f",
@@ -686,12 +758,38 @@ class Chain:
         n_evidence: int = 5000,
         pool=None,
         prior=None,
+        devices: int | None = None,
+        mesh=None,
     ):
         """Flow-preconditioned SMC with pocoMC semantics
-        (reference: src/mcmc.py:752-819).  ``pool`` is accepted for API
-        parity and ignored (parallelism is on-device)."""
+        (reference: src/mcmc.py:752-819).
+
+        ``devices``/``mesh``: one-knob multi-device execution -- the
+        particle axis is sharded over a 1-D device mesh (see
+        :meth:`_mesh_tools`).  ``pool`` (the reference's process count,
+        src/mcmc.py:775-804) maps onto the same knob: an integer ``pool``
+        with no explicit ``devices``/``mesh`` requests ``min(pool,
+        available)`` devices when the particle counts divide evenly, and
+        logs + falls back to single-device otherwise (reference scripts
+        passing ``pool=12`` keep working unchanged)."""
         from .smc import run_smc
         from ..utils.priors import ScipyPrior
+
+        if devices is None and mesh is None and isinstance(pool, int) and pool > 1:
+            n_dev = min(pool, len(jax.devices()))
+            if n_dev > 1 and all(
+                n % n_dev == 0 for n in (n_prior, n_active, n_evidence or n_dev)
+            ):
+                devices = n_dev
+                logger.info(
+                    "pool=%d mapped to %d-device particle sharding", pool, n_dev
+                )
+            elif n_dev > 1:
+                logger.info(
+                    "pool=%d ignored: particle counts not divisible by %d "
+                    "devices (pass devices=/mesh= explicitly to force)",
+                    pool, n_dev,
+                )
 
         if prior is not None and not hasattr(prior, "log_prior_jax"):
             # the reference builds pocoMC priors from lists of frozen scipy
@@ -706,6 +804,7 @@ class Chain:
         logger.info("Starting preconditioned SMC ...")
         ll_fn = self.device_fns["log_likelihood_traceable"]
         like_state = self._like_state
+        mesh, _, _ = self._mesh_tools(devices, mesh)
         result = run_smc(
             ll_fn,
             jnp.asarray(self.min, dtype=self._dtype),
@@ -720,6 +819,7 @@ class Chain:
             n_evidence=n_evidence,
             seed=random_state,
             custom_prior=prior,
+            mesh=mesh,
         )
         logger.info("Log evidence: %s", result["logz"])
         logger.info("Log evidence error: %s", result["logz_err"])

@@ -11,6 +11,23 @@ from __future__ import annotations
 import numpy as np
 
 
+def validate_linear_weights(weights) -> np.ndarray:
+    """Check importance weights are LINEAR (finite, nonnegative, sum > 0).
+
+    The single weight-sanity check for every weighted-CDF/resampling
+    consumer: negative/NaN weights (e.g. LOG-weights passed by mistake)
+    would make a cumsum CDF non-monotone and silently produce garbage
+    percentiles/resamples.  Returns the flattened float64 weights.
+    """
+    w = np.asarray(weights, dtype=np.float64).reshape(-1)
+    if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
+        raise ValueError(
+            "weights must be finite, nonnegative, and sum to > 0 "
+            "(log-weights? exponentiate first)"
+        )
+    return w
+
+
 def percentile_params(
     chain: np.ndarray, qs=(16, 50, 84), weights: np.ndarray | None = None
 ) -> np.ndarray:
@@ -24,7 +41,7 @@ def percentile_params(
     flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
     if weights is None:
         return np.percentile(flat, qs, axis=0)
-    w = np.asarray(weights, dtype=np.float64).reshape(-1)
+    w = validate_linear_weights(weights)
     if w.shape[0] != flat.shape[0]:
         raise ValueError(
             f"weights length {w.shape[0]} != {flat.shape[0]} samples"
@@ -48,12 +65,7 @@ def systematic_resample_indices(
     corruption from negative/NaN/zero-sum weights (e.g. LOG-weights passed
     by mistake) becomes a ValueError.
     """
-    w = np.asarray(weights, dtype=np.float64).reshape(-1)
-    if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
-        raise ValueError(
-            "weights must be finite, nonnegative, and sum to > 0 "
-            "(log-weights? exponentiate first)"
-        )
+    w = validate_linear_weights(weights)
     w = w / w.sum()
     positions = (rng.random() + np.arange(n)) / n
     return np.searchsorted(np.cumsum(w), positions).clip(0, len(w) - 1)
@@ -80,12 +92,8 @@ def resample_weighted(
             f"weights length {w.shape[0]} != {flat.shape[0]} samples"
         )
     if n is None:
-        if not np.all(np.isfinite(w)) or np.any(w < 0) or w.sum() <= 0:
-            raise ValueError(
-                "weights must be finite, nonnegative, and sum to > 0 "
-                "(log-weights? exponentiate first)"
-            )
-        s = w / w.sum()
+        s = validate_linear_weights(w)
+        s = s / s.sum()
         n = max(int(round(1.0 / np.sum(s**2))), 1)
     idx = systematic_resample_indices(np.random.default_rng(seed), w, n)
     return flat[idx]

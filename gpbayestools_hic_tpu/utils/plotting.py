@@ -53,12 +53,15 @@ def _axis_limits(flats, wts, d):
     percentiles: an SMC persistent-sampling history contains prior-born
     particles with ~zero weight spanning the whole prior box, and raw
     min/max limits would collapse a tight posterior into a few bins."""
+    from .closure import validate_linear_weights
+
     lo, hi = np.inf, -np.inf
     for f, w in zip(flats, wts):
         x = f[:, d]
         if w is None:
             lo, hi = min(lo, x.min()), max(hi, x.max())
             continue
+        w = validate_linear_weights(w)
         order = np.argsort(x)
         cdf = np.cumsum(w[order])
         cdf = cdf / cdf[-1]

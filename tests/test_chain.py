@@ -103,6 +103,42 @@ def test_chain_log_posterior_matches_manual(chain_setup, rng):
     np.testing.assert_allclose(got, expected, rtol=1e-8)
 
 
+def test_chain_predict_extra_std_passthrough(chain_setup, rng):
+    """_predict(X, extra_std=s) must follow the reference semantics
+    (src/mcmc.py:153-166): the scalar is scaled by each sample's LAST
+    parameter column and enters every emulator's predictive covariance."""
+    chain, _, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(5, 3))
+    s = 0.3
+    mean, cov = chain._predict(X, extra_std=s)
+    mean0, cov0 = chain._predict(X)
+    np.testing.assert_allclose(mean, mean0, rtol=1e-12)
+    assert not np.allclose(cov, cov0)  # nonzero extra_std must change cov
+
+    extra_arr = s * X[:, -1]
+    i0 = 0
+    for e in chain.emuList:
+        m_i, c_i = e.predict(X, return_cov=True, extra_std=extra_arr)
+        i1 = i0 + e.nobs
+        np.testing.assert_allclose(mean[:, i0:i1], m_i, rtol=1e-6)
+        np.testing.assert_allclose(cov[:, i0:i1, i0:i1], c_i, rtol=1e-6,
+                                   atol=1e-10)
+        i0 = i1
+
+
+def test_chain_run_mcmc_default_status_logs(chain_setup, caplog):
+    """status=None defaults to ~10% acceptance logging, as the reference's
+    LoggingEnsembleSampler does (src/mcmc.py:77-78)."""
+    import logging
+
+    chain, _, _ = chain_setup
+    with caplog.at_level(logging.INFO, logger="gpbayestools_hic_tpu.samplers.chain"):
+        chain.run_mcmc(nsteps=40, nburnsteps=20, nwalkers=8, nthin=4)
+    step_logs = [r for r in caplog.records if r.message.startswith("step ")]
+    # production logs at 4, 8, ..., 40 -> ~10 entries (burn-in adds its own)
+    assert len(step_logs) >= 10
+
+
 def test_chain_outside_box(chain_setup):
     chain, _, _ = chain_setup
     X = np.array([[0.5, 0.5, 0.5], [1.5, 0.5, 0.5], [-0.1, 0.5, 0.5]])
@@ -270,7 +306,7 @@ def test_unknown_move_raises():
 
 def test_posterior_gradient_matches_finite_difference(chain_setup):
     """The sampling likelihood uses the custom-VJP fast-gradient predict
-    (gp._quad_mean_var); its reverse gradient through the full Woodbury
+    (gp._norm_mean_var); its reverse gradient through the full Woodbury
     posterior must match central finite differences."""
     chain, _, _ = chain_setup
     log_post, state = chain.posterior_with_state()
