@@ -82,7 +82,10 @@ def _x_to_u(x, lo, width, mu, chol):
 
 @partial(
     jax.jit,
-    static_argnames=("log_prob_fn", "nsteps", "n_leapfrog", "adapt", "bounded"),
+    static_argnames=(
+        "log_prob_fn", "nsteps", "n_leapfrog", "adapt", "bounded",
+        "traj_jitter",
+    ),
 )
 def _hmc_scan(
     log_prob_fn,
@@ -97,6 +100,7 @@ def _hmc_scan(
     adapt: bool,
     bounded: bool,
     target_accept: float = 0.8,
+    traj_jitter: int = 0,
 ):
     """One compiled HMC phase: ``nsteps`` steps from ``u0``.
 
@@ -121,28 +125,49 @@ def _hmc_scan(
         g = jnp.where(jnp.isfinite(lp_u)[:, None], g, 0.0)
         return lp_u, lp_x, g
 
-    # leapfrog momentum coefficients: full steps, half on the last
-    coeffs = jnp.where(jnp.arange(n_leapfrog) == n_leapfrog - 1, 0.5, 1.0)
     mu_da = log_eps0 + jnp.log(10.0)
+    lf_idx = jnp.arange(n_leapfrog)
 
     def step(carry, key):
         u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t = carry
         m = u.shape[0]
-        k_p, k_j, k_a = jax.random.split(key, 3)
+        k_p, k_j, k_L, k_a = jax.random.split(key, 4)
         eps = jnp.exp(log_eps)
         e = eps * jax.random.uniform(k_j, (m, 1), u.dtype, 0.9, 1.1)
         p0 = jax.random.normal(k_p, u.shape, u.dtype)
         p = p0 + 0.5 * e * g
 
-        def leap(c, coeff):
+        # Leapfrog coefficient schedule: position/momentum updates active
+        # for iterations < L, half momentum kick at iteration L - 1.  With
+        # traj_jitter > 0 the trajectory length L is drawn PER WALKER from
+        # {n_leapfrog - traj_jitter, ..., n_leapfrog} each step: combined
+        # with the +-10% step-size jitter this breaks the periodic-orbit
+        # resonances a fixed eps*L can hit (a near-Gaussian target with
+        # eps*L ~ 2pi*sigma returns proposals to their start).  The scan
+        # still runs n_leapfrog iterations (static shapes) -- masked
+        # iterations recompute the same point, so wall clock is unchanged.
+        if traj_jitter > 0:
+            L = jax.random.randint(
+                k_L, (m,), n_leapfrog - traj_jitter, n_leapfrog + 1
+            )
+            active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
+            coeff = (
+                jnp.where(lf_idx[:, None] == L[None, :] - 1, 0.5, 1.0) * active
+            )
+        else:
+            active = jnp.ones((n_leapfrog, 1), u.dtype)
+            coeff = jnp.where(lf_idx == n_leapfrog - 1, 0.5, 1.0)[:, None]
+
+        def leap(c, ac):
+            act, cf = ac
             uu, pp, _, _, _ = c
-            uu = uu + e * pp
+            uu = uu + act[:, None] * e * pp
             lpn_u, lpn_x, gn = value_and_grad_u(uu)
-            pp = pp + coeff * e * gn
+            pp = pp + cf[:, None] * e * gn
             return (uu, pp, lpn_u, lpn_x, gn), None
 
         (u1, p1, lp1_u, lp1_x, g1), _ = lax.scan(
-            leap, (u, p, lp_u, lp_x, g), coeffs
+            leap, (u, p, lp_u, lp_x, g), (active, coeff)
         )
         dh = (lp1_u - 0.5 * jnp.sum(p1**2, axis=1)) - (
             lp_u - 0.5 * jnp.sum(p0**2, axis=1)
@@ -192,6 +217,8 @@ def run_hmc(
     warmup: int = 128,
     eps0: float = 0.1,
     target_accept: float = 0.8,
+    traj_jitter: int = 1,
+    mesh=None,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
     production steps from walker positions ``x0`` (nwalkers, ndim).
@@ -201,6 +228,14 @@ def run_hmc(
     constants -- see :func:`..samplers.ensemble.run_ensemble`).  ``lo``/
     ``hi`` activate the bounded (logit) reparametrization; production
     samples are returned in x-space.
+
+    ``traj_jitter``: per-walker trajectory lengths are drawn uniformly from
+    ``{n_leapfrog - traj_jitter, ..., n_leapfrog}`` each step, breaking
+    periodic-orbit resonances a fixed length can hit (wall clock unchanged
+    -- see :func:`_hmc_scan`).  ``traj_jitter=0`` restores fixed lengths.
+
+    ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
+    likelihood state is replicated (see :mod:`..parallel.mesh`).
     """
     if state is None:
         # cached wrapper: a fresh lambda per call would be a new static-arg
@@ -208,6 +243,14 @@ def run_hmc(
         log_prob_fn = _stateless_wrapper(log_prob_fn)
         state = ()
     x0 = jnp.asarray(x0)
+    if mesh is not None:
+        from ..parallel.mesh import check_divisible, replicate, shard_batch
+
+        check_divisible(mesh, x0.shape[0], "walkers")
+        state = replicate(mesh, state)
+        shard = lambda u: shard_batch(mesh, u)  # noqa: E731
+    else:
+        shard = lambda u: u  # noqa: E731
     dtype = x0.dtype
     nwalkers, ndim = x0.shape
     bounded = lo is not None
@@ -232,11 +275,11 @@ def run_hmc(
     mu0 = np.zeros(ndim)
     chol0 = np.eye(ndim)
     tf = tf_of(mu0, chol0)
-    u0 = jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype))
+    u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
     xs, _, _, _, log_eps = _hmc_scan(
         log_prob_fn, state, tf, u0, k_a, log_eps0,
         nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
-        target_accept=target_accept,
+        target_accept=target_accept, traj_jitter=traj_jitter,
     )
     # host-side metric estimation (all conversions in numpy: eager device
     # ops pay a multi-second remote compile on some runtimes)
@@ -250,18 +293,18 @@ def run_hmc(
     # ---- phase B: new metric, re-adapt eps from the phase-A end state
     tf = tf_of(mu_z, chol_z)
     xf = xs_np[-1].astype(np.float64)
-    u0 = jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype))
+    u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
     _, _, _, uf, log_eps = _hmc_scan(
         log_prob_fn, state, tf, u0, k_b, log_eps,
         nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
-        target_accept=target_accept,
+        target_accept=target_accept, traj_jitter=traj_jitter,
     )
 
     # ---- production: fixed eps
     xs, lps, accs, _, _ = _hmc_scan(
         log_prob_fn, state, tf, uf, k_run, log_eps,
         nsteps=nsteps, n_leapfrog=n_leapfrog, adapt=False, bounded=bounded,
-        target_accept=target_accept,
+        target_accept=target_accept, traj_jitter=traj_jitter,
     )
     return HMCResult(
         chain=jnp.transpose(xs, (1, 0, 2)),

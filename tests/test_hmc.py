@@ -74,6 +74,45 @@ def test_hmc_near_iid_mixing():
     assert ess > 0.25 * chain.shape[0] * chain.shape[1], ess
 
 
+def test_hmc_traj_jitter_breaks_resonance():
+    """Resonance regression: on a standard Gaussian a FIXED trajectory with
+    eps * L ~ 2 pi is (near-)periodic -- every proposal returns close to its
+    start and tau spikes.  Randomizing the per-walker trajectory length
+    (traj_jitter > 0) must break the resonance (much smaller tau)."""
+    from gpbayestools_hic_tpu.samplers.hmc import _hmc_scan
+    from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
+
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    n_leapfrog = 8
+    eps = 2.0 * np.pi / n_leapfrog  # resonant total time ~ 2 pi
+    tf = {
+        "mu": jnp.zeros(1, jnp.float64),
+        "chol": jnp.eye(1, dtype=jnp.float64),
+        "lo": jnp.zeros((), jnp.float64),
+        "width": jnp.zeros((), jnp.float64),
+    }
+    u0 = jax.random.normal(jax.random.PRNGKey(0), (64, 1), jnp.float64)
+
+    def tau_of(jitter):
+        xs, _, _, _, _ = _hmc_scan(
+            log_prob, (), tf, u0, jax.random.PRNGKey(1),
+            jnp.asarray(np.log(eps)),
+            nsteps=1500, n_leapfrog=n_leapfrog, adapt=False, bounded=False,
+            traj_jitter=jitter,
+        )
+        chain = np.transpose(np.asarray(xs), (1, 0, 2))  # (walkers, steps, 1)
+        return integrated_autocorr_time(
+            chain[:, :, 0], return_converged=True
+        )[0]
+
+    tau_fixed = tau_of(0)
+    tau_jit = tau_of(2)
+    assert tau_fixed > 2.5 * tau_jit, (tau_fixed, tau_jit)
+    assert tau_jit < 8.0, tau_jit
+
+
 def test_hmc_deterministic_given_seed():
     def log_prob(state, x):
         return -0.5 * jnp.sum(x**2, axis=-1)
