@@ -31,6 +31,45 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "walkers") -> Mesh:
     return Mesh(np.asarray(devices), (axis_name,))
 
 
+def resolve_mesh(
+    devices: int | None = None,
+    mesh: Mesh | None = None,
+    axis_name: str = "walkers",
+) -> Mesh | None:
+    """One-knob mesh resolution for the ``Chain`` sampler front-ends.
+
+    Replaces the reference's ``pool=12`` process-pool ergonomics
+    (src/mcmc.py:775-804) with a device count: ``mesh`` wins if given;
+    ``devices=N`` builds a 1-D walker mesh over the first N devices;
+    ``devices=-1`` uses all devices; ``None``/0/1 means no sharding.
+    """
+    if mesh is not None:
+        return mesh
+    if devices is None or devices in (0, 1):
+        return None
+    n = None if devices == -1 else devices
+    if n is not None and n > len(jax.devices()):
+        raise ValueError(
+            f"requested {n} devices but only {len(jax.devices())} available"
+        )
+    return make_mesh(n, axis_name)
+
+
+def replicate(mesh: Mesh, tree):
+    """Place every leaf of ``tree`` fully replicated over ``mesh``."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def check_divisible(mesh: Mesh, n: int, what: str = "walkers") -> None:
+    """Sharding a batch axis requires it to divide evenly over the mesh."""
+    size = mesh.devices.size
+    if n % size:
+        raise ValueError(
+            f"{what} count {n} is not divisible by the {size}-device mesh; "
+            f"choose a multiple of {size}"
+        )
+
+
 def shard_batch(mesh: Mesh, x: jnp.ndarray, axis_name: str = "walkers"):
     """Place a (batch, ...) array with the batch dim sharded over the mesh."""
     spec = P(axis_name, *([None] * (x.ndim - 1)))

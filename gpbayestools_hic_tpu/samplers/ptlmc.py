@@ -88,11 +88,16 @@ def run_ptlmc(
     taracc: float | None = None,
     use_gradients: bool = False,
     preopt_maxiter: int = 100,
+    mesh=None,
 ) -> jnp.ndarray:
     """Run PTLMC; returns the T=1 chains (numchain, sampperchain, ndim).
 
     ``logpost_fn(x)`` or ``logpost_fn(state, x)`` maps (m, ndim) -> (m,).
     ``draw_fn(n)`` draws approximate prior samples (host-side ok).
+
+    ``mesh``: optional 1-D device mesh; the (numtemps + numchain) chain axis
+    of the main scan is sharded over it and the likelihood state replicated
+    (temperature swaps become XLA collectives; see :mod:`..parallel.mesh`).
 
     ``use_gradients=True`` enables the Langevin drift + MH correction
     (reference: src/mcmc.py:629-638, acceptance target 0.60 per :528) --
@@ -168,7 +173,17 @@ def run_ptlmc(
 
     tau0 = jnp.asarray(-1.0, dtype)
     rho0 = 2.0 * (1.0 + jnp.tanh(tau0))
+    if mesh is not None:
+        from ..parallel.mesh import check_divisible, replicate, shard_batch
+
+        check_divisible(mesh, totnum, "chains (numtemps + numchain)")
+        state = replicate(mesh, state)
+        thetac = shard_batch(mesh, thetac)
     fval0 = lp_fn(thetac) / temps
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+
+        fval0 = shard_batch(mesh, fval0)
 
     chain = _ptlmc_scan(
         logpost_fn,

@@ -41,9 +41,14 @@ docstring at src/mcmc.py:755-780 documents the knobs):
     reaches ``n_total`` ("the total number of effectively independent
     samples to be collected", reference docstring src/mcmc.py:768).
 6.  Evidence: the persistent-sampling estimate
-    ``Z_beta = (1/N) sum_j w_j(beta)`` plus, when ``n_evidence > 0``, an
-    importance-sampling refinement with flow draws (pocoMC's default); the
-    IS weight variance gives the error.
+    ``Z_beta = (1/N) sum_j w_j(beta)`` with a batch-bootstrap standard
+    error (:func:`_ps_logz_err`), plus, when ``n_evidence > 0``, an
+    importance-sampling refinement with flow draws (pocoMC's default)
+    whose error is the standard IS delta-method standard error of log Z;
+    both estimates/errors are returned (``logz``/``logz_err`` follow
+    whichever is final, ``logz_ps``/``logz_err_ps`` always report the
+    persistent-sampling pair).  A repeat-seed calibration test pins the
+    reported error against actual scatter (test_smc.py).
 
 Returns the reference's chain contract: ``samples (n, d), weights, logl,
 logp, logz, logz_err`` (src/mcmc.py:816-819) -- with REAL importance
@@ -361,6 +366,33 @@ def _next_beta(logl_clean, log_mix, beta, n_effective):
     return lo_b
 
 
+def _ps_logz_err(lw1, counts, rng, n_boot: int = 256) -> float:
+    """Batch-bootstrap standard error of the persistent-sampling logZ.
+
+    ``logZ_PS = log((1/N) sum_j w_j)`` over the full history.  History
+    particles are correlated WITHIN an iteration batch (each batch is one
+    MCMC phase over jointly resampled particles) and approximately
+    independent ACROSS batches, so the bootstrap resamples whole iteration
+    batches: draw T batch indices with replacement, form
+    ``Z* = sum_t S_t* / sum_t n_t*`` from the per-batch weight sums, and
+    report ``std(log Z*)``.  This replaces the earlier ad-hoc
+    ``sqrt(sum w^2 - 1/n)`` (which was an ESS diagnostic, not a variance of
+    logZ).  Conditioned on the realized annealing path; the repeat-seed
+    calibration test (test_smc.py) bounds the total scatter against this
+    error.
+    """
+    lw1 = np.asarray(lw1, dtype=np.float64)
+    w = np.exp(lw1 - lw1.max())
+    bounds = np.cumsum([0] + list(counts))
+    s_t = np.array([w[a:b].sum() for a, b in zip(bounds[:-1], bounds[1:])])
+    n_t = np.asarray(counts, dtype=np.float64)
+    n_batches = len(n_t)
+    idx = rng.integers(0, n_batches, size=(n_boot, n_batches))
+    z_boot = s_t[idx].sum(axis=1) / n_t[idx].sum(axis=1)
+    z_boot = np.maximum(z_boot, 1e-300)
+    return float(np.std(np.log(z_boot)))
+
+
 def _systematic_resample(rng, log_w, n):
     """Systematic resample from LOG-weights (shared core lives in
     utils.closure.systematic_resample_indices)."""
@@ -393,8 +425,15 @@ def run_smc(
     flow_fit_steps_warm: int | None = None,
     flow_fit_patience: int = 25,
     max_iterations: int = 400,
+    mesh=None,
 ) -> dict:
     """Run the preconditioned SMC sampler; see module docstring.
+
+    ``mesh``: optional 1-D device mesh; the particle axis of every device
+    phase (initial prior evaluation, per-iteration flow fit + MCMC, the
+    evidence draws) is sharded over it and the likelihood state replicated
+    (see :mod:`..parallel.mesh`).  Requires ``n_prior``/``n_active``
+    divisible by the mesh size.
 
     ``log_likelihood(state, x, finite)`` maps (m, d) -> (m,) and must return
     finite values (-1e300) outside the box.
@@ -419,6 +458,17 @@ def run_smc(
         )
 
     state = likelihood_state if likelihood_state is not None else ()
+    if mesh is not None:
+        from ..parallel.mesh import check_divisible, replicate, shard_batch
+
+        check_divisible(mesh, n_prior, "n_prior particles")
+        check_divisible(mesh, n_active, "n_active particles")
+        if n_evidence:
+            check_divisible(mesh, n_evidence, "n_evidence draws")
+        state = replicate(mesh, state)
+        _shard = lambda a: shard_batch(mesh, a)  # noqa: E731
+    else:
+        _shard = lambda a: a  # noqa: E731
     ll_fn = log_likelihood
     dtype = prior_lo.dtype
     np_dtype = np.dtype(jnp.dtype(dtype).name)
@@ -454,7 +504,7 @@ def run_smc(
         )
     else:
         x0 = rng.uniform(lo_np, hi_np, (n_prior, ndim))
-    u0 = jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype))
+    u0 = _shard(jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype)))
     _, logl0, _, logp_x0 = _eval_u(
         ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
     )
@@ -468,7 +518,7 @@ def run_smc(
 
     key, k_flow = jax.random.split(key)
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
-    flow_weights = jnp.asarray(np.ones(n_active, np_dtype))
+    flow_weights = _shard(jnp.asarray(np.ones(n_active, np_dtype)))
     rho = jnp.asarray(0.5, dtype)
     nu_dev = jnp.asarray(1e6, dtype)
     cap = jnp.asarray(n_max_steps, jnp.int32)
@@ -490,12 +540,12 @@ def run_smc(
         nonlocal flow_params, rho, nu_dev, key, total_steps
         idx = _systematic_resample(rng, lw, n_active)
         u_np = hu[idx]
-        u_act = jnp.asarray(u_np, dtype=dtype)
-        logl_act = jnp.asarray(hl[idx], dtype=dtype)
+        u_act = _shard(jnp.asarray(u_np, dtype=dtype))
+        logl_act = _shard(jnp.asarray(hl[idx], dtype=dtype))
         _, logdet_xu = _to_bounded_np(u_np, lo_np, hi_np)
-        logp_u_act = jnp.asarray(
+        logp_u_act = _shard(jnp.asarray(
             (np.concatenate(logp_h)[idx] + logdet_xu).astype(np_dtype)
-        )
+        ))
 
         key, k_fit, k_mcmc = jax.random.split(key, 3)
         # first fit trains from the identity flow and needs the full budget;
@@ -505,7 +555,9 @@ def run_smc(
         # SMC wall time at full budget (profiled on TPU)
         warm = flow_fit_steps_warm
         if warm is None:
-            warm = max(75, flow_fit_steps // 3)
+            # clamped so a small caller budget (e.g. flow_fit_steps=50)
+            # never makes the warm-started fit LONGER than the cold one
+            warm = min(flow_fit_steps, max(75, flow_fit_steps // 3))
         steps_fit = flow_fit_steps if iteration <= 1 else warm
         flow_params, flow_loss = fit_flow(
             flow_params, u_act, flow_weights, k_fit,
@@ -585,9 +637,8 @@ def run_smc(
     )
 
     # ------------------------------------------------------------- evidence
-    logz, logz_err = logz_ps, float(
-        np.sqrt(max(np.sum(weights**2) - 1.0 / len(weights), 0.0))
-    )
+    logz_err_ps = _ps_logz_err(lw1, counts, rng)
+    logz, logz_err = logz_ps, logz_err_ps
     if n_evidence and n_evidence > 0:
         # refit the flow on a large weighted resample of the FULL history so
         # the IS proposal matches the posterior better than the last
@@ -602,7 +653,7 @@ def run_smc(
             patience=flow_fit_patience,
         )
         key, k_ev = jax.random.split(key)
-        z = jax.random.normal(k_ev, (n_evidence, ndim), dtype)
+        z = _shard(jax.random.normal(k_ev, (n_evidence, ndim), dtype))
         u_ev, logdet_uz = flow_inverse(flow_params, z, flow_config)
         x_ev, logl_ev, logp_u_ev, _ = _eval_u(
             ll_fn, log_prior_fn, state, u_ev, prior_lo, prior_hi, log_prior_x
@@ -622,6 +673,9 @@ def run_smc(
             m = log_w_ev.max()
             wv = np.exp(log_w_ev - m)
             logz = m + np.log(np.mean(wv))
+            # the standard IS delta-method standard error of log Z-hat:
+            # Var[log Zhat] ~ Var[w] / (n E[w]^2); draws are iid from the
+            # flow, so this is a calibrated (conditional-on-proposal) error
             logz_err = float(
                 np.std(wv) / (np.mean(wv) * np.sqrt(n_evidence))
             )
@@ -633,6 +687,8 @@ def run_smc(
         "logp": hp,
         "logz": float(logz),
         "logz_err": float(logz_err),
+        "logz_ps": float(logz_ps),
+        "logz_err_ps": float(logz_err_ps),
         "beta_iterations": iteration,
         "ess": float(ess_final),
         "total_mcmc_steps": total_steps,

@@ -141,6 +141,94 @@ def test_sharded_smc_round_matches_single_device():
     np.testing.assert_allclose(np.asarray(logl_p), np.asarray(logl_s), rtol=1e-9)
 
 
+@pytest.fixture(scope="module")
+def tiny_chain_factory(tmp_path_factory):
+    """Small trained calibration problem for public-front-end mesh tests.
+
+    Returns a factory making fresh Chain objects over the SAME trained
+    emulators (so sharded and unsharded runs cannot interact through the
+    chain pickle's resume-by-append contract)."""
+    from gpbayestools_hic_tpu.utils.synthetic import build_synthetic_chain
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    base = tmp_path_factory.mktemp("mesh_public")
+    chain0, _ = build_synthetic_chain(
+        nev=24, ndim=3, nobs_blocks=(6, 4), npc=2, gp_maxiter=15, seed=0,
+        freq_range=(1.0, 2.5), tmpdir=str(base),
+    )
+
+    def make(tag):
+        c = Chain(
+            mcmc_path=str(base / f"mcmc_{tag}" / "chain.pkl"),
+            expdata_path=str(base / "exp.pkl"),
+            model_parafile=str(base / "pars.txt"),
+        )
+        c.loadEmulator(chain0.emuList)
+        return c
+
+    return make
+
+
+@pytest.mark.slow
+def test_public_run_mcmc_devices_matches_single(tiny_chain_factory):
+    """Chain.run_mcmc(devices=8) == run_mcmc() through the PUBLIC API."""
+    kw = dict(nsteps=8, nburnsteps=4, nwalkers=16, nthin=2, seed=3,
+              skip_initial_state_check=True)
+    c_plain = tiny_chain_factory("ens_plain")
+    c_plain.run_mcmc(**kw)
+    c_shard = tiny_chain_factory("ens_shard")
+    c_shard.run_mcmc(devices=8, **kw)
+    np.testing.assert_allclose(
+        np.asarray(c_shard.chain), np.asarray(c_plain.chain), rtol=1e-6,
+        atol=1e-9,
+    )
+
+
+@pytest.mark.slow
+def test_public_run_hmc_devices_matches_single(tiny_chain_factory):
+    """Chain.run_MCMC_HMC(devices=8) == single-device, public API."""
+    kw = dict(nsteps=6, nwalkers=16, nburnsteps=4, n_leapfrog=2, seed=5)
+    c_plain = tiny_chain_factory("hmc_plain")
+    c_plain.run_MCMC_HMC(**kw)
+    c_shard = tiny_chain_factory("hmc_shard")
+    c_shard.run_MCMC_HMC(devices=8, **kw)
+    np.testing.assert_allclose(
+        np.asarray(c_shard.chain), np.asarray(c_plain.chain), rtol=1e-6,
+        atol=1e-9,
+    )
+
+
+@pytest.mark.slow
+def test_public_run_ptlmc_devices_matches_single(tiny_chain_factory):
+    """Chain.run_MCMC_PTLMC(devices=8) == single-device, public API."""
+    kw = dict(nsteps=4, nwalkers=8, ntemps=8, maxtemp=20.0,
+              nstartparameters=64, seed=2)
+    c_plain = tiny_chain_factory("ptlmc_plain")
+    c_plain.run_MCMC_PTLMC(**kw)
+    c_shard = tiny_chain_factory("ptlmc_shard")
+    c_shard.run_MCMC_PTLMC(devices=8, **kw)
+    np.testing.assert_allclose(
+        np.asarray(c_shard.chain), np.asarray(c_plain.chain), rtol=1e-7,
+        atol=1e-10,
+    )
+
+
+@pytest.mark.slow
+def test_public_run_pocomc_devices_matches_single(tiny_chain_factory):
+    """Chain.run_pocoMC(devices=8) == single-device (and pool=N maps onto
+    the device knob when counts divide)."""
+    kw = dict(n_effective=32, n_active=16, n_prior=64, n_max_steps=5,
+              n_total=32, n_evidence=16, random_state=0)
+    c_plain = tiny_chain_factory("smc_plain")
+    out_plain = c_plain.run_pocoMC(**kw)
+    c_shard = tiny_chain_factory("smc_shard")
+    out_shard = c_shard.run_pocoMC(devices=8, **kw)
+    assert abs(out_shard["logz"] - out_plain["logz"]) < 1e-5
+    np.testing.assert_allclose(
+        out_shard["chain"], out_plain["chain"], rtol=1e-6, atol=1e-8
+    )
+
+
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dry run must pass on the virtual mesh."""
     import subprocess
