@@ -104,6 +104,49 @@ def test_smc_gaussian_posterior_and_evidence():
     assert result["total_mcmc_steps"] / result["beta_iterations"] < 20
 
 
+@pytest.mark.slow
+def test_smc_logz_error_calibration_repeat_seeds():
+    """The reported logz_err must be CALIBRATED: on the analytic Gaussian
+    box (true log Z ~= 0), across >= 5 independent seeds, every |logz| stays
+    within 3 * logz_err, and the reported error is neither wildly
+    over-reported (> 3x the actual scatter) nor under-reported -- for BOTH
+    the IS estimate (logz/logz_err) and the persistent-sampling bootstrap
+    (logz_ps/logz_err_ps)."""
+    mu = jnp.asarray([0.4, 0.6])
+    s = 0.05
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+
+    lo, hi = jnp.zeros(2), jnp.ones(2)
+    logzs, errs, logzs_ps, errs_ps = [], [], [], []
+    for seed in range(5):
+        r = run_smc(
+            logl, lo, hi,
+            n_effective=400, n_active=200, n_prior=800,
+            n_max_steps=25, n_total=2000, n_evidence=1000, seed=10 + seed,
+            flow_config=CFG, flow_fit_steps=200,
+        )
+        logzs.append(r["logz"])
+        errs.append(r["logz_err"])
+        logzs_ps.append(r["logz_ps"])
+        errs_ps.append(r["logz_err_ps"])
+
+    logzs, errs = np.asarray(logzs), np.asarray(errs)
+    logzs_ps, errs_ps = np.asarray(logzs_ps), np.asarray(errs_ps)
+    # coverage: every run's truth (0) within 3 sigma of its own estimate
+    assert np.all(np.abs(logzs) < 3.0 * errs), (logzs, errs)
+    assert np.all(np.abs(logzs_ps) < 3.0 * errs_ps), (logzs_ps, errs_ps)
+    # the error is an ESTIMATE of the scatter: not over-reported by > 3x
+    # (rms over |logz - 0| is the actual error including bias)
+    actual = max(np.sqrt(np.mean(logzs**2)), 1e-4)
+    actual_ps = max(np.sqrt(np.mean(logzs_ps**2)), 1e-4)
+    assert np.median(errs) < 3.0 * actual, (np.median(errs), actual)
+    assert np.median(errs_ps) < 3.0 * actual_ps, (np.median(errs_ps), actual_ps)
+
+
 def test_smc_bimodal_recovers_both_modes():
     """The flow-preconditioner + tempering must keep both modes."""
     m1 = jnp.asarray([0.25, 0.25])
