@@ -14,12 +14,13 @@ Measures and prints ONE JSON line on stdout (progress goes to stderr):
   ``Chain.posterior_with_state()`` -- the best of the stretch move, the
   differential-evolution move (``run_ensemble``), and the preconditioned
   HMC sampler (``run_hmc``; gradients of the same fused program).  ESS via
-  integrated autocorrelation time (emcee-style FFT estimator).  Honesty
-  note: the ensemble moves' tau keeps growing with the measurement window
-  on this posterior (22 -> 87 from 256 -> 2048 steps), so their ESS/s at
-  the 1024-step window is an UPPER bound; HMC's tau ~ 1.9 is fully
-  converged at its window (>> 50 tau) and its wall clock includes the two
-  windowed-adaptation warmup phases.  HMC wins on both counts.
+  integrated autocorrelation time (emcee-style FFT estimator).  The
+  ensemble moves' tau is measured on an 8192-step window (8 chunks of the
+  compiled 1024-step program, state carried across) so the windowed
+  estimator CONVERGES (round-2's 1024-step window was a lower bound on
+  tau; ``ensemble_tau_converged`` records the >= 50 tau check).  HMC's
+  tau ~ 1.9 converges at its 512-step window and its wall clock includes
+  the two windowed-adaptation warmup phases.
 - ``vs_baseline``: ratio of ENSEMBLE posterior-evaluation throughput
   against a reference-style CPU evaluator built from the SAME trained
   emulators (serial Python map over walkers; per-PC numpy GP predict;
@@ -71,6 +72,9 @@ HMC_STEPS = 512      # >> 50 * tau (~1.9): the tau estimate is converged
 HMC_WARMUP = 64
 HMC_LEAPFROG = 8
 CPU_BASELINE_WALKERS = 3
+# ensemble tau window: 8 x 1024 = 8192 steps >> 50 * tau (~90) so the
+# windowed FFT estimator converges (round-2 bench was window-limited)
+ENS_TAU_CHUNKS = 8
 
 
 def build_chain():
@@ -150,9 +154,18 @@ def cpu_reference_eval_rate(chain, walkers):
     return 1.0 / best
 
 
-def bench_move(chain, move, dtype):
-    """Compile + time NSTEPS production ensemble steps with ``move``;
-    returns (ess_per_sec, evals_per_sec, tau)."""
+def bench_move(chain, move, dtype, n_chunks: int = ENS_TAU_CHUNKS):
+    """Compile once, then time ``n_chunks`` x NSTEPS production ensemble
+    steps with ``move``; returns (ess_per_sec, evals_per_sec, tau,
+    tau_converged).
+
+    The tau estimate uses the CONCATENATED (NWALKERS, n_chunks * NSTEPS)
+    window: the windowed FFT estimator is biased low on short chains (tau
+    grew 22 -> 87 from 256 -> 2048 steps on this posterior in round 2), so
+    the window is extended until ``nsteps >= 50 tau`` and the convergence
+    flag is reported.  Chunking reuses the one compiled NSTEPS-step program
+    (the state carries across chunks, so the concatenation IS one long
+    chain)."""
     import jax
     import jax.numpy as jnp
 
@@ -171,26 +184,39 @@ def bench_move(chain, move, dtype):
     res.final_log_prob.block_until_ready()
     log(f"[{move}] compile+warmup: {time.perf_counter() - t0:.1f}s")
 
-    t0 = time.perf_counter()
-    res = run_ensemble(log_post, res.final_state, NSTEPS, jax.random.PRNGKey(1),
-                       state=like_state, move=move)
-    res.final_log_prob.block_until_ready()
-    dt = time.perf_counter() - t0
-    steps_per_sec = NSTEPS / dt
+    chunks = []
+    dt = 0.0
+    acc = 0.0
+    for c in range(n_chunks):
+        t0 = time.perf_counter()
+        res = run_ensemble(
+            log_post, res.final_state, NSTEPS, jax.random.PRNGKey(1 + c),
+            state=like_state, move=move,
+        )
+        res.final_log_prob.block_until_ready()
+        dt += time.perf_counter() - t0
+        chunks.append(np.asarray(res.chain))
+        acc += float(res.acceptance.mean()) / n_chunks
+    nsteps_total = n_chunks * NSTEPS
+    steps_per_sec = nsteps_total / dt
     evals_per_sec = steps_per_sec * NWALKERS
 
-    chain_arr = np.asarray(res.chain)  # (nwalkers, nsteps, ndim)
+    chain_arr = np.concatenate(chunks, axis=1)  # (nwalkers, total, ndim)
     taus, convs = zip(*(
         integrated_autocorr_time(chain_arr[:, :, d], return_converged=True)
         for d in range(NDIM)
     ))
     tau = float(np.max(taus))
+    converged = all(convs)
     ess_per_sec = (NWALKERS / tau) * steps_per_sec
-    conv_note = "" if all(convs) else " (window-limited: tau is a lower bound)"
+    conv_note = (
+        f"(converged: window {nsteps_total} >= 50 tau)" if converged
+        else " (WINDOW-LIMITED: tau is a lower bound)"
+    )
     log(f"[{move}] {dt:.2f}s -> {steps_per_sec:.1f} steps/s, "
-        f"{evals_per_sec:.0f} evals/s, max tau {tau:.1f}{conv_note}, "
-        f"ESS/sec {ess_per_sec:.1f}, acc {float(res.acceptance.mean()):.3f}")
-    return ess_per_sec, evals_per_sec, tau
+        f"{evals_per_sec:.0f} evals/s, max tau {tau:.1f} {conv_note}, "
+        f"ESS/sec {ess_per_sec:.1f}, acc {acc:.3f}")
+    return ess_per_sec, evals_per_sec, tau, converged
 
 
 def bench_hmc(chain, dtype):
@@ -312,15 +338,29 @@ def main():
 
     log("building flagship problem (9 emulators, 544 observables) ...")
     t0 = time.perf_counter()
-    chain, gp_train_s = build_chain()
+    chain, gp_train_total_s = build_chain()
     log(f"emulator training ({len(BLOCKS)} emulators x {NPC} GPs, nev={NEV}): "
-        f"{gp_train_s:.1f}s (total build {time.perf_counter() - t0:.1f}s)")
+        f"{gp_train_total_s:.1f}s incl. compile "
+        f"(total build {time.perf_counter() - t0:.1f}s)")
+    # Separate compile from compute: retrain the identical joint fit (same
+    # shapes/statics -> the compiled program is reused), so the second wall
+    # time is pure compute.  Round-2's single number (194.8 s) was almost
+    # entirely remote-compile congestion on the shared tunnel and
+    # contradicted the documented ~20 s compute (VERDICT r2).
+    from gpbayestools_hic_tpu.models import train_emulators_jointly
+
+    t0 = time.perf_counter()
+    train_emulators_jointly(chain.emuList)
+    gp_train_s = time.perf_counter() - t0
+    gp_train_compile_s = max(gp_train_total_s - gp_train_s, 0.0)
+    log(f"emulator training warm (compiled program reused): {gp_train_s:.1f}s "
+        f"compute + {gp_train_compile_s:.1f}s compile")
 
     results = {}
     for move in ("stretch", "de"):
         results[move] = bench_move(chain, move, dtype)
     best_ens = max(results, key=lambda m: results[m][0])
-    ens_ess, evals_per_sec, ens_tau = results[best_ens]
+    ens_ess, evals_per_sec, ens_tau, ens_tau_converged = results[best_ens]
 
     hmc_ess, hmc_tau = bench_hmc(chain, dtype)
     if hmc_ess > ens_ess:
@@ -353,9 +393,12 @@ def main():
         "tau": round(tau, 2),
         "ensemble_ess_per_sec": round(ens_ess, 1),
         "ensemble_move": best_ens,
+        "ensemble_tau": round(ens_tau, 1),
+        "ensemble_tau_converged": bool(ens_tau_converged),
         "hmc_ess_per_sec": round(hmc_ess, 1),
         "evals_per_sec": round(evals_per_sec, 0),
         "gp_train_s": round(gp_train_s, 1),
+        "gp_train_compile_s": round(gp_train_compile_s, 1),
         "pallas_evals_per_sec": round(pallas_rate, 0),
         "smc_wall_s": smc_wall_s,
         "smc_logz": smc_logz,
