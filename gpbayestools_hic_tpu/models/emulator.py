@@ -173,7 +173,7 @@ class Emulator:
         Returns ``(design (nev, d), z_t (npc_used, nev), ptp (d,),
         noise_diag or None)``; sets scaler/pca/_npc_used/gp_config.
         """
-        if kernel_type not in ("RBF", "Matern"):
+        if kernel_type not in ("RBF", "Matern", "MaternProd"):
             raise ValueError(f"Unknown kernel type: {kernel_type}")
         eventMask = np.asarray(eventMask, dtype=bool)
         dtype = self._dtype
@@ -210,7 +210,8 @@ class Emulator:
         design = jnp.asarray(design, dtype=dtype)
         ptp = jnp.asarray(self.design_max - self.design_min, dtype=dtype)
         self.gp_config = GPConfig(
-            kernel=KernelConfig(kernel_type), alpha=self.gp_alpha
+            kernel=KernelConfig(kernel_type), alpha=self.gp_alpha,
+            map_prior_strength=getattr(self, "gp_map_prior_strength", 0.0),
         )
         noise_diag = self._pc_noise_diag(eventMask, npc_used)
         return design, jnp.asarray(np.asarray(z).T, dtype=dtype), ptp, noise_diag
@@ -695,6 +696,7 @@ class Emulator:
             # subclass fields (EmulatorBAND) so retraining works after load
             "method": getattr(self, "method_", None),
             "pc_target_variance": getattr(self, "pc_target_variance", None),
+            "map_prior_strength": getattr(self, "gp_map_prior_strength", 0.0),
         }
         save_pytree(path, tree, meta)
 
@@ -720,8 +722,10 @@ class Emulator:
         if meta.get("method") is not None:
             self.method_ = meta["method"]
             self.pc_target_variance = meta.get("pc_target_variance", 0.99)
+            self.kernel_kind_ = meta["kernel_kind"]
             self._impute_mask = None
             self._impute_col_var = None
+        self.gp_map_prior_strength = meta.get("map_prior_strength", 0.0)
         self._dtype = working_dtype()
         self.pardict = meta["pardict"]
         self.param_pca_groups = [

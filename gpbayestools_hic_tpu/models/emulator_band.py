@@ -98,10 +98,25 @@ class EmulatorBAND(Emulator):
         nrestarts: int = 0,
         seed: int = 0,
         gp_maxiter: int = 200,
+        kernel_kind: str = "Matern",
+        map_prior_strength: float = 0.0,
     ):
+        """``kernel_kind``: per-PC GP covariance family -- "Matern"
+        (isotropic ARD Matern-1.5, the rebuild default, matching the
+        reference sklearn head's non-RBF option) or "MaternProd"
+        (surmise's separable product-Matern, see ops/kernels.py).
+        ``map_prior_strength``: > 0 switches hyperparameter fitting to the
+        MAP objective (surmise's penalized likelihood role; see
+        GPConfig.map_prior_strength).  Together these make the two
+        documented surmise divergences (docs/SURMISE_PARITY.md items 5-6)
+        selectable instead of fixed."""
         if method not in _METHODS:
             raise ValueError(f"Requested method not implemented: {method}")
+        if kernel_kind not in ("RBF", "Matern", "MaternProd"):
+            raise ValueError(f"Unknown kernel kind: {kernel_kind}")
         self.method_ = method
+        self.kernel_kind_ = kernel_kind
+        self.gp_map_prior_strength = float(map_prior_strength)
         self.pc_target_variance = target_variance
         super().__init__(
             training_set_path=training_set_path,
@@ -164,8 +179,11 @@ class EmulatorBAND(Emulator):
 
     # ---------------------------------------------------------------- train
 
-    def trainEmulator(self, event_mask, kernel_type: str = "Matern"):
-        super().trainEmulator(event_mask, kernel_type=kernel_type)
+    def trainEmulator(self, event_mask, kernel_type: str | None = None):
+        super().trainEmulator(
+            event_mask,
+            kernel_type=kernel_type or getattr(self, "kernel_kind_", "Matern"),
+        )
 
     # ------------------------------------------------------------- predict
 
@@ -182,10 +200,12 @@ class EmulatorBAND(Emulator):
 
     def testEmulatorErrors(self, number_test_points: int = 1):
         return super().testEmulatorErrors(
-            nTestPoints=number_test_points, kernel_type="Matern"
+            nTestPoints=number_test_points,
+            kernel_type=getattr(self, "kernel_kind_", "Matern"),
         )
 
     def testEmulatorErrorsWithTrainingPoints(self, number_test_points: int = 1):
         return super().testEmulatorErrorsWithTrainingPoints(
-            nTestPoints=number_test_points, kernel_type="Matern"
+            nTestPoints=number_test_points,
+            kernel_type=getattr(self, "kernel_kind_", "Matern"),
         )

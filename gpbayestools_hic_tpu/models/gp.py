@@ -53,6 +53,14 @@ class GPConfig(NamedTuple):
     kernel: KernelConfig = KernelConfig("RBF")
     alpha: float = 0.1  # fixed diagonal regularization (sklearn GPR alpha)
     var_precision: str = "high"
+    #: > 0 switches hyperparameter fitting from MLE to MAP: an isotropic
+    #: Gaussian penalty of this precision in log-hyperparameter space,
+    #: centered on the reference initialization (lengthscales = ptp,
+    #: amp 1, noise 0.05).  Plays the stabilizing role of surmise's
+    #: lengthscale hyperprior (docs/SURMISE_PARITY.md item 6); surmise's
+    #: exact hyperprior constants are not reproducible without the library,
+    #: so the strength is an explicit measurable knob.
+    map_prior_strength: float = 0.0
 
 
 class GPState(NamedTuple):
@@ -184,7 +192,13 @@ def gp_fit(
 
     def fit_one(y, nd, t0):
         def nll_vec(vec):
-            return gp_nll(_unpack(vec, d), x, y, config, nd)
+            nll = gp_nll(_unpack(vec, d), x, y, config, nd)
+            if config.map_prior_strength > 0.0:
+                # MAP objective (see GPConfig.map_prior_strength)
+                nll = nll + 0.5 * config.map_prior_strength * jnp.sum(
+                    (vec - theta0) ** 2
+                )
+            return nll
 
         res = lbfgsb_minimize(nll_vec, t0, lower, upper, maxiter=maxiter)
         return res.x, res.fun

@@ -18,6 +18,19 @@ Numerics match sklearn:
 - Matern 1.5: k = (1 + sqrt(3) d) exp(-sqrt(3) d),  d = sqrt(sum((x-y)^2/l^2))
 - amplitude multiplies; white noise adds to the *self* Gram diagonal only
   (sklearn WhiteKernel returns 0 for cross-covariance blocks).
+
+Additionally, "MaternProd" is the SEPARABLE product-Matern family used by
+surmise 0.2.1's PCGP covariance (``emulation.methods.PCGP.__covmat``; the
+Higdon et al. 2008 PCA-GP construction uses the same product form):
+
+- MaternProd: k = prod_j (1 + d_j) exp(-d_j),  d_j = |x_j - y_j| / l_j
+
+i.e. a product of 1-D Matern-3/2 correlations per input dimension (no
+sqrt(3) factor -- surmise folds it into the lengthscale), which is NOT the
+isotropic ARD Matern: the product form is smoother along axis-aligned
+directions and matches surmise's per-dimension factorization.  Offered so
+the kernel-family divergence documented in docs/SURMISE_PARITY.md items 5-6
+is a measurable CHOICE rather than a fixed difference.
 """
 
 from __future__ import annotations
@@ -61,15 +74,26 @@ def kernel_fn(
     xs = x / ls
     symmetric = y is None
     ys = xs if symmetric else y / ls
-    d2 = _scaled_sqdist(xs, ys)
-    if config.kind == "RBF":
-        k = amp * jnp.exp(-0.5 * d2)
-    elif config.kind == "Matern":
-        d = jnp.sqrt(d2 + 1e-32)
-        sq3d = jnp.sqrt(3.0) * d
-        k = amp * (1.0 + sq3d) * jnp.exp(-sq3d)
+    if config.kind == "MaternProd":
+        # separable product-Matern (surmise PCGP family): accumulate
+        # log k = sum_j [log(1 + d_j) - d_j] one dimension at a time --
+        # O(n m) working memory instead of an (n, m, d) broadcast, and the
+        # per-dimension |.| stays a cheap VPU epilogue
+        logk = jnp.zeros((xs.shape[0], ys.shape[0]), dtype=x.dtype)
+        for j in range(xs.shape[1]):
+            dj = jnp.abs(xs[:, j][:, None] - ys[:, j][None, :])
+            logk = logk + jnp.log1p(dj) - dj
+        k = amp * jnp.exp(logk)
     else:
-        raise ValueError(f"Unknown kernel kind: {config.kind}")
+        d2 = _scaled_sqdist(xs, ys)
+        if config.kind == "RBF":
+            k = amp * jnp.exp(-0.5 * d2)
+        elif config.kind == "Matern":
+            d = jnp.sqrt(d2 + 1e-32)
+            sq3d = jnp.sqrt(3.0) * d
+            k = amp * (1.0 + sq3d) * jnp.exp(-sq3d)
+        else:
+            raise ValueError(f"Unknown kernel kind: {config.kind}")
     if symmetric and include_noise:
         noise = jnp.exp(params["log_noise"])
         k = k + noise * jnp.eye(x.shape[0], dtype=k.dtype)
@@ -118,6 +142,7 @@ def default_bounds(
 
     RBF:    length-scale bounds ``outer(ptp, (1e-1, 1e2))``
     Matern: length-scale bounds ``outer(ptp, (1e-3, 1e5))``
+    (MaternProd uses the Matern bounds)
     amplitude (sklearn ConstantKernel default): (1e-5, 1e5)
     white noise: (1e-2, 1e2)
     (reference: src/emulator.py:286-306)

@@ -290,6 +290,71 @@ def test_band_from_reference_missing_module_error(tmp_path):
         Emulator.from_reference(str(tmp_path / "poisoned.sav"))
 
 
+# ----------------------------------------- surmise kernel family + MAP knob
+
+
+def test_maternprod_kernel_matches_manual(rng):
+    """The "MaternProd" kind is surmise's separable product-Matern
+    (docs/SURMISE_PARITY.md item 5): k = amp * prod_j (1+d_j) exp(-d_j)."""
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.ops.kernels import KernelConfig, kernel_fn
+
+    x = rng.uniform(0, 1, (7, 3))
+    y = rng.uniform(0, 1, (5, 3))
+    ls = np.array([0.5, 1.2, 0.8])
+    amp, noise = 1.3, 0.07
+    params = {
+        "log_amp": jnp.log(amp),
+        "log_ls": jnp.log(jnp.asarray(ls)),
+        "log_noise": jnp.log(noise),
+    }
+    cfg = KernelConfig("MaternProd")
+    k = kernel_fn(params, jnp.asarray(x), jnp.asarray(y), config=cfg,
+                  include_noise=False)
+    d = np.abs(x[:, None, :] - y[None, :, :]) / ls
+    manual = amp * np.prod((1 + d) * np.exp(-d), axis=2)
+    np.testing.assert_allclose(np.asarray(k), manual, rtol=1e-12)
+    k_self = kernel_fn(params, jnp.asarray(x), config=cfg, include_noise=True)
+    ds = np.abs(x[:, None, :] - x[None, :, :]) / ls
+    manual_self = amp * np.prod((1 + ds) * np.exp(-ds), axis=2) + noise * np.eye(7)
+    np.testing.assert_allclose(np.asarray(k_self), manual_self, rtol=1e-12)
+
+
+def test_map_prior_strength_pulls_hyperparams_to_center(rng):
+    """map_prior_strength > 0 is a real MAP objective: an overwhelming
+    penalty pins the optimum at the reference initialization, a moderate
+    one lands between MLE and the center (surmise's penalized-likelihood
+    role, docs/SURMISE_PARITY.md item 6)."""
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.models.gp import GPConfig, gp_fit
+    from gpbayestools_hic_tpu.ops.kernels import KernelConfig
+
+    x = rng.uniform(0, 1, (30, 2))
+    y = np.sin(4 * x[:, 0]) + 0.3 * x[:, 1]
+    ptp = jnp.ones(2)
+
+    def fit(strength):
+        cfg = GPConfig(kernel=KernelConfig("MaternProd"), alpha=1e-6,
+                       map_prior_strength=strength)
+        return gp_fit(jnp.asarray(x), jnp.asarray(y)[None, :], ptp, config=cfg)
+
+    mle = fit(0.0)
+    hard = fit(1e8)
+    soft = fit(5.0)
+    # overwhelming prior -> the init point (log_ls = log ptp = 0, amp 1)
+    np.testing.assert_allclose(np.asarray(hard.params["log_ls"][0]), 0.0,
+                               atol=1e-3)
+    np.testing.assert_allclose(float(hard.params["log_amp"][0]), 0.0,
+                               atol=1e-3)
+    # moderate prior shrinks toward the center relative to the MLE
+    d_mle = float(jnp.sum(mle.params["log_ls"][0] ** 2))
+    d_soft = float(jnp.sum(soft.params["log_ls"][0] ** 2))
+    assert d_soft < d_mle + 1e-12
+    assert mle.lml[0] >= soft.lml[0] - 1e-6  # MLE maximizes the pure LML
+
+
 # ------------------------------------------------------------ golden pinning
 
 
@@ -322,24 +387,35 @@ def test_band_heads_match_golden_fixtures(tmp_path):
             },
             f,
         )
-    for method in ("PCGP", "PCSK"):
-        emu = EmulatorBAND(str(pkl), str(parfile), method=method)
+    variants = [
+        ("PCGP", dict(method="PCGP")),
+        ("PCSK", dict(method="PCSK")),
+        ("PCGP_surmise", dict(method="PCGP", kernel_kind="MaternProd",
+                              map_prior_strength=1.0)),
+    ]
+    for tag, kwargs in variants:
+        if f"{tag}_npc" not in fix:
+            continue  # older fixture file without the surmise variant
+        emu = EmulatorBAND(str(pkl), str(parfile), **kwargs)
         emu.trainEmulatorAutoMask()
-        assert int(emu._npc_used) == int(fix[f"{method}_npc"])
+        assert int(emu._npc_used) == int(fix[f"{tag}_npc"])
         for k in ("log_ls", "log_amp", "log_noise"):
             np.testing.assert_allclose(
-                np.asarray(emu.gp_state.params[k]), fix[f"{method}_{k}"],
-                rtol=1e-5, err_msg=f"{method} {k} drifted",
+                np.asarray(emu.gp_state.params[k]), fix[f"{tag}_{k}"],
+                rtol=1e-5, err_msg=f"{tag} {k} drifted",
             )
         mean, cov = emu.predict(xq)
         np.testing.assert_allclose(
-            mean, fix[f"{method}_mean"], rtol=1e-6,
-            err_msg=f"{method} predictive mean drifted",
+            mean, fix[f"{tag}_mean"], rtol=1e-6,
+            err_msg=f"{tag} predictive mean drifted",
         )
         np.testing.assert_allclose(
-            np.diagonal(cov, axis1=1, axis2=2), fix[f"{method}_covdiag"],
+            np.diagonal(cov, axis1=1, axis2=2), fix[f"{tag}_covdiag"],
             rtol=1e-5, atol=1e-12,
-            err_msg=f"{method} predictive variance drifted",
+            err_msg=f"{tag} predictive variance drifted",
         )
     # PCSK != PCGP on this data (the heteroskedastic nugget is live)
     assert np.max(np.abs(fix["PCSK_mean"] - fix["PCGP_mean"])) > 1e-4
+    # the surmise kernel family is a real alternative, not an alias
+    if "PCGP_surmise_mean" in fix:
+        assert np.max(np.abs(fix["PCGP_surmise_mean"] - fix["PCGP_mean"])) > 1e-6

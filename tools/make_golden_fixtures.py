@@ -48,16 +48,25 @@ def build(out_path):
     )
 
     out = {"design": design, "base": base, "err": err, "xq": xq}
-    for method in ("PCGP", "PCSK"):
-        emu = EmulatorBAND(pkl, parfile, method=method)
+    # third variant: surmise's own covariance family + MAP objective
+    # (docs/SURMISE_PARITY.md items 5-6 as a selectable configuration)
+    variants = [
+        ("PCGP", {}),
+        ("PCSK", {}),
+        ("PCGP_surmise", dict(method="PCGP", kernel_kind="MaternProd",
+                              map_prior_strength=1.0)),
+    ]
+    for tag, extra in variants:
+        kwargs = dict(method=tag) if not extra else extra
+        emu = EmulatorBAND(pkl, parfile, **kwargs)
         emu.trainEmulatorAutoMask()
         mean, cov = emu.predict(xq)
-        out[f"{method}_mean"] = mean
-        out[f"{method}_covdiag"] = np.diagonal(cov, axis1=1, axis2=2)
-        out[f"{method}_npc"] = np.asarray(emu._npc_used)
+        out[f"{tag}_mean"] = mean
+        out[f"{tag}_covdiag"] = np.diagonal(cov, axis1=1, axis2=2)
+        out[f"{tag}_npc"] = np.asarray(emu._npc_used)
         for k, v in emu.gp_state.params.items():
-            out[f"{method}_{k}"] = np.asarray(v)
-        print(method, "npc =", int(emu._npc_used), "mean[0,:3] =", mean[0, :3])
+            out[f"{tag}_{k}"] = np.asarray(v)
+        print(tag, "npc =", int(emu._npc_used), "mean[0,:3] =", mean[0, :3])
     np.savez(out_path, **out)
     print("wrote", out_path)
 
