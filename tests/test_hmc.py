@@ -71,7 +71,9 @@ def test_hmc_near_iid_mixing():
                   n_leapfrog=6, warmup=96)
     chain = np.asarray(res.chain)
     ess = effective_sample_size(chain)
-    assert ess > 0.25 * chain.shape[0] * chain.shape[1], ess
+    # threshold accounts for the default trajectory-length jitter (lengths
+    # {5, 6} here): tau ~ 4 instead of the fixed-L ~3 on this small target
+    assert ess > 0.2 * chain.shape[0] * chain.shape[1], ess
 
 
 def test_hmc_traj_jitter_breaks_resonance():
