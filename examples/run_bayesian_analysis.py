@@ -27,26 +27,36 @@ def build_chain(mcmc_name: str) -> Chain:
     return chain
 
 
-def main(sampler: str = "pocoMC"):  # pocoMC | emcee | PTLMC | HMC
+def main(sampler: str = "pocoMC", devices: int | None = None):
+    # sampler: pocoMC | emcee | PTLMC | HMC.  devices=N shards the
+    # walker/particle axis over the first N accelerator chips (the
+    # reference's pool=12 ergonomics, now a device count).
     if sampler == "pocoMC":  # recommended (reference cell 4)
         chain = build_chain("chain_smc.pkl")
         chain.run_pocoMC(
             n_effective=1000, n_active=500, n_prior=2000,
             sample="tpcn", n_max_steps=50, n_total=8000, n_evidence=2000,
+            devices=devices,
         )
     elif sampler == "emcee":  # reference cell 5
         chain = build_chain("chain_ensemble.pkl")
-        chain.run_mcmc(nsteps=1000, nburnsteps=1000, nwalkers=100, nthin=2)
+        chain.run_mcmc(nsteps=1000, nburnsteps=1000, nwalkers=100, nthin=2,
+                       devices=devices)
     elif sampler == "PTLMC":  # reference cell 6
         chain = build_chain("chain_ptlmc.pkl")
-        chain.run_MCMC_PTLMC(nsteps=1000, nwalkers=16, ntemps=30, maxtemp=100)
+        chain.run_MCMC_PTLMC(nsteps=1000, nwalkers=16, ntemps=30,
+                             maxtemp=100, devices=devices)
     elif sampler == "HMC":  # beyond-reference: gradient-based, near-iid
         chain = build_chain("chain_hmc.pkl")
-        chain.run_MCMC_HMC(nsteps=500, nwalkers=64, nburnsteps=128)
+        chain.run_MCMC_HMC(nsteps=500, nwalkers=64, nburnsteps=128,
+                           devices=devices)
     else:
         raise SystemExit(f"unknown sampler {sampler}")
     print(f"{sampler} chain written under {DATA / 'mcmc'}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "pocoMC")
+    main(
+        sys.argv[1] if len(sys.argv) > 1 else "pocoMC",
+        int(sys.argv[2]) if len(sys.argv) > 2 else None,
+    )

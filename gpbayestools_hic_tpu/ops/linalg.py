@@ -61,6 +61,70 @@ def cholesky_jittered(a: jnp.ndarray, jitter_scale: float | None = None) -> jnp.
     return jnp.where(bad, chol_rescued, chol)
 
 
+def tri_matmul_lower(
+    g: jnp.ndarray,
+    k: jnp.ndarray,
+    *,
+    nb: int = 4,
+    precision=None,
+) -> jnp.ndarray:
+    """``g @ k`` for LOWER-triangular ``g`` (n, n), skipping zero blocks.
+
+    XLA's dot does not exploit triangular structure, so a dense ``g @ k``
+    pays n^2 m MACs although almost half the operand is zeros.  Partitioning
+    the rows/columns into ``nb`` static blocks and summing only the blocks
+    on or below the diagonal performs (nb+1)/(2 nb) of the dense FLOPs
+    (nb=4: 62.5%) while every piece stays an MXU-shaped matmul.  Exact --
+    the skipped blocks are exactly zero -- and precision-controllable like
+    ``jnp.matmul``.  ``nb=1`` falls back to the dense product.
+
+    Measured (TPU v5e, in-scan, 4x(1000,1000)@(1000,512) f32): dense
+    HIGHEST 0.435 ms, dense HIGH 0.322 ms, nb=4 HIGH 0.305 ms, nb=4
+    HIGHEST 0.361 ms.  At 3-pass precision the product is NOT FLOP-bound
+    on this runtime, so the 37.5% FLOP saving yields only ~5% -- which is
+    why the GP predict hot path keeps the plain dense-HIGH product and
+    this helper is offered as a utility (it IS worth 17% at HIGHEST,
+    e.g. for f64-leaning workloads).
+
+    The transpose product ``g.T @ k`` (upper-triangular operand) is
+    :func:`tri_matmul_upper_t`.
+    """
+    n = g.shape[0]
+    if nb <= 1 or n < 2 * nb:
+        return jnp.matmul(g, k, precision=precision)
+    bounds = [round(i * n / nb) for i in range(nb + 1)]
+    rows = []
+    for i in range(nb):
+        r0, r1 = bounds[i], bounds[i + 1]
+        acc = jnp.matmul(g[r0:r1, : bounds[i + 1]], k[: bounds[i + 1]],
+                         precision=precision)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
+def tri_matmul_upper_t(
+    g: jnp.ndarray,
+    k: jnp.ndarray,
+    *,
+    nb: int = 4,
+    precision=None,
+) -> jnp.ndarray:
+    """``g.T @ k`` for LOWER-triangular ``g`` -- i.e. an upper-triangular
+    operand -- skipping zero blocks (see :func:`tri_matmul_lower`).
+    Used by the fast-grad VJP's backward pass."""
+    n = g.shape[0]
+    if nb <= 1 or n < 2 * nb:
+        return jnp.matmul(g.T, k, precision=precision)
+    bounds = [round(i * n / nb) for i in range(nb + 1)]
+    rows = []
+    for j in range(nb):
+        c0, c1 = bounds[j], bounds[j + 1]
+        # column block j of g.T = rows >= c0 of g's column block j
+        acc = jnp.matmul(g[c0:, c0:c1].T, k[c0:], precision=precision)
+        rows.append(acc)
+    return jnp.concatenate(rows, axis=0)
+
+
 def mvn_loglike(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     """Unnormalized MVN log-likelihood of difference vector ``y`` under ``cov``.
 

@@ -205,3 +205,27 @@ def test_lbfgsb_vmappable():
     upper = 10.0 * jnp.ones(3)
     res = jax.vmap(lambda x0: lbfgsb_minimize(fun, x0, lower, upper))(x0s)
     np.testing.assert_allclose(res.x, 2.0 * np.ones((3, 3)), atol=1e-5)
+
+
+def test_tri_matmul_lower_exact():
+    """Blocked triangular matmuls equal the dense product exactly (the
+    skipped blocks are exactly zero)."""
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.ops.linalg import (
+        tri_matmul_lower,
+        tri_matmul_upper_t,
+    )
+
+    rng = np.random.default_rng(0)
+    for n, m, nb in ((37, 5, 4), (64, 16, 4), (33, 7, 8), (6, 3, 4)):
+        g = jnp.asarray(np.tril(rng.normal(size=(n, n))))
+        k = jnp.asarray(rng.normal(size=(n, m)))
+        np.testing.assert_allclose(
+            np.asarray(tri_matmul_lower(g, k, nb=nb)), np.asarray(g @ k),
+            rtol=1e-12, atol=1e-12,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tri_matmul_upper_t(g, k, nb=nb)), np.asarray(g.T @ k),
+            rtol=1e-12, atol=1e-12,
+        )
