@@ -725,6 +725,8 @@ class Emulator:
             self.kernel_kind_ = meta["kernel_kind"]
             self._impute_mask = None
             self._impute_col_var = None
+        # restored BEFORE gp_config below so the loaded config carries the
+        # saved MAP setting (one source of truth)
         self.gp_map_prior_strength = meta.get("map_prior_strength", 0.0)
         self._dtype = working_dtype()
         self.pardict = meta["pardict"]
@@ -757,7 +759,8 @@ class Emulator:
             lml=jnp.asarray(tree["gp_lml"]),
         )
         self.gp_config = GPConfig(
-            kernel=KernelConfig(meta["kernel_kind"]), alpha=meta["alpha"]
+            kernel=KernelConfig(meta["kernel_kind"]), alpha=meta["alpha"],
+            map_prior_strength=self.gp_map_prior_strength,
         )
         self.scaler = StandardScalerState(*as_jnp(tuple(tree["scaler"])))
         self.pca = (

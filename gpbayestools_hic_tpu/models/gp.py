@@ -356,11 +356,17 @@ def gp_predict(
         # The factored norm form removes that amplification, so "high"
         # (GPConfig.var_precision, the default) is validated acceptable and
         # halves the matmul passes -- see GPConfig docstring.
-        v = jnp.matmul(linv, kstar, precision=prec)  # (n, m)
         if full_cov:
+            # full covariance (gp_sample / sample_y, not a hot path) stays
+            # at full precision: the off-diagonal subtraction kqq - V^T V
+            # is NOT the validated norm form, and var_precision's carve-out
+            # covers variance-only products (see GPConfig/CLAUDE.md)
+            full = _PRECISIONS["highest"]
+            v = jnp.matmul(linv, kstar, precision=full)
             kqq = kernel_fn(params, xq, config=config.kernel, include_noise=True)
-            cov = kqq - jnp.matmul(v.T, v, precision=prec)
+            cov = kqq - jnp.matmul(v.T, v, precision=full)
             return mean, cov
+        v = jnp.matmul(linv, kstar, precision=prec)  # (n, m)
         kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
         var = kdiag - jnp.sum(v * v, axis=0)
         return mean, jnp.maximum(var, 0.0)

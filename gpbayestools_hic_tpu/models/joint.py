@@ -26,20 +26,25 @@ logger = logging.getLogger(__name__)
 def train_emulators_jointly(
     emulators: Sequence[Emulator],
     event_mask=None,
-    kernel_type: str = "RBF",
+    kernel_type: str | None = None,
 ):
     """Train all ``emulators`` in one batched GP fit.
 
     Requirements (checked): identical (possibly parameter-PCA-transformed)
     design matrices, identical parameter ranges, identical GP settings
-    (alpha, maxiter, nrestarts, seed).  Each emulator ends up exactly as if
-    ``trainEmulator`` had been called on it individually -- the GPs are
-    independent, so batching changes nothing but the wall clock.
+    (alpha, maxiter, nrestarts, seed, kernel kind, MAP strength).  Each
+    emulator ends up exactly as if ``trainEmulator`` had been called on it
+    individually -- the GPs are independent, so batching changes nothing
+    but the wall clock.  ``kernel_type=None`` uses the emulators' own
+    configured kind (``EmulatorBAND.kernel_kind_``; "RBF" for the plain
+    sklearn head, matching its ``trainEmulator`` default).
     """
     if not emulators:
         return
     if event_mask is None:
         event_mask = np.ones(emulators[0].nev, dtype=bool)
+    if kernel_type is None:
+        kernel_type = getattr(emulators[0], "kernel_kind_", "RBF")
 
     designs, zts, ptps, noise_diags, npcs = [], [], [], [], []
     for e in emulators:
@@ -67,6 +72,12 @@ def train_emulators_jointly(
             raise ValueError(f"emulator {i} has different parameter ranges")
         for attr in ("gp_alpha", "gp_maxiter", "nrestarts", "seed"):
             if getattr(e, attr) != getattr(base, attr):
+                raise ValueError(
+                    f"emulator {i} differs in {attr}; joint training requires "
+                    "identical GP settings"
+                )
+        for attr in ("kernel_kind_", "gp_map_prior_strength"):
+            if getattr(e, attr, None) != getattr(base, attr, None):
                 raise ValueError(
                     f"emulator {i} differs in {attr}; joint training requires "
                     "identical GP settings"

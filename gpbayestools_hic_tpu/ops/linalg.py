@@ -110,8 +110,11 @@ def tri_matmul_upper_t(
     precision=None,
 ) -> jnp.ndarray:
     """``g.T @ k`` for LOWER-triangular ``g`` -- i.e. an upper-triangular
-    operand -- skipping zero blocks (see :func:`tri_matmul_lower`).
-    Used by the fast-grad VJP's backward pass."""
+    operand -- skipping zero blocks (see :func:`tri_matmul_lower`; same
+    measured caveat: worthwhile at HIGHEST precision, not at 3-pass).
+    Shaped for VJP-style backward products such as gp._norm_bwd's
+    ``linv.T @ vq`` (which currently keeps the plain dense matmul for the
+    same not-FLOP-bound reason)."""
     n = g.shape[0]
     if nb <= 1 or n < 2 * nb:
         return jnp.matmul(g.T, k, precision=precision)

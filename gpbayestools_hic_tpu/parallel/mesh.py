@@ -47,6 +47,10 @@ def resolve_mesh(
         return mesh
     if devices is None or devices in (0, 1):
         return None
+    if devices < -1:
+        raise ValueError(
+            f"devices must be a positive count or -1 (all), got {devices}"
+        )
     n = None if devices == -1 else devices
     if n is not None and n > len(jax.devices()):
         raise ValueError(

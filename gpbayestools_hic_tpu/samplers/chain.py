@@ -139,11 +139,12 @@ class Chain:
         def model_predict(state, x, extra_std):
             """(m, ndim) -> mean (m, nobs), block-diagonal cov (m, nobs, nobs).
 
-            ``extra_std`` (scalar) follows the reference's ``_predict``
-            semantics (src/mcmc.py:153-166): scaled by each sample's LAST
-            parameter column, then added to every emulator's predictive
-            PC variance.  The likelihood path always passes 0 (the
-            reference zeroes it before use, src/mcmc.py:205, 281)."""
+            ``extra_std`` (scalar or (m,) array) follows the reference's
+            ``_predict`` semantics (src/mcmc.py:153-166): multiplied by
+            each sample's LAST parameter column, then added to every
+            emulator's predictive PC variance.  The likelihood path always
+            passes 0 (the reference zeroes it before use, src/mcmc.py:205,
+            281)."""
             m = x.shape[0]
             extra = jnp.asarray(extra_std, dtype=dtype) * x[:, -1]
             mean = jnp.zeros((m, nobs), dtype=dtype)
@@ -368,11 +369,18 @@ class Chain:
     def _predict(self, X, extra_std=0.0):
         """Concatenated emulator predictions (reference: src/mcmc.py:153-166).
 
-        ``extra_std`` is passed through with reference semantics: the scalar
-        is scaled by each sample's last parameter column and enters every
-        emulator's predictive covariance (``extra_std * X[:, -1]``)."""
+        ``extra_std`` is passed through with reference semantics: a scalar
+        or per-sample array, multiplied by each sample's last parameter
+        column before entering every emulator's predictive covariance
+        (``extra_std * X[:, -1]``, exactly src/mcmc.py:157 -- the
+        reference's own log_likelihood passes a length-m zeros array)."""
         X = jnp.atleast_2d(jnp.asarray(X, dtype=self._dtype))
-        extra = jnp.asarray(extra_std, dtype=self._dtype).reshape(())
+        extra = jnp.asarray(extra_std, dtype=self._dtype)
+        if extra.ndim > 1 or (extra.ndim == 1 and extra.shape[0] != X.shape[0]):
+            raise ValueError(
+                f"extra_std must be a scalar or length-{X.shape[0]} array, "
+                f"got shape {extra.shape}"
+            )
         mean, cov = self.device_fns["model_predict"](self._like_state, X, extra)
         return np.asarray(mean), np.asarray(cov)
 

@@ -147,9 +147,11 @@ def _hmc_scan(
         # still runs n_leapfrog iterations (static shapes) -- masked
         # iterations recompute the same point, so wall clock is unchanged.
         if traj_jitter > 0:
-            L = jax.random.randint(
-                k_L, (m,), n_leapfrog - traj_jitter, n_leapfrog + 1
-            )
+            # clamp so L >= 1 always: jitter >= n_leapfrog would draw
+            # zero-length trajectories whose MH test runs on a bogus
+            # energy difference from the unconditional initial half-kick
+            lo_L = max(n_leapfrog - traj_jitter, 1)
+            L = jax.random.randint(k_L, (m,), lo_L, n_leapfrog + 1)
             active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
             coeff = (
                 jnp.where(lf_idx[:, None] == L[None, :] - 1, 0.5, 1.0) * active
@@ -230,9 +232,10 @@ def run_hmc(
     samples are returned in x-space.
 
     ``traj_jitter``: per-walker trajectory lengths are drawn uniformly from
-    ``{n_leapfrog - traj_jitter, ..., n_leapfrog}`` each step, breaking
-    periodic-orbit resonances a fixed length can hit (wall clock unchanged
-    -- see :func:`_hmc_scan`).  ``traj_jitter=0`` restores fixed lengths.
+    ``{max(n_leapfrog - traj_jitter, 1), ..., n_leapfrog}`` each step,
+    breaking periodic-orbit resonances a fixed length can hit (wall clock
+    unchanged -- see :func:`_hmc_scan`).  ``traj_jitter=0`` restores fixed
+    lengths.
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).

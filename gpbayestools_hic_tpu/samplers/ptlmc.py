@@ -179,11 +179,9 @@ def run_ptlmc(
         check_divisible(mesh, totnum, "chains (numtemps + numchain)")
         state = replicate(mesh, state)
         thetac = shard_batch(mesh, thetac)
-    fval0 = lp_fn(thetac) / temps
-    if mesh is not None:
-        from ..parallel.mesh import shard_batch
-
-        fval0 = shard_batch(mesh, fval0)
+        fval0 = shard_batch(mesh, lp_fn(thetac) / temps)
+    else:
+        fval0 = lp_fn(thetac) / temps
 
     chain = _ptlmc_scan(
         logpost_fn,

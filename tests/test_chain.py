@@ -125,6 +125,14 @@ def test_chain_predict_extra_std_passthrough(chain_setup, rng):
                                    atol=1e-10)
         i0 = i1
 
+    # per-sample ARRAY extra_std is accepted (the reference's own
+    # log_likelihood passes a length-m zeros array, src/mcmc.py:205-207)
+    mean_a, cov_a = chain._predict(X, extra_std=np.full(X.shape[0], s))
+    np.testing.assert_allclose(cov_a, cov, rtol=1e-10)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="extra_std"):
+        chain._predict(X, extra_std=np.zeros(X.shape[0] + 1))
+
 
 def test_chain_run_mcmc_default_status_logs(chain_setup, caplog):
     """status=None defaults to ~10% acceptance logging, as the reference's

@@ -258,6 +258,44 @@ def test_joint_training_matches_individual(tmp_path, rng, training_pickle_factor
         np.testing.assert_allclose(cj, cs, rtol=1e-4, atol=1e-8)
 
 
+def test_joint_training_respects_band_kernel_config(
+    tmp_path, rng, training_pickle_factory
+):
+    """train_emulators_jointly must use the emulators' OWN kernel/MAP
+    configuration (it silently clobbered EmulatorBAND's MaternProd with
+    RBF before) and reject mixed configurations."""
+    from gpbayestools_hic_tpu.models import EmulatorBAND, train_emulators_jointly
+
+    design = rng.uniform(0, 1, size=(25, 3))
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emus = []
+    for b in range(2):
+        base = 2.0 + np.sin(design @ rng.uniform(1, 2.5, size=(3, 5)))
+        pkl = training_pickle_factory(
+            tmp_path / f"b{b}.pkl", design, base, 0.01 * np.abs(base)
+        )
+        emus.append(EmulatorBAND(str(pkl), str(parfile), method="PCGP",
+                                 kernel_kind="MaternProd",
+                                 map_prior_strength=1.0))
+    train_emulators_jointly(emus)
+    for e in emus:
+        assert e.gp_config.kernel.kind == "MaternProd"
+        assert e.gp_config.map_prior_strength == 1.0
+
+    solo = EmulatorBAND(str(tmp_path / "b0.pkl"), str(parfile), method="PCGP",
+                        kernel_kind="MaternProd", map_prior_strength=1.0)
+    solo.trainEmulatorAutoMask()
+    mj, _ = emus[0].predict(design[:3])
+    ms, _ = solo.predict(design[:3])
+    np.testing.assert_allclose(mj, ms, rtol=1e-5)
+
+    mixed = EmulatorBAND(str(tmp_path / "b1.pkl"), str(parfile), method="PCGP",
+                         kernel_kind="Matern")
+    with pytest.raises(ValueError, match="kernel_kind_"):
+        train_emulators_jointly([emus[0], mixed])
+
+
 def test_joint_training_rejects_mismatched_designs(tmp_path, rng, training_pickle_factory):
     from gpbayestools_hic_tpu.models import train_emulators_jointly
 

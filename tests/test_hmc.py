@@ -115,6 +115,23 @@ def test_hmc_traj_jitter_breaks_resonance():
     assert tau_jit < 8.0, tau_jit
 
 
+def test_hmc_traj_jitter_clamped_to_positive_lengths():
+    """traj_jitter >= n_leapfrog must not draw zero-length trajectories
+    (those would freeze walkers while the MH test runs on a bogus energy
+    difference from the initial half-kick)."""
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (32, 2), jnp.float64)
+    res = run_hmc(log_prob, x0, 200, jax.random.PRNGKey(8), state=(),
+                  n_leapfrog=1, traj_jitter=1, warmup=32)
+    chain = np.asarray(res.chain)
+    # fraction of exactly-frozen steps should reflect MH rejections only
+    # (acceptance is adapted toward 0.8), not ~50% zero-length proposals
+    frozen = np.mean(np.all(chain[:, 1:] == chain[:, :-1], axis=-1))
+    assert frozen < 0.4, frozen
+
+
 def test_hmc_deterministic_given_seed():
     def log_prob(state, x):
         return -0.5 * jnp.sum(x**2, axis=-1)
