@@ -134,6 +134,7 @@ def test_chain_predict_extra_std_passthrough(chain_setup, rng):
         chain._predict(X, extra_std=np.zeros(X.shape[0] + 1))
 
 
+@pytest.mark.slow
 def test_chain_run_mcmc_default_status_logs(chain_setup, caplog):
     """status=None defaults to ~10% acceptance logging, as the reference's
     LoggingEnsembleSampler does (src/mcmc.py:77-78)."""
@@ -160,6 +161,7 @@ def test_chain_outside_box(chain_setup):
     assert prior[1] == -np.inf
 
 
+@pytest.mark.slow
 def test_chain_run_mcmc_and_resume(chain_setup):
     """Posterior concentrates near truth; resume appends to the pickle."""
     chain, truth, tmp_path = chain_setup
@@ -180,6 +182,7 @@ def test_chain_run_mcmc_and_resume(chain_setup):
     assert data2["chain"].shape == (32, 200, 3)
 
 
+@pytest.mark.slow
 def test_chain_rescoring(chain_setup, tmp_path):
     chain, _, base = chain_setup
     chain.run_mcmc(nsteps=50, nburnsteps=60, nwalkers=16, nthin=5, seed=0)

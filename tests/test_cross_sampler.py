@@ -60,6 +60,7 @@ def _moments(samples, weights=None):
     return mean, np.sqrt(var)
 
 
+@pytest.mark.slow
 def test_three_samplers_agree(calibration):
     make_chain, truth = calibration
 

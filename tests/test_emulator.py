@@ -106,6 +106,7 @@ def test_emulator_holdout_honest(toy_emulator_files):
     assert np.mean(z < 4.0) > 0.8
 
 
+@pytest.mark.slow
 def test_emulator_logtrafo_roundtrip(tmp_path, rng, training_pickle_factory):
     design, base, err = _make_dataset(rng)
     pkl = training_pickle_factory(tmp_path / "t.pkl", design, base, err)
@@ -154,6 +155,7 @@ def test_emulator_no_pca_mode(toy_emulator_files):
     assert np.median(rel) < 0.05
 
 
+@pytest.mark.slow
 def test_emulator_matern_and_unknown_kernel(toy_emulator_files):
     pkl, parfile, design, *_ = toy_emulator_files
     emu = Emulator(str(pkl), str(parfile), npc=3)
@@ -164,6 +166,7 @@ def test_emulator_matern_and_unknown_kernel(toy_emulator_files):
         emu.trainEmulator(np.ones(emu.nev, dtype=bool), kernel_type="Banana")
 
 
+@pytest.mark.slow
 def test_emulator_sample_y_moments(toy_emulator_files):
     pkl, parfile, design, *_ = toy_emulator_files
     emu = Emulator(str(pkl), str(parfile), npc=4)
@@ -203,6 +206,7 @@ def test_emulator_extra_std(toy_emulator_files):
                   > np.diagonal(cov0, axis1=1, axis2=2) + 1e-6)
 
 
+@pytest.mark.slow
 def test_emulator_with_param_pca(tmp_path, rng, training_pickle_factory):
     """End-to-end with parameterTrafoPCA on a 20-parameter flagship-layout design."""
     nev, ndim, nobs = 35, 20, 6
@@ -228,6 +232,7 @@ def test_emulator_with_param_pca(tmp_path, rng, training_pickle_factory):
     assert np.median(rel) < 0.1
 
 
+@pytest.mark.slow
 def test_joint_training_matches_individual(tmp_path, rng, training_pickle_factory):
     """train_emulators_jointly must reproduce per-emulator training exactly."""
     from gpbayestools_hic_tpu.models import train_emulators_jointly
@@ -258,6 +263,7 @@ def test_joint_training_matches_individual(tmp_path, rng, training_pickle_factor
         np.testing.assert_allclose(cj, cs, rtol=1e-4, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_joint_training_respects_band_kernel_config(
     tmp_path, rng, training_pickle_factory
 ):
@@ -313,6 +319,7 @@ def test_joint_training_rejects_mismatched_designs(tmp_path, rng, training_pickl
         train_emulators_jointly(emus)
 
 
+@pytest.mark.slow
 def test_edge_cases(tmp_path, rng, training_pickle_factory):
     """Boundary configurations: nev<nobs, nobs=1, ndim=1, npc=1, tiny nev."""
     def build(nev, ndim, nobs, npc, tag):
@@ -348,6 +355,7 @@ def test_all_points_filtered_raises(tmp_path, rng, training_pickle_factory):
         Emulator(str(pkl), str(parfile))
 
 
+@pytest.mark.slow
 def test_loaded_emulator_can_retrain(toy_emulator_files, tmp_path):
     """Regression: load() must restore everything retraining APIs need."""
     pkl, parfile, design, *_ = toy_emulator_files
@@ -361,6 +369,7 @@ def test_loaded_emulator_can_retrain(toy_emulator_files, tmp_path):
     assert preds.shape == (3, 8)
 
 
+@pytest.mark.slow
 def test_loaded_band_emulator_can_retrain(tmp_path, rng, training_pickle_factory):
     from gpbayestools_hic_tpu.models import EmulatorBAND
 
@@ -402,6 +411,7 @@ def test_bad_likelihood_mode_raises(toy_emulator_files, tmp_path):
         chain.log_posterior(design[:2])
 
 
+@pytest.mark.slow
 def test_print_learning_curve_protocol(tmp_path, rng, training_pickle_factory):
     """Reference learning-curve protocol (src/emulator.py:424-462): per-PC
     5-fold CV train/test R^2 at each train fraction, using the emulator's

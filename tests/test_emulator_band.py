@@ -44,6 +44,7 @@ def test_pcgp_train_predict(band_files):
     assert emu._npc_used < 8
 
 
+@pytest.mark.slow
 def test_pcsk_uses_heteroskedastic_noise(tmp_path, rng, training_pickle_factory):
     """PCSK must down-weight noisy training points relative to PCGP."""
     design, base, err = _make_dataset(rng, err_level=0.02)
@@ -140,6 +141,7 @@ def test_band_predict_test_emu_errors_layout(band_files):
     assert cov.shape == (4, 8, 8)
 
 
+@pytest.mark.slow
 def test_band_chain_integration(tmp_path, rng, training_pickle_factory):
     """A PCSK emulator drops into Chain with the Woodbury fast path."""
     import pickle
@@ -169,6 +171,7 @@ def test_band_chain_integration(tmp_path, rng, training_pickle_factory):
     assert lp[truth_idx] == lp.max()
 
 
+@pytest.mark.slow
 def test_full_flag_combination_roundtrip(tmp_path, rng, training_pickle_factory):
     """The works: PCSK + parameterTrafoPCA + logTrafo + exp_and_cov_diagonal,
     with save/load and retrain-after-load."""
@@ -321,6 +324,7 @@ def test_maternprod_kernel_matches_manual(rng):
     np.testing.assert_allclose(np.asarray(k_self), manual_self, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_map_prior_strength_pulls_hyperparams_to_center(rng):
     """map_prior_strength > 0 is a real MAP objective: an overwhelming
     penalty pins the optimum at the reference initialization, a moderate
@@ -358,6 +362,7 @@ def test_map_prior_strength_pulls_hyperparams_to_center(rng):
 # ------------------------------------------------------------ golden pinning
 
 
+@pytest.mark.slow
 def test_band_heads_match_golden_fixtures(tmp_path):
     """Regression pin for the rebuilt surmise heads (VERDICT r1 item 4):
     fitted hyperparameters and predictions must match the committed golden

@@ -77,6 +77,7 @@ def test_gp_predict_matches_sklearn_fixed_hyperparams(rng, kind):
     np.testing.assert_allclose(cov[0], sk_cov, rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_gp_fit_reaches_sklearn_quality(rng):
     """Optimized LML must be at least as good as sklearn's (same bounds)."""
     x, y = _toy_data(rng, n=50)
@@ -92,6 +93,7 @@ def test_gp_fit_reaches_sklearn_quality(rng):
     assert float(state.lml[0]) >= sk_lml - 0.2, (float(state.lml[0]), sk_lml)
 
 
+@pytest.mark.slow
 def test_gp_fit_predictions_match_sklearn_after_opt(rng):
     """After independent optimization, predictions should agree closely."""
     x, y = _toy_data(rng, n=60)
@@ -110,6 +112,7 @@ def test_gp_fit_predictions_match_sklearn_after_opt(rng):
     np.testing.assert_allclose(mean[0], sk_mean, atol=0.05 * scale)
 
 
+@pytest.mark.slow
 def test_gp_fit_batched_over_pcs(rng):
     """Batch of 3 GPs fits in one call; each matches its own scalar fit."""
     x, _ = _toy_data(rng, n=30)
@@ -127,6 +130,7 @@ def test_gp_fit_batched_over_pcs(rng):
         np.testing.assert_allclose(state.lml[i], solo.lml[0], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_gp_sample_moments(rng):
     x, y = _toy_data(rng)
     xq = rng.uniform(0, 1, size=(5, 3))

@@ -1,6 +1,7 @@
 """Preconditioned HMC sampler (beyond-reference; samplers/hmc.py)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy import stats
@@ -132,6 +133,7 @@ def test_hmc_traj_jitter_clamped_to_positive_lengths():
     assert frozen < 0.4, frozen
 
 
+@pytest.mark.slow
 def test_hmc_deterministic_given_seed():
     def log_prob(state, x):
         return -0.5 * jnp.sum(x**2, axis=-1)
@@ -155,6 +157,7 @@ def test_hmc_deterministic_given_seed():
     )
 
 
+@pytest.mark.slow
 def test_chain_run_hmc_contract(tmp_path):
     """Chain.run_MCMC_HMC writes the standard chain pickle and the samples
     agree with the ensemble sampler on the same posterior."""

@@ -32,6 +32,7 @@ def test_pallas_mvn_nonpd_gives_neg_inf(rng):
     assert np.asarray(pm.mvn_loglike_pallas(y, cov))[0] == -np.inf
 
 
+@pytest.mark.slow
 def test_pallas_mvn_gradients_match_xla(rng):
     """The custom VJP must agree with autodiff through the XLA path."""
     b, n = 2, 10

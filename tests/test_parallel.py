@@ -98,6 +98,7 @@ def test_sharded_ptlmc_scan_matches_single_device():
     np.testing.assert_allclose(np.asarray(plain), np.asarray(sharded), rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_sharded_smc_round_matches_single_device():
     """One adaptive tPCN MCMC round gives identical particles with the
     particle axis sharded over the mesh."""
@@ -254,6 +255,7 @@ def test_public_run_pocomc_devices_matches_single(tiny_chain_factory):
     )
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     """The driver-facing dry run must pass on the virtual mesh."""
     import subprocess

@@ -3,6 +3,7 @@
 import pickle
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -62,6 +63,7 @@ def test_ptlmc_gaussian_moments():
     )
 
 
+@pytest.mark.slow
 def test_chain_run_ptlmc(tmp_path, rng, training_pickle_factory):
     """Chain.run_MCMC_PTLMC produces the reference chain-pickle contract and
     concentrates near the truth point."""

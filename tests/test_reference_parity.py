@@ -56,6 +56,7 @@ def test_loader_parity(reference_pkg, shared_problem):
     np.testing.assert_allclose(ours.design_max, ref.design_max)
 
 
+@pytest.mark.slow
 def test_prediction_parity_after_training(reference_pkg, shared_problem, rng):
     """Both stacks optimize independently; predictions must agree closely
     on a smooth, well-sampled function (the posterior-defining quantity)."""
@@ -84,6 +85,7 @@ def test_prediction_parity_after_training(reference_pkg, shared_problem, rng):
     assert np.median(our_sig / np.maximum(ref_sig, 1e-12)) > 1.0 / 3.0
 
 
+@pytest.mark.slow
 def test_logtrafo_validation_parity(reference_pkg, shared_problem, monkeypatch):
     """testEmulatorErrors with logTrafo: same transform conventions."""
     pkl, parfile, *_ = shared_problem

@@ -31,6 +31,7 @@ def test_flow_inverse_roundtrip():
     np.testing.assert_allclose(ld_f + ld_i, 0.0, atol=1e-8)
 
 
+@pytest.mark.slow
 def test_flow_fits_correlated_gaussian():
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
@@ -53,6 +54,7 @@ def test_flow_fits_correlated_gaussian():
     assert np.abs(z.std(axis=0) - 1).max() < 0.25
 
 
+@pytest.mark.slow
 def test_smc_gaussian_posterior_and_evidence():
     """Known Gaussian likelihood in a unit box: check moments AND evidence.
 
@@ -147,6 +149,7 @@ def test_smc_logz_error_calibration_repeat_seeds():
     assert np.median(errs_ps) < 3.0 * actual_ps, (np.median(errs_ps), actual_ps)
 
 
+@pytest.mark.slow
 def test_smc_bimodal_recovers_both_modes():
     """The flow-preconditioner + tempering must keep both modes."""
     m1 = jnp.asarray([0.25, 0.25])
@@ -169,6 +172,7 @@ def test_smc_bimodal_recovers_both_modes():
     assert 0.2 < frac_mode1 < 0.8, frac_mode1
 
 
+@pytest.mark.slow
 def test_chain_run_pocomc(tmp_path, rng, training_pickle_factory):
     """Chain.run_pocoMC end to end with the full pickle contract."""
     from gpbayestools_hic_tpu.models import Emulator
@@ -220,6 +224,7 @@ def test_chain_run_pocomc(tmp_path, rng, training_pickle_factory):
 RQS_CFG = FlowConfig(n_layers=4, hidden=32, coupling="rqs", rqs_bins=6)
 
 
+@pytest.mark.slow
 def test_rqs_flow_roundtrip_and_identity_init():
     import jax
 
@@ -251,6 +256,7 @@ def test_rqs_flow_roundtrip_and_identity_init():
     np.testing.assert_allclose(float(ld_f[0]), true_ld, rtol=1e-8)
 
 
+@pytest.mark.slow
 def test_rqs_flow_fits_banana():
     """The spline flow should fit a curved (banana) density better than a
     same-size affine flow."""
@@ -273,6 +279,7 @@ def test_rqs_flow_fits_banana():
     assert ll_rqs > ll_aff - 0.05, (ll_rqs, ll_aff)
 
 
+@pytest.mark.slow
 def test_smc_with_rqs_preconditioner():
     mu = jnp.asarray([0.4, 0.6])
     s = 0.05
@@ -293,6 +300,7 @@ def test_smc_with_rqs_preconditioner():
     assert abs(result["logz"]) < 0.15, result["logz"]
 
 
+@pytest.mark.slow
 def test_smc_custom_scipy_prior():
     """A non-uniform (truncated normal-like) prior changes the posterior and
     the evidence correctly."""
@@ -326,6 +334,7 @@ def test_smc_custom_scipy_prior():
     assert result["logp"].std() > 0.1
 
 
+@pytest.mark.slow
 def test_smc_rwm_kernel():
     """The random-walk-Metropolis kernel (pocoMC's alternative to tpcn,
     src/mcmc.py:760-762) is a real sampler, not a silent pcn fallback."""

@@ -1,6 +1,7 @@
 """Distribution-level statistical tests and determinism guarantees."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 from scipy import stats
@@ -39,6 +40,7 @@ def test_ensemble_deterministic_given_seed():
     np.testing.assert_array_equal(np.asarray(r1.chain), np.asarray(r2.chain))
 
 
+@pytest.mark.slow
 def test_ptlmc_deterministic_given_seed():
     def log_post(state, x):
         return -0.5 * jnp.sum((x - 0.3) ** 2, axis=-1) / 0.01
