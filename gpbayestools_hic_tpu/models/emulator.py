@@ -702,10 +702,21 @@ class Emulator:
 
     @classmethod
     def load(cls, path):
-        """Reconstruct a trained emulator from :meth:`save` output."""
+        """Reconstruct a trained emulator from :meth:`save` output.
+
+        BAND-method save files (PCGP/PCSK/...) are dispatched to
+        :class:`EmulatorBAND` automatically, so retraining a loaded BAND
+        emulator keeps its variance-threshold PC selection and
+        stochastic-kriging noise instead of silently falling back to the
+        sklearn head's behavior.
+        """
         from ..ops.scalers import PCAState, StandardScalerState
 
         tree, meta = load_pytree(path)
+        if meta.get("method") is not None and cls is Emulator:
+            from .emulator_band import EmulatorBAND
+
+            cls = EmulatorBAND
         self = cls.__new__(cls)
         self.logTrafo_ = meta["logTrafo"]
         self.parameterTrafoPCA_ = meta["parameterTrafoPCA"]
@@ -799,6 +810,8 @@ class Emulator:
         self.model_data_err = np.asarray(tree["model_data_err"])
         self.design_points = np.asarray(tree["design_points"])
         self.design_points_org_ = np.asarray(tree["design_points_org"])
+        if meta.get("method") is not None:  # EmulatorBAND API parity field
+            self.nparameters = self.design_points.shape[1]
         if self.parameterTrafoPCA_:
             pnd = tree.get("pca_new_design_points")
             if pnd is not None:

@@ -77,12 +77,23 @@ class Chain:
 
     def loadEmulator(self, emulatorPathList):
         """Load trained emulators (paths to :meth:`Emulator.save` files or
-        live emulator objects exposing ``predict_device``)."""
+        live trained emulator objects -- anything exposing the pure-predict
+        contract the likelihood build consumes: ``predict_state`` plus
+        ``predict_fn_pure``)."""
         from ..models.emulator import Emulator
 
         for emu in emulatorPathList:
-            if hasattr(emu, "predict_device"):
+            # duck-type on the attributes _build_device_fns actually reads,
+            # so an incomplete object fails HERE, not deep in the build
+            if hasattr(emu, "predict_fn_pure") and hasattr(emu, "predict_state"):
                 self.emuList.append(emu)
+                continue
+            if not isinstance(emu, (str, Path)) and hasattr(emu, "predict"):
+                # a live reference-style emulator object: convert it like
+                # the dill-file path below (models/migrate.from_reference
+                # raises an informative error for unconvertible objects)
+                logger.info("converting live reference-style emulator ...")
+                self.emuList.append(Emulator.from_reference(emu))
                 continue
             try:
                 self.emuList.append(Emulator.load(emu))

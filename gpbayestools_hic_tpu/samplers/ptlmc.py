@@ -42,12 +42,12 @@ logger = logging.getLogger(__name__)
 
 
 def _temperature_ladder(numtemps: int, numchain: int, maxtemp: float, dtype):
-    temps = jnp.exp(
-        jnp.linspace(
-            jnp.log(maxtemp), jnp.log(maxtemp) / (numtemps + 1), numtemps
-        )
+    # host numpy (one-time setup; eager device ops pay a remote compile
+    # each on this runtime), uploaded as a single device_put
+    temps = np.exp(
+        np.linspace(np.log(maxtemp), np.log(maxtemp) / (numtemps + 1), numtemps)
     )
-    return jnp.concatenate([temps, jnp.ones(numchain)]).astype(dtype)
+    return jnp.asarray(np.concatenate([temps, np.ones(numchain)]), dtype=dtype)
 
 
 def _temp_exchange(key, order, lpostf, temps, iters: int):
@@ -114,28 +114,48 @@ def run_ptlmc(
         base = logpost_fn
         logpost_fn = lambda s, x: base(x)  # noqa: E731
         state = ()
-    lp_fn = lambda x: logpost_fn(state, x)  # noqa: E731 (host-side calls only)
+    # JITTED posterior wrapper for the driver-level calls: evaluating the
+    # traceable fused posterior EAGERLY would pay a multi-second remote XLA
+    # compile PER PRIMITIVE OP on this runtime (see Chain._check_initial_state
+    # and CLAUDE.md) -- one jit compiles the whole program once instead.
+    lp_jit = jax.jit(logpost_fn)
+    lp_fn = lambda x: lp_jit(state, x)  # noqa: E731 (driver-level calls only)
 
     theta0 = jnp.asarray(draw_fn(nstartparameters))
     dtype = theta0.dtype
     ndim = theta0.shape[1]
     totnum = numtemps + numchain
+    if nstartparameters < totnum:
+        raise ValueError(
+            f"nstartparameters ({nstartparameters}) must be >= numtemps + "
+            f"numchain ({totnum}): every ladder slot needs a start point"
+        )
     temps = _temperature_ladder(numtemps, numchain, maxtemp, dtype)
 
     # --- pre-optimization -------------------------------------------------
+    # Driver-level setup math runs in HOST numpy (eager device ops pay a
+    # remote compile each on this runtime); only the batched L-BFGS/jitter
+    # and the main scan are device programs.
     logger.info("Begin PTLMC pre-optimization ...")
     key, k_noise, k_jit = jax.random.split(key, 3)
-    lp0 = lp_fn(theta0)
-    noise = ndim * jax.random.normal(k_noise, (nstartparameters,), dtype) ** 2
-    order0 = jnp.argsort(-(jnp.nan_to_num(lp0, neginf=-1e300)) + noise)
-    starts = theta0[order0[:totnum]]
+    lp0 = np.asarray(lp_fn(theta0), dtype=np.float64)
+    noise = ndim * np.asarray(
+        jax.random.normal(k_noise, (nstartparameters,), dtype), np.float64
+    ) ** 2
+    order0 = np.argsort(-np.nan_to_num(lp0, neginf=-1e300) + noise)
+    starts = np.asarray(theta0, np.float64)[order0[:totnum]]
 
-    thetacen = jnp.mean(starts, axis=0)
-    global_std = jnp.std(starts)
-    thetas = jnp.maximum(jnp.std(starts, axis=0), 1e-8 * global_std)
-    whitened = (starts - thetacen) / thetas
-    bound_l = jnp.maximum(-10.0 * jnp.ones(ndim, dtype), jnp.min(whitened, axis=0))
-    bound_u = jnp.minimum(10.0 * jnp.ones(ndim, dtype), jnp.max(whitened, axis=0))
+    thetacen_np = starts.mean(axis=0)
+    global_std = starts.std()
+    thetas_np = np.maximum(starts.std(axis=0), 1e-8 * global_std)
+    whitened_np = (starts - thetacen_np) / thetas_np
+    bound_l_np = np.maximum(-10.0 * np.ones(ndim), whitened_np.min(axis=0))
+    bound_u_np = np.minimum(10.0 * np.ones(ndim), whitened_np.max(axis=0))
+    thetacen = jnp.asarray(thetacen_np, dtype)
+    thetas = jnp.asarray(thetas_np, dtype)
+    whitened = jnp.asarray(whitened_np, dtype)
+    bound_l = jnp.asarray(bound_l_np, dtype)
+    bound_u = jnp.asarray(bound_u_np, dtype)
 
     logger.info("Begin PTLMC chain optimization (vmapped L-BFGS) ...")
     xw_opt, l0 = _preopt(
@@ -152,15 +172,17 @@ def run_ptlmc(
     # chain 0 keeps the raw optimum (reference: notmoved=False when k==0)
     thetac = thetacen + thetas * xw_jittered
 
-    # --- proposal covariance ---------------------------------------------
-    covmat0 = jnp.cov(thetac.T)
+    # --- proposal covariance (host numpy f64: one-time setup linalg) ------
+    thetac_np = np.asarray(thetac, np.float64)
+    covmat0_np = np.atleast_2d(np.cov(thetac_np.T))
     if ndim > 1:
-        covmat0 = 0.9 * covmat0 + 0.1 * jnp.diag(jnp.diag(covmat0))
-        w, v = jnp.linalg.eigh(covmat0)
-        hc = v @ jnp.diag(jnp.sqrt(jnp.maximum(w, 0.0))) @ v.T
+        covmat0_np = 0.9 * covmat0_np + 0.1 * np.diag(np.diag(covmat0_np))
+        w, v = np.linalg.eigh(covmat0_np)
+        hc_np = v @ np.diag(np.sqrt(np.maximum(w, 0.0))) @ v.T
     else:
-        hc = jnp.sqrt(covmat0).reshape(1, 1)
-    hc = hc.astype(dtype)
+        hc_np = np.sqrt(covmat0_np).reshape(1, 1)
+    hc = jnp.asarray(hc_np, dtype)
+    covmat0 = jnp.asarray(covmat0_np, dtype)
 
     samptunning = int(np.ceil(sampperchain * 2.0))
     total_steps = samptunning + sampperchain
@@ -193,7 +215,10 @@ def run_ptlmc(
         tau0,
         rho0,
         key,
-        covmat0.astype(dtype) if ndim > 1 else jnp.eye(1, dtype=dtype),
+        # the REAL proposal covariance in every dimension count: the old
+        # ndim==1 identity fallback made the Langevin drift / MH correction
+        # inconsistent with the hc-scaled proposal (biased 1-D chains)
+        covmat0,
         total_steps=total_steps,
         samptunning=samptunning,
         numtemps=numtemps,

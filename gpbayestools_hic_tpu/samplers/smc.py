@@ -626,6 +626,13 @@ def run_smc(
     hl, hu = history()
     hp = np.concatenate(logp_h)
     lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
+    if iteration >= max_iterations and _ess(lw1) < n_total:
+        logger.warning(
+            "SMC: posterior collection hit max_iterations=%d with history "
+            "ESS %.0f below the n_total=%d target; the returned weighted "
+            "posterior is valid but less resolved than requested",
+            max_iterations, _ess(lw1), n_total,
+        )
     logz_ps = logmeanexp(lw1)
     w = np.exp(lw1 - lw1.max())
     weights = w / w.sum()

@@ -389,6 +389,15 @@ def test_loaded_band_emulator_can_retrain(tmp_path, rng, training_pickle_factory
     mean, _ = e2.predict(design[:2])
     assert np.isfinite(mean).all()
 
+    # the BASE class loader must dispatch BAND save files to EmulatorBAND
+    # (Chain.loadEmulator calls Emulator.load): a plain-Emulator instance
+    # would silently retrain with the wrong head (fixed-count PC selection,
+    # no stochastic-kriging noise)
+    e3 = Emulator.load(tmp_path / "b.sav")
+    assert isinstance(e3, EmulatorBAND)
+    assert e3.method_ == "PCSK"
+    assert e3._pc_noise_diag(np.ones(e3.nev, dtype=bool), e3._npc_used) is not None
+
 
 def test_bad_likelihood_mode_raises(toy_emulator_files, tmp_path):
     import pickle as pkl_mod

@@ -128,3 +128,38 @@ def test_ptlmc_gradient_mode_gaussian():
     samples = np.asarray(chain[:, 100:, :]).reshape(-1, 2)
     np.testing.assert_allclose(samples.mean(axis=0), mean, atol=0.05)
     np.testing.assert_allclose(np.cov(samples.T), cov, atol=0.035)
+
+
+def test_ptlmc_gradient_mode_1d_gaussian():
+    """ndim == 1 with gradients: the scan must receive the REAL proposal
+    covariance (an identity placeholder made the Langevin MH correction
+    inconsistent with the hc-scaled proposal and biased 1-D chains)."""
+    mu, sd = 0.3, 0.15
+
+    def log_post(state, x):
+        return -0.5 * jnp.sum(((x - mu) / sd) ** 2, axis=-1)
+
+    def draw(n):
+        return np.random.default_rng(5).uniform(-2, 2, size=(n, 1))
+
+    chain = run_ptlmc(
+        log_post, draw,
+        numtemps=8, numchain=16, sampperchain=400, maxtemp=30.0,
+        nstartparameters=300, key=jax.random.PRNGKey(4), state=(),
+        use_gradients=True,
+    )
+    samples = np.asarray(chain[:, 100:, 0]).reshape(-1)
+    assert abs(samples.mean() - mu) < 0.03, samples.mean()
+    assert abs(samples.std() - sd) < 0.04, samples.std()
+
+
+def test_ptlmc_rejects_insufficient_start_points():
+    def log_post(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    with pytest.raises(ValueError, match="nstartparameters"):
+        run_ptlmc(
+            log_post, lambda n: np.zeros((n, 2)),
+            numtemps=30, numchain=16, sampperchain=10, maxtemp=30.0,
+            nstartparameters=40, key=jax.random.PRNGKey(0), state=(),
+        )
