@@ -118,6 +118,8 @@ def cpu_reference_eval_rate(chain, walkers):
             )
         )
 
+    from scipy.linalg import solve_triangular
+
     def eval_one(theta):
         mean_full = np.zeros(nobs_total)
         cov_full = np.zeros((nobs_total, nobs_total))
@@ -131,7 +133,10 @@ def cpu_reference_eval_rate(chain, walkers):
                 d2 = np.sum((xs - q) ** 2, axis=1)
                 kstar = e["amp"][k] * np.exp(-0.5 * d2)
                 gp_mean[k] = kstar @ e["alpha_vec"][k]
-                v = np.linalg.solve(e["chol"][k], kstar)  # dtrsv equivalent
+                # a TRIANGULAR solve, exactly what sklearn GPR.predict
+                # does -- a general LU solve here would be ~20x slower at
+                # n=1000 and unfairly inflate the vs_baseline ratio
+                v = solve_triangular(e["chol"][k], kstar, lower=True)
                 gp_var[k] = e["amp"][k] + e["noise"][k] - v @ v
             a = e["trans"]
             mean_full[i0:i1] = gp_mean @ a + e["mean_shift"]
@@ -263,7 +268,7 @@ def bench_hmc(chain, dtype):
     log(f"[hmc] {dt:.2f}s for {2 * HMC_WARMUP}+{HMC_STEPS} steps, "
         f"max tau {tau:.2f} {conv_note}, "
         f"ESS/sec {ess_per_sec:.1f}, acc {acc:.3f}, eps {res.step_size:.4f}")
-    return ess_per_sec, tau
+    return ess_per_sec, tau, all(convs)
 
 
 def bench_pallas_block_route(chain, dtype):
@@ -365,7 +370,7 @@ def main():
     best_ens = max(results, key=lambda m: results[m][0])
     ens_ess, evals_per_sec, ens_tau, ens_tau_converged = results[best_ens]
 
-    hmc_ess, hmc_tau = bench_hmc(chain, dtype)
+    hmc_ess, hmc_tau, hmc_tau_converged = bench_hmc(chain, dtype)
     if hmc_ess > ens_ess:
         best_move, ess_per_sec, tau = "hmc", hmc_ess, hmc_tau
     else:
@@ -399,6 +404,7 @@ def main():
         "ensemble_tau": round(ens_tau, 1),
         "ensemble_tau_converged": bool(ens_tau_converged),
         "hmc_ess_per_sec": round(hmc_ess, 1),
+        "hmc_tau_converged": bool(hmc_tau_converged),
         "evals_per_sec": round(evals_per_sec, 0),
         "gp_train_s": round(gp_train_s, 1),
         "gp_train_compile_s": round(gp_train_compile_s, 1),

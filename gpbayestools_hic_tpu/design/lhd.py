@@ -131,6 +131,12 @@ def generate_lhs(
     (``cache/lhs/npoints{}_ndim{}_seed{}.npy``, src/design.py:42-49) with the
     method appended for non-default methods.
     """
+    if method not in ("maxpro", "maximin"):
+        # an unknown string would otherwise silently optimize maximin AND
+        # persist the wrong design under the typo'd cache name
+        raise ValueError(
+            f"unknown LHS method {method!r}: use 'maxpro' or 'maximin'"
+        )
     logger.debug(
         "generating %s LHS: npoints=%d ndim=%d seed=%d",
         method, npoints, ndim, seed,

@@ -106,12 +106,16 @@ def _build_augmented(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     return a
 
 
-def _pick_chunk(b: int, np_pad: int, vmem_budget: int = 6 * 2**20) -> int:
+def _pick_chunk(
+    b: int, np_pad: int, itemsize: int = 4, vmem_budget: int = 6 * 2**20
+) -> int:
     # The budget covers the INPUT block only; the rank-1 update in the body
     # materializes one more block-sized temporary, so the true VMEM need is
     # ~2x this plus the output block.  8 MiB overflowed the 16 MiB scoped
     # limit by 36 KiB on a (512, 256, 256) f32 batch; 6 MiB leaves headroom.
-    per_mat = np_pad * np_pad * 4
+    # itemsize comes from the actual dtype: hardcoding 4 bytes would halve
+    # the estimated footprint for f64 inputs and blow the scoped limit.
+    per_mat = np_pad * np_pad * itemsize
     chunk = max(1, min(b, vmem_budget // max(per_mat, 1)))
     while b % chunk != 0:
         chunk -= 1
@@ -132,7 +136,7 @@ def _forward(y, cov):
     b, n = y.shape
     a = _build_augmented(y, cov)
     np_pad = a.shape[-1]
-    chunk = _pick_chunk(b, np_pad)
+    chunk = _pick_chunk(b, np_pad, jnp.dtype(a.dtype).itemsize)
     grid = (b // chunk,)
     out = pl.pallas_call(
         partial(_mvn_kernel, n=n, np_pad=np_pad),

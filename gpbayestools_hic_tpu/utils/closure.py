@@ -28,6 +28,23 @@ def validate_linear_weights(weights) -> np.ndarray:
     return w
 
 
+def weighted_quantile(x, weights, qs) -> np.ndarray:
+    """Quantiles of 1-D samples ``x`` under LINEAR importance weights.
+
+    ``qs`` in [0, 1].  The single weighted-empirical-CDF implementation
+    (validates the weights); percentile_params and the plotting axis
+    limits both call this so a CDF fix propagates everywhere.
+    """
+    x = np.asarray(x, dtype=np.float64).reshape(-1)
+    w = validate_linear_weights(weights)
+    if w.shape[0] != x.shape[0]:
+        raise ValueError(f"weights length {w.shape[0]} != {x.shape[0]} samples")
+    order = np.argsort(x)
+    cdf = np.cumsum(w[order])
+    cdf = cdf / cdf[-1]
+    return np.interp(np.asarray(qs, dtype=np.float64), cdf, x[order])
+
+
 def percentile_params(
     chain: np.ndarray, qs=(16, 50, 84), weights: np.ndarray | None = None
 ) -> np.ndarray:
@@ -41,17 +58,11 @@ def percentile_params(
     flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
     if weights is None:
         return np.percentile(flat, qs, axis=0)
-    w = validate_linear_weights(weights)
-    if w.shape[0] != flat.shape[0]:
-        raise ValueError(
-            f"weights length {w.shape[0]} != {flat.shape[0]} samples"
-        )
     out = np.empty((len(qs), flat.shape[1]))
     for d in range(flat.shape[1]):
-        order = np.argsort(flat[:, d])
-        cdf = np.cumsum(w[order])
-        cdf /= cdf[-1]
-        out[:, d] = np.interp(np.asarray(qs) / 100.0, cdf, flat[order, d])
+        out[:, d] = weighted_quantile(
+            flat[:, d], weights, np.asarray(qs) / 100.0
+        )
     return out
 
 
@@ -121,7 +132,7 @@ def posterior_predictive(
     flat = np.asarray(chain).reshape(-1, np.asarray(chain).shape[-1])
     rng = np.random.default_rng(seed)
     if weights is not None:
-        w = np.asarray(weights, dtype=np.float64).reshape(-1)
+        w = validate_linear_weights(weights)
         if w.shape[0] != flat.shape[0]:
             raise ValueError(
                 f"weights length {w.shape[0]} != {flat.shape[0]} samples"
@@ -129,7 +140,9 @@ def posterior_predictive(
         idx = rng.choice(flat.shape[0], size=n_draws, replace=True,
                          p=w / w.sum())
     else:
-        idx = rng.choice(flat.shape[0], size=n_draws, replace=False)
+        # short chains: fall back to with-replacement instead of crashing
+        idx = rng.choice(flat.shape[0], size=n_draws,
+                         replace=flat.shape[0] < n_draws)
     thetas = flat[idx]
     preds = [e.predict(thetas, return_cov=False) for e in emulators]
     return np.concatenate(preds, axis=1)

@@ -87,8 +87,18 @@ def integrated_autocorr_time(
     x = np.asarray(chain_1d_batch, dtype=np.float64)
     x = x - x.mean(axis=1, keepdims=True)
     alive = x.var(axis=1) > 0
-    if alive.any():
-        x = x[alive]
+    if not alive.any():
+        # EVERY walker frozen: the sampler never moved, so tau is infinite
+        # (returning the tau >= 1 floor here would report maximal ESS for
+        # a completely stuck chain -- the exact failure this diagnostic
+        # exists to catch)
+        warnings.warn(
+            "all walkers have zero variance (fully stuck chain): tau is "
+            "infinite and the ESS is zero",
+            RuntimeWarning, stacklevel=2,
+        )
+        return (np.inf, False) if return_converged else np.inf
+    x = x[alive]
     n = x.shape[1]
     nfft = 1 << (2 * n - 1).bit_length()
     f = np.fft.rfft(x, n=nfft, axis=1)

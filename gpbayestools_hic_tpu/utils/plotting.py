@@ -53,7 +53,7 @@ def _axis_limits(flats, wts, d):
     percentiles: an SMC persistent-sampling history contains prior-born
     particles with ~zero weight spanning the whole prior box, and raw
     min/max limits would collapse a tight posterior into a few bins."""
-    from .closure import validate_linear_weights
+    from .closure import weighted_quantile
 
     lo, hi = np.inf, -np.inf
     for f, w in zip(flats, wts):
@@ -61,12 +61,9 @@ def _axis_limits(flats, wts, d):
         if w is None:
             lo, hi = min(lo, x.min()), max(hi, x.max())
             continue
-        w = validate_linear_weights(w)
-        order = np.argsort(x)
-        cdf = np.cumsum(w[order])
-        cdf = cdf / cdf[-1]
-        lo = min(lo, np.interp(0.001, cdf, x[order]))
-        hi = max(hi, np.interp(0.999, cdf, x[order]))
+        q_lo, q_hi = weighted_quantile(x, w, (0.001, 0.999))
+        lo = min(lo, q_lo)
+        hi = max(hi, q_hi)
     return lo, hi
 
 
@@ -235,10 +232,12 @@ def posterior_band_plot(
     plt = _mpl()
     import jax.numpy as jnp
 
+    from .closure import validate_linear_weights
+
     flat = _flat(chain)
     rng = np.random.default_rng(seed)
     if weights is not None:
-        p = np.asarray(weights).reshape(-1)
+        p = validate_linear_weights(weights)
         idx = rng.choice(flat.shape[0], size=min(n_samples, flat.shape[0]),
                          replace=True, p=p / p.sum())
     else:

@@ -350,3 +350,50 @@ def test_resample_weighted_rejects_invalid_weights(rng):
             resample_weighted(x, bad)
         with pytest.raises(ValueError):
             resample_weighted(x, bad, n=10)
+
+
+def test_weight_validation_guards_all_weighted_consumers(rng):
+    """Log-weights (the classic misuse) must raise everywhere, not silently
+    produce inverted-preference samples/quantiles."""
+    from gpbayestools_hic_tpu.utils.closure import (
+        posterior_predictive,
+        weighted_quantile,
+    )
+
+    x = rng.normal(size=50)
+    log_w = rng.normal(size=50) - 10.0  # all negative: log-weights
+    with pytest.raises(ValueError, match="log-weights"):
+        weighted_quantile(x, log_w, (0.16, 0.84))
+
+    class DummyEmu:
+        def predict(self, thetas, return_cov=False):
+            return np.asarray(thetas)
+
+    chain = rng.uniform(0, 1, size=(50, 2))
+    with pytest.raises(ValueError, match="log-weights"):
+        posterior_predictive(chain, [DummyEmu()], n_draws=5, weights=log_w)
+    # short unweighted chains fall back to with-replacement, not a crash
+    out = posterior_predictive(chain[:3], [DummyEmu()], n_draws=5)
+    assert out.shape == (5, 2)
+
+
+def test_autocorr_time_frozen_chain_is_infinite():
+    """A fully-stuck chain must report tau = inf (ESS 0), not the tau >= 1
+    floor that would claim maximal ESS for a sampler that never moved."""
+    from gpbayestools_hic_tpu.utils.metrics import (
+        effective_sample_size,
+        integrated_autocorr_time,
+    )
+
+    frozen = np.full((8, 400), 2.0)
+    with pytest.warns(RuntimeWarning, match="stuck"):
+        tau, conv = integrated_autocorr_time(frozen, return_converged=True)
+    assert np.isinf(tau) and not conv
+    with pytest.warns(RuntimeWarning):
+        assert effective_sample_size(np.full((8, 400, 2), 1.5)) == 0.0
+
+
+def test_generate_lhs_rejects_unknown_method(tmp_path, monkeypatch):
+    monkeypatch.setenv("WORKDIR", str(tmp_path))
+    with pytest.raises(ValueError, match="unknown LHS method"):
+        generate_lhs(10, 2, seed=0, method="maxPro")
