@@ -34,7 +34,13 @@ CHAIN_FILES = {  # sampler name -> pickle written by run_bayesian_analysis.py
 
 
 def load_chains():
-    """Load every chain pickle that exists; returns {name: (flat, weights)}."""
+    """Load every chain pickle that exists; returns {name: (flat, weights)}.
+
+    Unweighted (walker-structured) chains also get an arviz-style summary
+    table printed -- mean/sd/CI plus split-R-hat and tau per parameter.
+    """
+    from gpbayestools_hic_tpu.utils.metrics import summary
+
     chains = {}
     for name, fname in CHAIN_FILES.items():
         path = DATA / "mcmc" / fname
@@ -42,7 +48,10 @@ def load_chains():
             continue
         with open(path, "rb") as f:
             data = pickle.load(f)
-        flat = np.asarray(data["chain"]).reshape(-1, data["chain"].shape[-1])
+        arr = np.asarray(data["chain"])
+        flat = arr.reshape(-1, arr.shape[-1])
+        if data.get("weights") is None and arr.ndim == 3 and arr.shape[1] >= 4:
+            print(f"[{name}] posterior summary:\n{summary(arr)}")
         chains[name] = (flat, data.get("weights"))
     if not chains:
         raise SystemExit(

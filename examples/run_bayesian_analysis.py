@@ -48,10 +48,13 @@ def main(sampler: str = "pocoMC", devices: int | None = None):
                              maxtemp=100, devices=devices)
     elif sampler == "HMC":  # beyond-reference: gradient-based, near-iid
         chain = build_chain("chain_hmc.pkl")
+        # n_leapfrog="auto" calibrates the trajectory length per posterior
         chain.run_MCMC_HMC(nsteps=500, nwalkers=64, nburnsteps=128,
-                           devices=devices)
+                           n_leapfrog="auto", devices=devices)
     else:
         raise SystemExit(f"unknown sampler {sampler}")
+    if sampler != "pocoMC":  # weighted SMC posteriors have no walker-time axis
+        chain.convergence_report()
     print(f"{sampler} chain written under {DATA / 'mcmc'}")
 
 

@@ -663,6 +663,28 @@ class Chain:
             pickle.dump({"log_likelihood": likelihood}, f)
         return likelihood
 
+    def convergence_report(self, rhat_threshold: float = 1.01) -> dict:
+        """Convergence diagnostics for the stored MCMC chain: rank-normalized
+        split-R-hat, integrated autocorrelation times, and ESS (see
+        :func:`..utils.metrics.convergence_diagnostics`).  Beyond-reference:
+        the reference judges convergence by eye from trace plots.  Applies
+        to the equally-weighted samplers (``run_mcmc``/``run_MCMC_HMC``/
+        ``run_MCMC_PTLMC``); ``run_pocoMC``'s weighted posterior has no
+        walker-time structure to diagnose (its ESS comes from the importance
+        weights instead)."""
+        from ..utils.metrics import convergence_diagnostics
+
+        if self.chain is False:
+            with open(self.mcmc_path, "rb") as f:
+                self.chain = pickle.load(f)["chain"]
+        rep = convergence_diagnostics(self.chain, rhat_threshold=rhat_threshold)
+        logger.info(
+            "Convergence: max rhat %.4f, max tau %.1f, ESS %.0f, %s",
+            float(np.max(rep["rhat"])), float(np.max(rep["tau"])), rep["ess"],
+            "CONVERGED" if rep["converged"] else "NOT CONVERGED",
+        )
+        return rep
+
     # ---------------------------------------------------------------- PTLMC
 
     def run_MCMC_PTLMC(
@@ -716,7 +738,7 @@ class Chain:
         nsteps: int = 500,
         nwalkers: int = 256,
         nburnsteps: int = 128,
-        n_leapfrog: int = 8,
+        n_leapfrog: int | str = 8,
         nthin: int = 1,
         seed: int = 0,
         target_accept: float = 0.8,
@@ -735,7 +757,10 @@ class Chain:
         between well-separated modes (use ``run_pocoMC`` for those).
         ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
-        size).  Writes the standard chain contract
+        size).  ``n_leapfrog="auto"`` adds a third phase that calibrates
+        the trajectory length to this posterior (accepted squared jump
+        distance per gradient; see :func:`.hmc.run_hmc`).  Writes the
+        standard chain contract
         ``{"chain": (nwalkers, ceil(nsteps/nthin), ndim)}`` (stride
         slicing keeps the first of each ``nthin`` block, so a non-divisible
         ``nsteps`` rounds UP).
@@ -754,8 +779,9 @@ class Chain:
             mesh=mesh,
         )
         logger.info(
-            "HMC: step size %.4f, mean accept %.3f",
-            res.step_size, float(np.mean(np.asarray(res.acceptance))),
+            "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",
+            res.step_size, res.n_leapfrog,
+            float(np.mean(np.asarray(res.acceptance))),
         )
         self.chain = np.asarray(res.chain[:, ::nthin, :])
         logger.info("Writing MCMC chains to file...")

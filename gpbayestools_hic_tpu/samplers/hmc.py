@@ -19,7 +19,14 @@ Design (standard windowed adaptation, all phases compiled ``lax.scan``s):
 - **Step size**: dual averaging (Nesterov; the NUTS schedule with
   ``gamma=0.05, t0=10, kappa=0.75``) toward ``target_accept``, plus a
   +-10% per-walker step-size jitter to break resonances.
-- **Leapfrog length** ``n_leapfrog`` is fixed (static for XLA).
+- **Leapfrog length** ``n_leapfrog`` is static for XLA: either fixed by
+  the caller, or calibrated per posterior with ``n_leapfrog="auto"`` — a
+  compiled probe phase after warmup draws per-walker trajectory lengths
+  ``L ~ U{1..l_max}`` (masked iterations, one compile) and production
+  uses the ``L`` maximizing the measured accepted squared jump distance
+  per gradient evaluation, the standard ESJD-per-cost criterion (the
+  ensemble-averaged analogue of NUTS/ChEES trajectory adaptation,
+  shape-static for the TPU).
 
 Measured on the flagship 544-observable posterior (TPU v5e, 1024 walkers):
 ``n_leapfrog=8`` reaches tau ~ 1.9 at acceptance 0.80 -- near-iid draws --
@@ -50,6 +57,7 @@ class HMCResult(NamedTuple):
     step_size: float          # adapted leapfrog step size
     precond_chol: np.ndarray  # (ndim, ndim) adapted metric Cholesky
     precond_mu: np.ndarray    # (ndim,)
+    n_leapfrog: int           # production trajectory length (as calibrated)
 
 
 @lru_cache(maxsize=64)
@@ -84,7 +92,7 @@ def _x_to_u(x, lo, width, mu, chol):
     jax.jit,
     static_argnames=(
         "log_prob_fn", "nsteps", "n_leapfrog", "adapt", "bounded",
-        "traj_jitter",
+        "traj_jitter", "probe",
     ),
 )
 def _hmc_scan(
@@ -101,12 +109,19 @@ def _hmc_scan(
     bounded: bool,
     target_accept: float = 0.8,
     traj_jitter: int = 0,
+    probe: bool = False,
 ):
     """One compiled HMC phase: ``nsteps`` steps from ``u0``.
 
     Returns (chain_x, lp_x, accept_probs, u_final, log_eps_bar).  With
     ``adapt`` the step size follows dual averaging and the returned
     ``log_eps_bar`` is the averaged estimate; otherwise eps stays fixed.
+
+    With ``probe`` the per-walker trajectory length is drawn from the FULL
+    range ``U{1..n_leapfrog}`` and the first two outputs become
+    ``(L_used, accepted_sjd)`` per (step, walker) — the squared jump
+    distance in whitened u-space, zero on rejection — for host-side
+    trajectory-length selection (see :func:`_select_leapfrog`).
     """
 
     def logp_u(u):
@@ -146,11 +161,11 @@ def _hmc_scan(
         # eps*L ~ 2pi*sigma returns proposals to their start).  The scan
         # still runs n_leapfrog iterations (static shapes) -- masked
         # iterations recompute the same point, so wall clock is unchanged.
-        if traj_jitter > 0:
+        if probe or traj_jitter > 0:
             # clamp so L >= 1 always: jitter >= n_leapfrog would draw
             # zero-length trajectories whose MH test runs on a bogus
             # energy difference from the unconditional initial half-kick
-            lo_L = max(n_leapfrog - traj_jitter, 1)
+            lo_L = 1 if probe else max(n_leapfrog - traj_jitter, 1)
             L = jax.random.randint(k_L, (m,), lo_L, n_leapfrog + 1)
             active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
             coeff = (
@@ -177,6 +192,7 @@ def _hmc_scan(
         dh = jnp.where(jnp.isnan(dh), -jnp.inf, dh)
         acc_prob = jnp.mean(jnp.exp(jnp.minimum(dh, 0.0)))
         accept = jnp.log(jax.random.uniform(k_a, (m,), u.dtype)) < dh
+        u_prev = u
         u = jnp.where(accept[:, None], u1, u)
         lp_u = jnp.where(accept, lp1_u, lp_u)
         lp_x = jnp.where(accept, lp1_x, lp_x)
@@ -191,10 +207,15 @@ def _hmc_scan(
             w = t**-0.75
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
 
-        x, _ = _u_to_x(u, tf, bounded)
-        return (u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t), (
-            x, lp_x, acc_prob,
-        )
+        if probe:
+            # rejected proposals contribute zero jump, so long trajectories
+            # that tank acceptance are penalized by the same statistic
+            sjd = jnp.sum((u - u_prev) ** 2, axis=1)
+            out = (L.astype(u.dtype), sjd, acc_prob)
+        else:
+            x, _ = _u_to_x(u, tf, bounded)
+            out = (x, lp_x, acc_prob)
+        return (u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t), out
 
     lp0_u, lp0_x, g0 = value_and_grad_u(u0)
     zero = jnp.asarray(0.0, u0.dtype)
@@ -206,6 +227,28 @@ def _hmc_scan(
     return xs, lps, accs, uf, log_eps_bar
 
 
+def _select_leapfrog(ls: np.ndarray, sjds: np.ndarray, l_max: int) -> int:
+    """Pick the trajectory length maximizing accepted SJD per gradient.
+
+    ``ls``/``sjds``: probe-phase outputs (nsteps, nwalkers).  Bins the
+    squared jump distances by the trajectory length that produced them and
+    returns ``argmax_L mean(SJD | L) / L`` — expected squared jump distance
+    per unit compute (each leapfrog iteration costs one gradient).  Bins
+    with fewer than 8 samples are ignored; if every bin is starved the
+    mid-range fallback ``max(l_max // 2, 1)`` is returned.
+    """
+    ls = np.asarray(ls, np.float64).ravel().astype(int)
+    sjds = np.asarray(sjds, np.float64).ravel()
+    eff = np.full(l_max + 1, -np.inf)
+    for L in range(1, l_max + 1):
+        mask = ls == L
+        if mask.sum() >= 8:
+            eff[L] = sjds[mask].mean() / L
+    if not np.isfinite(eff).any():
+        return max(l_max // 2, 1)
+    return int(np.argmax(eff))
+
+
 def run_hmc(
     log_prob_fn: Callable[..., jnp.ndarray],
     x0: jnp.ndarray,
@@ -215,11 +258,13 @@ def run_hmc(
     state=None,
     lo=None,
     hi=None,
-    n_leapfrog: int = 8,
+    n_leapfrog: int | str = 8,
     warmup: int = 128,
     eps0: float = 0.1,
     target_accept: float = 0.8,
     traj_jitter: int = 1,
+    l_max: int = 16,
+    probe_steps: int = 32,
     mesh=None,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
@@ -236,6 +281,15 @@ def run_hmc(
     breaking periodic-orbit resonances a fixed length can hit (wall clock
     unchanged -- see :func:`_hmc_scan`).  ``traj_jitter=0`` restores fixed
     lengths.
+
+    ``n_leapfrog="auto"`` calibrates the production trajectory length to
+    the posterior: warmup runs at ``max(l_max // 2, 1)``, then a compiled
+    probe of ``probe_steps`` steps draws per-walker lengths
+    ``L ~ U{1..l_max}`` and production uses the ``L`` maximizing accepted
+    squared jump distance per gradient (see :func:`_select_leapfrog`; the
+    chosen value is reported as ``result.n_leapfrog``).  The probe doubles
+    as extra burn-in; its cost is ``probe_steps * l_max`` gradient
+    evaluations.
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
@@ -254,6 +308,15 @@ def run_hmc(
         shard = lambda u: shard_batch(mesh, u)  # noqa: E731
     else:
         shard = lambda u: u  # noqa: E731
+    auto_l = isinstance(n_leapfrog, str)
+    if auto_l:
+        if n_leapfrog != "auto":
+            raise ValueError(
+                f"n_leapfrog must be an int or 'auto', got {n_leapfrog!r}"
+            )
+        l_warm = max(l_max // 2, 1)
+    else:
+        l_warm = int(n_leapfrog)
     dtype = x0.dtype
     nwalkers, ndim = x0.shape
     bounded = lo is not None
@@ -281,7 +344,7 @@ def run_hmc(
     u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
     xs, _, _, _, log_eps = _hmc_scan(
         log_prob_fn, state, tf, u0, k_a, log_eps0,
-        nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
+        nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
         target_accept=target_accept, traj_jitter=traj_jitter,
     )
     # host-side metric estimation (all conversions in numpy: eager device
@@ -299,9 +362,21 @@ def run_hmc(
     u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
     _, _, _, uf, log_eps = _hmc_scan(
         log_prob_fn, state, tf, u0, k_b, log_eps,
-        nsteps=warmup, n_leapfrog=n_leapfrog, adapt=True, bounded=bounded,
+        nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
         target_accept=target_accept, traj_jitter=traj_jitter,
     )
+
+    # ---- optional probe: calibrate the production trajectory length
+    if auto_l:
+        # fold_in rather than a wider initial split keeps fixed-L runs
+        # bit-identical to the pre-"auto" sampler
+        k_c = jax.random.fold_in(k_b, 1)
+        ls, sjds, _, uf, _ = _hmc_scan(
+            log_prob_fn, state, tf, uf, k_c, log_eps,
+            nsteps=probe_steps, n_leapfrog=l_max, adapt=False,
+            bounded=bounded, target_accept=target_accept, probe=True,
+        )
+        n_leapfrog = _select_leapfrog(np.asarray(ls), np.asarray(sjds), l_max)
 
     # ---- production: fixed eps
     xs, lps, accs, _, _ = _hmc_scan(
@@ -317,4 +392,5 @@ def run_hmc(
         step_size=float(np.exp(np.asarray(log_eps))),
         precond_chol=chol_z,
         precond_mu=mu_z,
+        n_leapfrog=int(n_leapfrog),
     )

@@ -13,6 +13,16 @@ functions:
   ``Delta_d = E[sum((theta - theta_truth)^2 / width^2)] / ndim``;
 - :func:`coverage` -- fraction of truths inside the central credible
   interval of each claimed Gaussian.
+
+MCMC convergence diagnostics (beyond-reference -- the reference judges
+convergence by eye from trace plots):
+
+- :func:`integrated_autocorr_time` / :func:`effective_sample_size` --
+  emcee-style windowed-FFT tau and the derived ESS;
+- :func:`split_rhat` -- rank-normalized + folded split-R-hat
+  (Vehtari et al. 2021);
+- :func:`convergence_diagnostics` -- one-call report;
+- :func:`summary` -- arviz-style posterior table (mean/sd/CI/R-hat/tau).
 """
 
 from __future__ import annotations
@@ -126,3 +136,130 @@ def effective_sample_size(chain: np.ndarray) -> float:
     chain = np.asarray(chain)
     taus = [integrated_autocorr_time(chain[:, :, d]) for d in range(chain.shape[-1])]
     return chain.shape[0] * chain.shape[1] / max(taus)
+
+
+def _rank_normalize(x: np.ndarray) -> np.ndarray:
+    """Fractional ranks over ALL draws -> normal scores (Blom offsets
+    ``(r - 3/8)/(S + 1/4)``), shape-preserving."""
+    from scipy.stats import norm
+
+    s = x.size
+    ranks = np.empty(s, dtype=np.float64)
+    ranks[np.argsort(x, axis=None, kind="stable")] = np.arange(1, s + 1)
+    return norm.ppf((ranks - 0.375) / (s + 0.25)).reshape(x.shape)
+
+
+def _split_rhat_raw(x: np.ndarray) -> float:
+    """Classic split-R-hat of one parameter, ``x`` (nchains, nsteps)."""
+    n = x.shape[1] // 2
+    if n < 2:
+        raise ValueError("split_rhat needs at least 4 steps per walker")
+    halves = np.concatenate([x[:, :n], x[:, n: 2 * n]], axis=0)
+    within = halves.var(axis=1, ddof=1).mean()
+    between = n * halves.mean(axis=1).var(ddof=1)
+    if within == 0.0:
+        # every split-half is constant: identical constants across chains
+        # are converged by definition; different constants are stuck chains
+        return 1.0 if between == 0.0 else np.inf
+    return float(np.sqrt((n - 1) / n + between / (n * within)))
+
+
+def split_rhat(chain: np.ndarray) -> np.ndarray:
+    """Rank-normalized split-R-hat per parameter (Vehtari et al. 2021).
+
+    ``chain`` (nwalkers, nsteps, ndim): each walker is split in half
+    (catching trending chains a whole-walker comparison misses), draws are
+    rank-normalized (robust to heavy tails / infinite variance), and the
+    reported value is the max of the bulk statistic and the tail-sensitive
+    folded statistic (ranks of ``|x - median|``).  Values <= 1.01 indicate
+    convergence.  Beyond-reference diagnostic: the reference's notebooks
+    judge convergence by eye from trace plots (PlotMCMC.ipynb cell 6).
+    """
+    x = np.asarray(chain, dtype=np.float64)
+    if x.ndim != 3:
+        raise ValueError(f"expected (nwalkers, nsteps, ndim), got {x.shape}")
+    out = np.empty(x.shape[-1])
+    for d in range(x.shape[-1]):
+        xd = x[:, :, d]
+        bulk = _split_rhat_raw(_rank_normalize(xd))
+        folded = _split_rhat_raw(_rank_normalize(np.abs(xd - np.median(xd))))
+        out[d] = max(bulk, folded)
+    return out
+
+
+def summary(
+    chain: np.ndarray,
+    names: list[str] | None = None,
+    ci: float = 0.9,
+) -> str:
+    """Plain-text posterior summary table for a (nwalkers, nsteps, ndim)
+    chain: mean, sd, median, central ``ci`` interval, rank-normalized
+    split-R-hat, and integrated autocorrelation time per parameter.
+
+    Returns the formatted table (also suitable for logging).  The
+    reference prints MAP + percentiles ad hoc in PlotMCMC.ipynb cell 10;
+    this is the one-call equivalent with convergence columns added.
+    """
+    import warnings
+
+    x = np.asarray(chain, dtype=np.float64)
+    if x.ndim != 3:
+        raise ValueError(f"expected (nwalkers, nsteps, ndim), got {x.shape}")
+    ndim = x.shape[-1]
+    if names is None:
+        names = [f"p{d}" for d in range(ndim)]
+    if len(names) != ndim:
+        raise ValueError(f"{len(names)} names for {ndim} parameters")
+    rhat = split_rhat(x)
+    lo_q, hi_q = 100 * (1 - ci) / 2, 100 * (1 + ci) / 2
+    flat = x.reshape(-1, ndim)
+    rows = []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for d in range(ndim):
+            tau = integrated_autocorr_time(x[:, :, d])
+            rows.append((
+                names[d], flat[:, d].mean(), flat[:, d].std(),
+                np.median(flat[:, d]), np.percentile(flat[:, d], lo_q),
+                np.percentile(flat[:, d], hi_q), rhat[d], tau,
+            ))
+    w = max(len("param"), *(len(n) for n in names))
+    head = (f"{'param':<{w}}  {'mean':>10}  {'sd':>10}  {'median':>10}  "
+            f"{f'{lo_q:g}%':>10}  {f'{hi_q:g}%':>10}  {'rhat':>6}  {'tau':>7}")
+    lines = [head, "-" * len(head)]
+    for n, m, s, med, ql, qh, r, t in rows:
+        lines.append(
+            f"{n:<{w}}  {m:>10.4g}  {s:>10.4g}  {med:>10.4g}  "
+            f"{ql:>10.4g}  {qh:>10.4g}  {r:>6.3f}  {t:>7.1f}"
+        )
+    return "\n".join(lines)
+
+
+def convergence_diagnostics(chain: np.ndarray, rhat_threshold: float = 1.01) -> dict:
+    """One-call convergence report for a (nwalkers, nsteps, ndim) chain.
+
+    Returns ``{"rhat": (ndim,), "tau": (ndim,), "tau_converged": (ndim,) bool,
+    "ess": float, "converged": bool}`` -- ``converged`` requires every
+    rank-normalized split-R-hat <= ``rhat_threshold`` AND every windowed
+    tau estimate to be reliable (nsteps >= 50 tau)."""
+    import warnings
+
+    x = np.asarray(chain, dtype=np.float64)
+    rhat = split_rhat(x)
+    taus, convs = [], []
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for d in range(x.shape[-1]):
+            t, c = integrated_autocorr_time(x[:, :, d], return_converged=True)
+            taus.append(t)
+            convs.append(c)
+    taus = np.asarray(taus)
+    convs = np.asarray(convs)
+    ess = x.shape[0] * x.shape[1] / taus.max()
+    return {
+        "rhat": rhat,
+        "tau": taus,
+        "tau_converged": convs,
+        "ess": float(ess),
+        "converged": bool((rhat <= rhat_threshold).all() and convs.all()),
+    }

@@ -181,6 +181,14 @@ def test_chain_run_mcmc_and_resume(chain_setup):
         data2 = pickle.load(f)
     assert data2["chain"].shape == (32, 200, 3)
 
+    # the one-call convergence report runs on the stored chain
+    rep = chain.convergence_report()
+    assert rep["rhat"].shape == (3,) and rep["ess"] > 0
+    # a fresh Chain object loads the pickle lazily before diagnosing
+    chain.chain = False
+    rep2 = chain.convergence_report()
+    np.testing.assert_allclose(rep2["rhat"], rep["rhat"])
+
 
 @pytest.mark.slow
 def test_chain_rescoring(chain_setup, tmp_path):

@@ -133,6 +133,41 @@ def test_hmc_traj_jitter_clamped_to_positive_lengths():
     assert frozen < 0.4, frozen
 
 
+def test_select_leapfrog_prefers_jump_per_gradient():
+    """Deterministic unit test of the auto-L criterion: with SJD growing
+    quadratically up to L=4 and flat beyond, SJD/L peaks exactly at 4."""
+    from gpbayestools_hic_tpu.samplers.hmc import _select_leapfrog
+
+    rng = np.random.default_rng(0)
+    ls = rng.integers(1, 9, size=(64, 32))
+    sjd = np.minimum(ls, 4).astype(float) ** 2
+    assert _select_leapfrog(ls, sjd, 8) == 4
+    # starved bins (every count < 8) fall back to the mid-range length
+    assert _select_leapfrog(ls[:1, :1], sjd[:1, :1], 8) == 4
+
+
+def test_hmc_auto_leapfrog_calibrates_and_samples_correctly():
+    """n_leapfrog='auto': the probe picks a length in range, reports it on
+    the result, and the production samples still match the target law."""
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float64)
+
+    def log_prob(state, x):
+        return -0.5 * jnp.einsum("bi,ij,bj->b", x, prec, x)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (64, 2), jnp.float64) * 0.2
+    res = run_hmc(log_prob, x0, 400, jax.random.PRNGKey(10), state=(),
+                  n_leapfrog="auto", l_max=8, probe_steps=24, warmup=96)
+    assert 1 <= res.n_leapfrog <= 8
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert np.allclose(samples.mean(0), 0.0, atol=0.1)
+    assert np.allclose(samples.std(0), np.sqrt(np.diag(cov)), rtol=0.12)
+
+    with pytest.raises(ValueError, match="auto"):
+        run_hmc(log_prob, x0, 4, jax.random.PRNGKey(0), state=(),
+                n_leapfrog="nuts")
+
+
 @pytest.mark.slow
 def test_hmc_deterministic_given_seed():
     def log_prob(state, x):

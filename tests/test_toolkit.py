@@ -393,6 +393,61 @@ def test_autocorr_time_frozen_chain_is_infinite():
         assert effective_sample_size(np.full((8, 400, 2), 1.5)) == 0.0
 
 
+def test_split_rhat_flags_stuck_and_trending_chains(rng):
+    """Rank-normalized split-R-hat: ~1 on iid draws (even heavy-tailed),
+    large when one walker is stuck elsewhere, and the SPLIT catches a
+    shared trend whole-walker R-hat would miss."""
+    from gpbayestools_hic_tpu.utils.metrics import split_rhat
+
+    iid = rng.normal(size=(32, 200, 2))
+    assert np.all(split_rhat(iid) < 1.01)
+
+    cauchy = rng.standard_cauchy(size=(32, 200, 1))
+    assert np.all(split_rhat(cauchy) < 1.02)  # robust to infinite variance
+
+    stuck = iid.copy()
+    stuck[:4, :, 0] += 5.0
+    assert split_rhat(stuck)[0] > 1.1
+
+    trend = rng.normal(size=(32, 200, 1)) + np.linspace(0, 4, 200)[None, :, None]
+    assert np.all(split_rhat(trend) > 1.1)
+
+    with pytest.raises(ValueError, match="nwalkers"):
+        split_rhat(iid[:, :, 0])
+    with pytest.raises(ValueError, match="4 steps"):
+        split_rhat(iid[:, :3, :])
+
+
+def test_convergence_diagnostics_report(rng):
+    from gpbayestools_hic_tpu.utils.metrics import convergence_diagnostics
+
+    good = convergence_diagnostics(rng.normal(size=(16, 300, 2)))
+    assert good["converged"]
+    assert good["rhat"].shape == (2,) and good["tau"].shape == (2,)
+    assert good["ess"] > 1000
+
+    bad = rng.normal(size=(16, 300, 2))
+    bad[:8, :, 1] += 10.0  # two walker populations that never mix
+    rep = convergence_diagnostics(bad)
+    assert not rep["converged"] and rep["rhat"][1] > 1.1
+
+
+def test_summary_table(rng):
+    from gpbayestools_hic_tpu.utils.metrics import summary
+
+    x = rng.normal(size=(16, 200, 2))
+    x[:, :, 1] = 3.0 + 2.0 * x[:, :, 1]
+    txt = summary(x, names=["alpha", "beta"])
+    lines = txt.splitlines()
+    assert lines[0].split()[:4] == ["param", "mean", "sd", "median"]
+    assert len(lines) == 4  # header, rule, two parameter rows
+    beta = lines[3].split()
+    assert beta[0] == "beta"
+    assert abs(float(beta[1]) - 3.0) < 0.1 and abs(float(beta[2]) - 2.0) < 0.1
+    with pytest.raises(ValueError, match="names"):
+        summary(x, names=["only_one"])
+
+
 def test_generate_lhs_rejects_unknown_method(tmp_path, monkeypatch):
     monkeypatch.setenv("WORKDIR", str(tmp_path))
     with pytest.raises(ValueError, match="unknown LHS method"):
