@@ -472,6 +472,10 @@ class Chain:
         resampling at the top-lnprob unique points, thinning, and
         resume-by-append from an existing chain pickle.
 
+        ``move``: ``"stretch"`` (reference default), ``"de"``,
+        ``"snooker"``, or ``"de-snooker"`` (the classic 80/20 DE+snooker
+        mixture) -- see :mod:`.ensemble` for the kernel definitions.
+
         ``devices``/``mesh``: one-knob multi-device execution -- the walker
         axis is sharded over a 1-D device mesh and the likelihood state
         replicated (results identical to single-device up to float

@@ -13,7 +13,13 @@ From-scratch emcee-parity sampler (reference uses
 
 Beyond reference parity, ``move="de"`` selects a differential-evolution
 proposal (emcee ``DEMove`` semantics) which mixes much faster on correlated
-posteriors; the reference-default stretch move stays the default.
+posteriors, ``move="snooker"`` the DE-snooker proposal (emcee
+``DESnookerMove`` / ter Braak & Vrugt 2008: a line move through a third
+walker with the ``(d-1) log(|Y-z|/|X-z|)`` Jacobian factor), and
+``move="de-snooker"`` the classic 80/20 DE+snooker mixture (each walker
+independently draws its kernel each step -- both kernels leave the target
+invariant, so the fixed mixture does too).  The reference-default stretch
+move stays the default.
 
 TPU-first: the whole run is one ``lax.scan`` over steps with the walker
 batch vmapped inside the posterior; walkers can be sharded over a device
@@ -38,35 +44,95 @@ class EnsembleResult(NamedTuple):
     final_log_prob: jnp.ndarray  # (nwalkers,)
 
 
+def _propose_stretch(key, active, passive, a):
+    n_active, ndim = active.shape
+    key_z, key_pick = jax.random.split(key)
+    u = jax.random.uniform(key_z, (n_active,), dtype=active.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    picks = jax.random.randint(key_pick, (n_active,), 0, passive.shape[0])
+    partners = passive[picks]
+    proposal = partners + z[:, None] * (active - partners)
+    return proposal, (ndim - 1.0) * jnp.log(z)
+
+
+def _propose_de(key, active, passive):
+    # differential evolution (emcee DEMove semantics): x' = x + g (a - b)
+    # with g = 2.38 / sqrt(2 d), occasionally g = 1 for mode jumps, plus
+    # a tiny isotropic jitter; symmetric proposal -> no Hastings term
+    n_active, ndim = active.shape
+    key_pick, k_pick2, k_jump, k_eps = jax.random.split(key, 4)
+    n_pass = passive.shape[0]
+    ia = jax.random.randint(key_pick, (n_active,), 0, n_pass)
+    ib = jnp.mod(
+        ia + 1 + jax.random.randint(k_pick2, (n_active,), 0, n_pass - 1),
+        n_pass,
+    )
+    gamma0 = 2.38 / jnp.sqrt(2.0 * ndim)
+    jump = jax.random.uniform(k_jump, (n_active,), dtype=active.dtype) < 0.1
+    gamma = jnp.where(jump, 1.0, gamma0)
+    eps = 1e-5 * jax.random.normal(k_eps, active.shape, active.dtype)
+    proposal = active + gamma[:, None] * (passive[ia] - passive[ib]) + eps
+    return proposal, jnp.zeros((n_active,), active.dtype)
+
+
+def _propose_snooker(key, active, passive):
+    # DE-snooker (emcee DESnookerMove / ter Braak & Vrugt 2008): slide X
+    # along the unit line u through an anchor walker z by
+    # gamma_s (u.z1 - u.z2); the line move needs the Jacobian factor
+    # (d - 1) log(|Y - z| / |X - z|) to preserve detailed balance.
+    # Partners are drawn from the passive half with iz != i1 enforced by the
+    # mod trick; i1 == i2 (prob ~ 1/n) degenerates to a no-op proposal,
+    # which is harmlessly accepted in place.
+    n_active, ndim = active.shape
+    kz, k1, k2 = jax.random.split(key, 3)
+    n_pass = passive.shape[0]
+    iz = jax.random.randint(kz, (n_active,), 0, n_pass)
+    i1 = jnp.mod(
+        iz + 1 + jax.random.randint(k1, (n_active,), 0, n_pass - 1), n_pass
+    )
+    i2 = jnp.mod(
+        iz + 1 + jax.random.randint(k2, (n_active,), 0, n_pass - 1), n_pass
+    )
+    z = passive[iz]
+    delta = active - z
+    norm = jnp.linalg.norm(delta, axis=1)
+    # coincident walkers (norm 0) have no line direction: keep the proposal
+    # at X (safe no-op) instead of producing NaNs
+    safe = jnp.maximum(norm, jnp.asarray(1e-30, active.dtype))
+    u = delta / safe[:, None]
+    gamma_s = 1.7  # emcee's DESnookerMove default
+    step = gamma_s * jnp.einsum("ij,ij->i", u, passive[i1] - passive[i2])
+    step = jnp.where(norm > 0, step, 0.0)
+    proposal = active + step[:, None] * u
+    ynorm = jnp.abs(norm + step)  # |Y - z| along the same line
+    log_hastings = (ndim - 1.0) * (
+        jnp.log(jnp.maximum(ynorm, 1e-30)) - jnp.log(safe)
+    )
+    return proposal, log_hastings
+
+
 def _half_update(key, active, passive, lp_active, log_prob_fn, a, move):
     """Move ``active`` walkers against the ``passive`` half."""
     n_active = active.shape[0]
-    ndim = active.shape[1]
-    key_z, key_pick, key_acc = jax.random.split(key, 3)
+    key_z, key_acc = jax.random.split(key)
     if move == "stretch":
-        u = jax.random.uniform(key_z, (n_active,), dtype=active.dtype)
-        z = ((a - 1.0) * u + 1.0) ** 2 / a
-        picks = jax.random.randint(key_pick, (n_active,), 0, passive.shape[0])
-        partners = passive[picks]
-        proposal = partners + z[:, None] * (active - partners)
-        log_hastings = (ndim - 1.0) * jnp.log(z)
+        proposal, log_hastings = _propose_stretch(key_z, active, passive, a)
     elif move == "de":
-        # differential evolution (emcee DEMove semantics): x' = x + g (a - b)
-        # with g = 2.38 / sqrt(2 d), occasionally g = 1 for mode jumps, plus
-        # a tiny isotropic jitter; symmetric proposal -> no Hastings term
-        k_pick2, k_jump, k_eps = jax.random.split(key_z, 3)
-        n_pass = passive.shape[0]
-        ia = jax.random.randint(key_pick, (n_active,), 0, n_pass)
-        ib = jnp.mod(
-            ia + 1 + jax.random.randint(k_pick2, (n_active,), 0, n_pass - 1),
-            n_pass,
+        proposal, log_hastings = _propose_de(key_z, active, passive)
+    elif move == "snooker":
+        proposal, log_hastings = _propose_snooker(key_z, active, passive)
+    elif move == "de-snooker":
+        # classic 80/20 DE + snooker mixture: each walker draws its kernel
+        # independently each step (both kernels are target-invariant, so any
+        # fixed mixture is too); only the SELECTED proposal is evaluated
+        k_sel, k_de, k_sn = jax.random.split(key_z, 3)
+        p_de, lh_de = _propose_de(k_de, active, passive)
+        p_sn, lh_sn = _propose_snooker(k_sn, active, passive)
+        use_de = (
+            jax.random.uniform(k_sel, (n_active,), dtype=active.dtype) < 0.8
         )
-        gamma0 = 2.38 / jnp.sqrt(2.0 * ndim)
-        jump = jax.random.uniform(k_jump, (n_active,), dtype=active.dtype) < 0.1
-        gamma = jnp.where(jump, 1.0, gamma0)
-        eps = 1e-5 * jax.random.normal(k_eps, active.shape, active.dtype)
-        proposal = active + gamma[:, None] * (passive[ia] - passive[ib]) + eps
-        log_hastings = jnp.zeros((n_active,), active.dtype)
+        proposal = jnp.where(use_de[:, None], p_de, p_sn)
+        log_hastings = jnp.where(use_de, lh_de, lh_sn)
     else:
         raise ValueError(f"unknown move: {move}")
     lp_prop = log_prob_fn(proposal)
