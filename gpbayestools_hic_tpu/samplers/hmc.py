@@ -21,12 +21,18 @@ Design (standard windowed adaptation, all phases compiled ``lax.scan``s):
   +-10% per-walker step-size jitter to break resonances.
 - **Leapfrog length** ``n_leapfrog`` is static for XLA: either fixed by
   the caller, or calibrated per posterior with ``n_leapfrog="auto"`` — a
-  compiled probe phase after warmup draws per-walker trajectory lengths
-  ``L ~ U{1..l_max}`` (masked iterations, one compile) and production
-  uses the ``L`` maximizing the measured accepted squared jump distance
-  per gradient evaluation, the standard ESJD-per-cost criterion (the
-  ensemble-averaged analogue of NUTS/ChEES trajectory adaptation,
-  shape-static for the TPU).
+  compiled probe phase after warmup runs each walker at a FIXED
+  stratified length ``L_w = 1 + (w mod l_max)`` (masked iterations, one
+  compile) and production uses the ``L`` maximizing the AR(1) mixing
+  score ``(1 - rho_1) / ((1 + rho_1) L)`` ≈ 1/(tau·L), i.e. effective
+  samples per gradient, with ``rho_1`` the per-L-group lag-1
+  autocorrelation (worst coordinate).  Criterion chosen by measurement
+  on the flagship posterior: this score reproduces the fixed-L sweep's
+  true ESS/s ranking (8 > 6 > 10 > 5 > 4), while ESJD-per-gradient is
+  biased short (picked L=5, −35% ESS/s: jump distance saturates before
+  decorrelation completes) and raw binned ChEES is far too noisy at
+  realistic probe budgets (a 4th-moment statistic; argmax jumped 14→16
+  between repeat probes, each a ≥2x ESS/s loss).
 
 Measured on the flagship 544-observable posterior (TPU v5e, 1024 walkers):
 ``n_leapfrog=8`` reaches tau ~ 1.9 at acceptance 0.80 -- near-iid draws --
@@ -117,10 +123,11 @@ def _hmc_scan(
     ``adapt`` the step size follows dual averaging and the returned
     ``log_eps_bar`` is the averaged estimate; otherwise eps stays fixed.
 
-    With ``probe`` the per-walker trajectory length is drawn from the FULL
-    range ``U{1..n_leapfrog}`` and the first two outputs become
-    ``(L_used, accepted_sjd)`` per (step, walker) — the squared jump
-    distance in whitened u-space, zero on rejection — for host-side
+    With ``probe`` each walker runs at a FIXED stratified trajectory
+    length ``L_w = 1 + (w mod n_leapfrog)`` and the outputs become
+    ``(us, accept_probs, u_final, log_eps_bar)`` with ``us`` the
+    (nsteps, nwalkers, ndim) u-space chain: each length gets its own
+    stationary sub-chain whose lag-1 autocorrelation drives host-side
     trajectory-length selection (see :func:`_select_leapfrog`).
     """
 
@@ -161,11 +168,20 @@ def _hmc_scan(
         # eps*L ~ 2pi*sigma returns proposals to their start).  The scan
         # still runs n_leapfrog iterations (static shapes) -- masked
         # iterations recompute the same point, so wall clock is unchanged.
-        if probe or traj_jitter > 0:
+        if probe:
+            # stratified FIXED per-walker lengths: walker w always runs
+            # L_w = 1 + (w mod n_leapfrog), so each length gets its own
+            # stationary sub-chain for lag-1 autocorrelation estimation
+            L = 1 + jnp.arange(m) % n_leapfrog
+            active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
+            coeff = (
+                jnp.where(lf_idx[:, None] == L[None, :] - 1, 0.5, 1.0) * active
+            )
+        elif traj_jitter > 0:
             # clamp so L >= 1 always: jitter >= n_leapfrog would draw
             # zero-length trajectories whose MH test runs on a bogus
             # energy difference from the unconditional initial half-kick
-            lo_L = 1 if probe else max(n_leapfrog - traj_jitter, 1)
+            lo_L = max(n_leapfrog - traj_jitter, 1)
             L = jax.random.randint(k_L, (m,), lo_L, n_leapfrog + 1)
             active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
             coeff = (
@@ -192,7 +208,6 @@ def _hmc_scan(
         dh = jnp.where(jnp.isnan(dh), -jnp.inf, dh)
         acc_prob = jnp.mean(jnp.exp(jnp.minimum(dh, 0.0)))
         accept = jnp.log(jax.random.uniform(k_a, (m,), u.dtype)) < dh
-        u_prev = u
         u = jnp.where(accept[:, None], u1, u)
         lp_u = jnp.where(accept, lp1_u, lp_u)
         lp_x = jnp.where(accept, lp1_x, lp_x)
@@ -208,10 +223,11 @@ def _hmc_scan(
             log_eps_bar = w * log_eps + (1 - w) * log_eps_bar
 
         if probe:
-            # rejected proposals contribute zero jump, so long trajectories
-            # that tank acceptance are penalized by the same statistic
-            sjd = jnp.sum((u - u_prev) ** 2, axis=1)
-            out = (L.astype(u.dtype), sjd, acc_prob)
+            # record the raw u-space positions: rejections repeat the
+            # previous point, so trajectories that tank acceptance show up
+            # as HIGH lag-1 autocorrelation and are penalized by the same
+            # statistic that measures slow mixing
+            out = (u, acc_prob)
         else:
             x, _ = _u_to_x(u, tf, bounded)
             out = (x, lp_x, acc_prob)
@@ -221,32 +237,54 @@ def _hmc_scan(
     zero = jnp.asarray(0.0, u0.dtype)
     carry0 = (u0, lp0_u, lp0_x, g0, zero, log_eps0, log_eps0, zero)
     keys = jax.random.split(key, nsteps)
-    (uf, _, _, _, _, _, log_eps_bar, _), (xs, lps, accs) = lax.scan(
-        step, carry0, keys
-    )
-    return xs, lps, accs, uf, log_eps_bar
+    (uf, _, _, _, _, _, log_eps_bar, _), outs = lax.scan(step, carry0, keys)
+    return (*outs, uf, log_eps_bar)
 
 
-def _select_leapfrog(ls: np.ndarray, sjds: np.ndarray, l_max: int) -> int:
-    """Pick the trajectory length maximizing accepted SJD per gradient.
+def _select_leapfrog(us: np.ndarray, l_max: int) -> int:
+    """Pick the trajectory length maximizing effective samples per gradient.
 
-    ``ls``/``sjds``: probe-phase outputs (nsteps, nwalkers).  Bins the
-    squared jump distances by the trajectory length that produced them and
-    returns ``argmax_L mean(SJD | L) / L`` — expected squared jump distance
-    per unit compute (each leapfrog iteration costs one gradient).  Bins
-    with fewer than 8 samples are ignored; if every bin is starved the
-    mid-range fallback ``max(l_max // 2, 1)`` is returned.
+    ``us``: probe-phase u-space chain (nsteps, nwalkers, ndim), where
+    walker ``w`` ran at the fixed stratified length ``1 + (w mod l_max)``.
+    For each length's walker group the per-coordinate lag-1
+    autocorrelation ``rho_1`` is estimated (pooled over the group's
+    walkers and steps) and the group is scored by the AR(1) mixing rate
+    per unit compute on its WORST coordinate::
+
+        score(L) = min_d (1 - rho_1[d]) / ((1 + rho_1[d]) * L)
+
+    ``(1 - rho)/(1 + rho)`` is 1/tau for an AR(1) chain, so the score is
+    effective samples per gradient evaluation (each leapfrog iteration
+    costs one gradient).  Criterion chosen by measurement on the flagship
+    posterior: this score reproduces the fixed-L sweep's true ESS/s
+    ranking (8 > 6 > 10 > 5 > 4), while ESJD-per-gradient is biased short
+    (jump distance saturates at L=5 where ESS/s still grows to L=8) and
+    binned ChEES is a 4th-moment statistic far too noisy at realistic
+    probe budgets (repeat probes picked 14 then 16).  Rejections repeat
+    the previous point, so lengths that tank acceptance score poorly via
+    high rho_1.  Groups with fewer than 8 lag pairs are ignored; if every
+    group is starved the mid-range fallback ``max(l_max // 2, 1)`` is
+    returned.
     """
-    ls = np.asarray(ls, np.float64).ravel().astype(int)
-    sjds = np.asarray(sjds, np.float64).ravel()
-    eff = np.full(l_max + 1, -np.inf)
+    us = np.asarray(us, np.float64)
+    nsteps, nwalkers, _ = us.shape
+    groups = 1 + np.arange(nwalkers) % l_max
+    score = np.full(l_max + 1, -np.inf)
     for L in range(1, l_max + 1):
-        mask = ls == L
-        if mask.sum() >= 8:
-            eff[L] = sjds[mask].mean() / L
-    if not np.isfinite(eff).any():
+        g = us[:, groups == L, :]  # (nsteps, n_g, ndim)
+        if g.shape[1] * (nsteps - 1) < 8:
+            continue
+        c = g - g.mean(axis=(0, 1))  # pooled group mean: one stationary dist
+        num = np.sum(c[1:] * c[:-1], axis=(0, 1))
+        den = np.sqrt(
+            np.sum(c[1:] ** 2, axis=(0, 1)) * np.sum(c[:-1] ** 2, axis=(0, 1))
+        )
+        rho = num / np.maximum(den, 1e-300)
+        rho = np.clip(rho, -0.999, 0.999)
+        score[L] = np.min((1.0 - rho) / ((1.0 + rho) * L))
+    if not np.isfinite(score).any():
         return max(l_max // 2, 1)
-    return int(np.argmax(eff))
+    return int(np.argmax(score))
 
 
 def run_hmc(
@@ -264,7 +302,7 @@ def run_hmc(
     target_accept: float = 0.8,
     traj_jitter: int = 1,
     l_max: int = 16,
-    probe_steps: int = 32,
+    probe_steps: int = 64,
     mesh=None,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
@@ -284,12 +322,17 @@ def run_hmc(
 
     ``n_leapfrog="auto"`` calibrates the production trajectory length to
     the posterior: warmup runs at ``max(l_max // 2, 1)``, then a compiled
-    probe of ``probe_steps`` steps draws per-walker lengths
-    ``L ~ U{1..l_max}`` and production uses the ``L`` maximizing accepted
-    squared jump distance per gradient (see :func:`_select_leapfrog`; the
-    chosen value is reported as ``result.n_leapfrog``).  The probe doubles
-    as extra burn-in; its cost is ``probe_steps * l_max`` gradient
-    evaluations.
+    probe of ``probe_steps`` steps runs each walker at the fixed
+    stratified length ``1 + (w mod l_max)`` and production uses the ``L``
+    whose sub-chain maximizes the AR(1) mixing score
+    ``(1 - rho_1)/((1 + rho_1) L)`` — effective samples per gradient (see
+    :func:`_select_leapfrog`; the chosen value is reported as
+    ``result.n_leapfrog``).  The probe doubles as extra burn-in; its cost
+    is ``probe_steps * l_max`` gradient evaluations.  For reliable
+    selection use at least ``2 * l_max`` walkers; more walkers or probe
+    steps sharpen the per-length rho_1 estimate (at 32 probe steps the
+    flagship pick wobbled between the top-two lengths, a <= 10% ESS/s
+    spread; the 64-step default resolves it for ~1.5 s extra probe).
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
@@ -371,12 +414,12 @@ def run_hmc(
         # fold_in rather than a wider initial split keeps fixed-L runs
         # bit-identical to the pre-"auto" sampler
         k_c = jax.random.fold_in(k_b, 1)
-        ls, sjds, _, uf, _ = _hmc_scan(
+        us, _, uf, _ = _hmc_scan(
             log_prob_fn, state, tf, uf, k_c, log_eps,
             nsteps=probe_steps, n_leapfrog=l_max, adapt=False,
             bounded=bounded, target_accept=target_accept, probe=True,
         )
-        n_leapfrog = _select_leapfrog(np.asarray(ls), np.asarray(sjds), l_max)
+        n_leapfrog = _select_leapfrog(np.asarray(us), l_max)
 
     # ---- production: fixed eps
     xs, lps, accs, _, _ = _hmc_scan(

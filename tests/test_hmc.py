@@ -133,17 +133,49 @@ def test_hmc_traj_jitter_clamped_to_positive_lengths():
     assert frozen < 0.4, frozen
 
 
-def test_select_leapfrog_prefers_jump_per_gradient():
-    """Deterministic unit test of the auto-L criterion: with SJD growing
-    quadratically up to L=4 and flat beyond, SJD/L peaks exactly at 4."""
+def _ar1_probe_chain(rng, nsteps, nwalkers, ndim, l_max, rho_of_group):
+    """Synthesize a stratified probe chain: walker w (group 1 + w % l_max)
+    is an AR(1) process with the group's per-coordinate rho."""
+    us = np.empty((nsteps, nwalkers, ndim))
+    us[0] = rng.standard_normal((nwalkers, ndim))
+    rho = np.stack([rho_of_group(1 + w % l_max) for w in range(nwalkers)])
+    innov = np.sqrt(1.0 - rho**2)
+    for t in range(1, nsteps):
+        us[t] = rho * us[t - 1] + innov * rng.standard_normal((nwalkers, ndim))
+    return us
+
+
+def test_select_leapfrog_maximizes_ar1_mixing_per_gradient():
+    """Unit test of the auto-L criterion on synthetic AR(1) sub-chains:
+    the selector must pick the length whose (1-rho)/((1+rho)L) score --
+    effective samples per gradient, worst coordinate -- is largest."""
     from gpbayestools_hic_tpu.samplers.hmc import _select_leapfrog
 
     rng = np.random.default_rng(0)
-    ls = rng.integers(1, 9, size=(64, 32))
-    sjd = np.minimum(ls, 4).astype(float) ** 2
-    assert _select_leapfrog(ls, sjd, 8) == 4
-    # starved bins (every count < 8) fall back to the mid-range length
-    assert _select_leapfrog(ls[:1, :1], sjd[:1, :1], 8) == 4
+    # every group mixes slowly (rho=0.9) except L=5 (white noise): the
+    # scores are 0.2 at L=5 vs <= (0.1/1.9)/L ~ 0.053 elsewhere
+    us = _ar1_probe_chain(
+        rng, 512, 32, 2, 8,
+        lambda L: np.array([0.9, 0.9]) if L != 5 else np.zeros(2),
+    )
+    assert _select_leapfrog(us, 8) == 5
+
+    # the worst COORDINATE scores the group: L=5 has one fast and one slow
+    # coordinate, so white-noise L=2 (score 1/2) must win over it
+    us = _ar1_probe_chain(
+        rng, 512, 32, 2, 8,
+        lambda L: {5: np.array([0.0, 0.9]), 2: np.zeros(2)}.get(
+            L, np.array([0.9, 0.9])
+        ),
+    )
+    assert _select_leapfrog(us, 8) == 2
+
+    # identical mixing everywhere -> the 1/L gradient-cost penalty picks 1
+    us = _ar1_probe_chain(rng, 512, 32, 2, 8, lambda L: np.zeros(2))
+    assert _select_leapfrog(us, 8) == 1
+
+    # starved groups (< 8 lag pairs each) fall back to the mid-range length
+    assert _select_leapfrog(us[:2, :4], 8) == 4
 
 
 def test_hmc_auto_leapfrog_calibrates_and_samples_correctly():
