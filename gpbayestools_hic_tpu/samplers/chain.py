@@ -762,8 +762,8 @@ class Chain:
         ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
         size).  ``n_leapfrog="auto"`` adds a third phase that calibrates
-        the trajectory length to this posterior (accepted squared jump
-        distance per gradient; see :func:`.hmc.run_hmc`).  Writes the
+        the trajectory length to this posterior (per-length AR(1) mixing
+        score — effective samples per gradient; see :func:`.hmc.run_hmc`).  Writes the
         standard chain contract
         ``{"chain": (nwalkers, ceil(nsteps/nthin), ndim)}`` (stride
         slicing keeps the first of each ``nthin`` block, so a non-divisible

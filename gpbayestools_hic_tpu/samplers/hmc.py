@@ -298,6 +298,7 @@ def run_hmc(
     hi=None,
     n_leapfrog: int | str = 8,
     warmup: int = 128,
+    warmup_leapfrog: int | None = None,
     eps0: float = 0.1,
     target_accept: float = 0.8,
     traj_jitter: int = 1,
@@ -319,6 +320,15 @@ def run_hmc(
     breaking periodic-orbit resonances a fixed length can hit (wall clock
     unchanged -- see :func:`_hmc_scan`).  ``traj_jitter=0`` restores fixed
     lengths.
+
+    ``warmup_leapfrog``: trajectory length for the two adaptation phases;
+    defaults to ``max(n_leapfrog // 2, 1)``.  Adaptation needs acceptance
+    statistics and roughly-stationary samples, not decorrelated ones, so
+    half-length warmup matches full-length adaptation quality (measured on
+    the flagship: identical tau and eps transfer) at lower gradient cost;
+    quarter-length is past the cliff (eps over-adapts ~20%, tau +8%).
+    Ignored under ``n_leapfrog="auto"`` (eps must transfer up to
+    ``l_max``-long probe trajectories there).
 
     ``n_leapfrog="auto"`` calibrates the production trajectory length to
     the posterior: warmup runs at ``max(l_max // 2, 1)``, then a compiled
@@ -357,9 +367,19 @@ def run_hmc(
             raise ValueError(
                 f"n_leapfrog must be an int or 'auto', got {n_leapfrog!r}"
             )
+        # keep full-length warmup here: the adapted eps must transfer to
+        # probe lengths up to l_max, twice the fixed-L production case
         l_warm = max(l_max // 2, 1)
+    elif warmup_leapfrog is not None:
+        l_warm = int(warmup_leapfrog)
     else:
-        l_warm = int(n_leapfrog)
+        # Warmup needs acceptance statistics and roughly-stationary
+        # samples, not decorrelated ones, so it runs at HALF the
+        # production length (measured on the flagship: l_warm=4 matches
+        # l_warm=8's adaptation exactly -- eps transfer intact, tau
+        # 1.89-1.90 either way -- at ~3.5% better end-to-end ESS/s, while
+        # l_warm=2 over-adapts eps (0.43 vs 0.35) and costs ~8% tau)
+        l_warm = max(int(n_leapfrog) // 2, 1)
     dtype = x0.dtype
     nwalkers, ndim = x0.shape
     bounded = lo is not None
