@@ -21,9 +21,9 @@ Design (standard windowed adaptation, all phases compiled ``lax.scan``s):
   +-10% per-walker step-size jitter to break resonances.
 - **Leapfrog length** ``n_leapfrog`` is static for XLA: either fixed by
   the caller, or calibrated per posterior with ``n_leapfrog="auto"`` — a
-  compiled probe phase after warmup runs each walker at a FIXED
-  stratified length ``L_w = 1 + (w mod l_max)`` (masked iterations, one
-  compile) and production uses the ``L`` maximizing the AR(1) mixing
+  compiled probe phase after warmup runs walker ``w`` at the rotating
+  stratified length ``1 + ((w + step) mod l_max)`` (masked iterations,
+  one compile) and production uses the ``L`` maximizing the AR(1) mixing
   score ``(1 - rho_1) / ((1 + rho_1) L)`` ≈ 1/(tau·L), i.e. effective
   samples per gradient, with ``rho_1`` the per-L-group lag-1
   autocorrelation (worst coordinate).  Criterion chosen by measurement
@@ -123,12 +123,13 @@ def _hmc_scan(
     ``adapt`` the step size follows dual averaging and the returned
     ``log_eps_bar`` is the averaged estimate; otherwise eps stays fixed.
 
-    With ``probe`` each walker runs at a FIXED stratified trajectory
-    length ``L_w = 1 + (w mod n_leapfrog)`` and the outputs become
-    ``(us, accept_probs, u_final, log_eps_bar)`` with ``us`` the
-    (nsteps, nwalkers, ndim) u-space chain: each length gets its own
-    stationary sub-chain whose lag-1 autocorrelation drives host-side
-    trajectory-length selection (see :func:`_select_leapfrog`).
+    With ``probe`` step ``s`` runs walker ``w`` at the rotating stratified
+    trajectory length ``1 + ((w + s) mod n_leapfrog)`` and the outputs
+    become ``(us, accept_probs, u_final, log_eps_bar)`` with ``us`` the
+    (nsteps, nwalkers, ndim) u-space chain: every transition is
+    attributable to exactly one length, and the per-length lag-1
+    autocorrelation drives host-side trajectory-length selection (see
+    :func:`_select_leapfrog`).
     """
 
     def logp_u(u):
@@ -150,7 +151,8 @@ def _hmc_scan(
     mu_da = log_eps0 + jnp.log(10.0)
     lf_idx = jnp.arange(n_leapfrog)
 
-    def step(carry, key):
+    def step(carry, inp):
+        key, s = inp
         u, lp_u, lp_x, g, hbar, log_eps, log_eps_bar, t = carry
         m = u.shape[0]
         k_p, k_j, k_L, k_a = jax.random.split(key, 4)
@@ -169,27 +171,29 @@ def _hmc_scan(
         # still runs n_leapfrog iterations (static shapes) -- masked
         # iterations recompute the same point, so wall clock is unchanged.
         if probe:
-            # stratified FIXED per-walker lengths: walker w always runs
-            # L_w = 1 + (w mod n_leapfrog), so each length gets its own
-            # stationary sub-chain for lag-1 autocorrelation estimation
-            L = 1 + jnp.arange(m) % n_leapfrog
-            active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
-            coeff = (
-                jnp.where(lf_idx[:, None] == L[None, :] - 1, 0.5, 1.0) * active
-            )
+            # rotating stratified lengths: step s runs walker w at
+            # L = 1 + ((w + s) mod n_leapfrog), so every length is probed
+            # with ANY walker count (a fixed per-walker assignment would
+            # leave lengths > nwalkers unmeasured) and each transition is
+            # attributable to exactly one length for the host-side lag-1
+            # autocorrelation binning in _select_leapfrog
+            L = 1 + (jnp.arange(m) + s) % n_leapfrog
         elif traj_jitter > 0:
             # clamp so L >= 1 always: jitter >= n_leapfrog would draw
             # zero-length trajectories whose MH test runs on a bogus
             # energy difference from the unconditional initial half-kick
             lo_L = max(n_leapfrog - traj_jitter, 1)
             L = jax.random.randint(k_L, (m,), lo_L, n_leapfrog + 1)
+        else:
+            L = None
+        if L is None:
+            active = jnp.ones((n_leapfrog, 1), u.dtype)
+            coeff = jnp.where(lf_idx == n_leapfrog - 1, 0.5, 1.0)[:, None]
+        else:
             active = (lf_idx[:, None] < L[None, :]).astype(u.dtype)
             coeff = (
                 jnp.where(lf_idx[:, None] == L[None, :] - 1, 0.5, 1.0) * active
             )
-        else:
-            active = jnp.ones((n_leapfrog, 1), u.dtype)
-            coeff = jnp.where(lf_idx == n_leapfrog - 1, 0.5, 1.0)[:, None]
 
         def leap(c, ac):
             act, cf = ac
@@ -237,19 +241,22 @@ def _hmc_scan(
     zero = jnp.asarray(0.0, u0.dtype)
     carry0 = (u0, lp0_u, lp0_x, g0, zero, log_eps0, log_eps0, zero)
     keys = jax.random.split(key, nsteps)
-    (uf, _, _, _, _, _, log_eps_bar, _), outs = lax.scan(step, carry0, keys)
+    (uf, _, _, _, _, _, log_eps_bar, _), outs = lax.scan(
+        step, carry0, (keys, jnp.arange(nsteps))
+    )
     return (*outs, uf, log_eps_bar)
 
 
 def _select_leapfrog(us: np.ndarray, l_max: int) -> int:
     """Pick the trajectory length maximizing effective samples per gradient.
 
-    ``us``: probe-phase u-space chain (nsteps, nwalkers, ndim), where
-    walker ``w`` ran at the fixed stratified length ``1 + (w mod l_max)``.
-    For each length's walker group the per-coordinate lag-1
-    autocorrelation ``rho_1`` is estimated (pooled over the group's
-    walkers and steps) and the group is scored by the AR(1) mixing rate
-    per unit compute on its WORST coordinate::
+    ``us``: probe-phase u-space chain (nsteps, nwalkers, ndim), where the
+    transition into ``us[s]`` ran walker ``w`` at the rotating stratified
+    length ``1 + ((w + s) mod l_max)`` — every length is probed with any
+    walker count.  For each length the per-coordinate lag-1
+    autocorrelation ``rho_1`` is estimated (pooled over all transition
+    pairs attributed to that length) and the length is scored by the
+    AR(1) mixing rate per unit compute on its WORST coordinate::
 
         score(L) = min_d (1 - rho_1[d]) / ((1 + rho_1[d]) * L)
 
@@ -268,16 +275,22 @@ def _select_leapfrog(us: np.ndarray, l_max: int) -> int:
     """
     us = np.asarray(us, np.float64)
     nsteps, nwalkers, _ = us.shape
-    groups = 1 + np.arange(nwalkers) % l_max
+    c = us - us.mean(axis=(0, 1))  # one stationary marginal for all lengths
+    a, b = c[:-1], c[1:]
+    # transition us[s-1] -> us[s] was made by scan step s, whose length for
+    # walker w is 1 + ((w + s) mod l_max)
+    grp = (
+        np.arange(nwalkers)[None, :] + np.arange(1, nsteps)[:, None]
+    ) % l_max
     score = np.full(l_max + 1, -np.inf)
     for L in range(1, l_max + 1):
-        g = us[:, groups == L, :]  # (nsteps, n_g, ndim)
-        if g.shape[1] * (nsteps - 1) < 8:
+        mask = grp == L - 1  # (nsteps - 1, nwalkers)
+        if mask.sum() < 8:
             continue
-        c = g - g.mean(axis=(0, 1))  # pooled group mean: one stationary dist
-        num = np.sum(c[1:] * c[:-1], axis=(0, 1))
+        m3 = mask[:, :, None]
+        num = np.sum(a * b * m3, axis=(0, 1))
         den = np.sqrt(
-            np.sum(c[1:] ** 2, axis=(0, 1)) * np.sum(c[:-1] ** 2, axis=(0, 1))
+            np.sum(a**2 * m3, axis=(0, 1)) * np.sum(b**2 * m3, axis=(0, 1))
         )
         rho = num / np.maximum(den, 1e-300)
         rho = np.clip(rho, -0.999, 0.999)
@@ -332,17 +345,17 @@ def run_hmc(
 
     ``n_leapfrog="auto"`` calibrates the production trajectory length to
     the posterior: warmup runs at ``max(l_max // 2, 1)``, then a compiled
-    probe of ``probe_steps`` steps runs each walker at the fixed
-    stratified length ``1 + (w mod l_max)`` and production uses the ``L``
-    whose sub-chain maximizes the AR(1) mixing score
+    probe of ``probe_steps`` steps runs walker ``w`` at the rotating
+    stratified length ``1 + ((w + step) mod l_max)`` and production uses
+    the ``L`` whose transitions maximize the AR(1) mixing score
     ``(1 - rho_1)/((1 + rho_1) L)`` — effective samples per gradient (see
     :func:`_select_leapfrog`; the chosen value is reported as
     ``result.n_leapfrog``).  The probe doubles as extra burn-in; its cost
-    is ``probe_steps * l_max`` gradient evaluations.  For reliable
-    selection use at least ``2 * l_max`` walkers; more walkers or probe
-    steps sharpen the per-length rho_1 estimate (at 32 probe steps the
-    flagship pick wobbled between the top-two lengths, a <= 10% ESS/s
-    spread; the 64-step default resolves it for ~1.5 s extra probe).
+    is ``probe_steps * l_max`` gradient evaluations.  Every length is
+    probed with any walker count; more walkers or probe steps sharpen the
+    per-length rho_1 estimate (at 32 probe steps the flagship pick
+    wobbled between the top-two lengths, a <= 10% ESS/s spread; the
+    64-step default resolves it for ~1.5 s extra probe).
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
@@ -372,6 +385,12 @@ def run_hmc(
         l_warm = max(l_max // 2, 1)
     elif warmup_leapfrog is not None:
         l_warm = int(warmup_leapfrog)
+        if l_warm < 1:
+            # zero-length warmup trajectories would freeze the walkers and
+            # collapse the phase-A metric estimate (cov ~ 0) with no error
+            raise ValueError(
+                f"warmup_leapfrog must be >= 1, got {warmup_leapfrog}"
+            )
     else:
         # Warmup needs acceptance statistics and roughly-stationary
         # samples, not decorrelated ones, so it runs at HALF the
@@ -431,8 +450,8 @@ def run_hmc(
 
     # ---- optional probe: calibrate the production trajectory length
     if auto_l:
-        # fold_in rather than a wider initial split keeps fixed-L runs
-        # bit-identical to the pre-"auto" sampler
+        # fold_in rather than a wider initial split keeps the fixed-L key
+        # stream untouched by the probe's existence
         k_c = jax.random.fold_in(k_b, 1)
         us, _, uf, _ = _hmc_scan(
             log_prob_fn, state, tf, uf, k_c, log_eps,

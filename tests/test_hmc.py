@@ -134,13 +134,16 @@ def test_hmc_traj_jitter_clamped_to_positive_lengths():
 
 
 def _ar1_probe_chain(rng, nsteps, nwalkers, ndim, l_max, rho_of_group):
-    """Synthesize a stratified probe chain: walker w (group 1 + w % l_max)
-    is an AR(1) process with the group's per-coordinate rho."""
+    """Synthesize a rotating stratified probe chain: the transition into
+    us[t] runs walker w at length 1 + ((w + t) mod l_max), with the
+    length's per-coordinate rho (mirrors _hmc_scan's probe schedule)."""
     us = np.empty((nsteps, nwalkers, ndim))
     us[0] = rng.standard_normal((nwalkers, ndim))
-    rho = np.stack([rho_of_group(1 + w % l_max) for w in range(nwalkers)])
-    innov = np.sqrt(1.0 - rho**2)
     for t in range(1, nsteps):
+        rho = np.stack(
+            [rho_of_group(1 + (w + t) % l_max) for w in range(nwalkers)]
+        )
+        innov = np.sqrt(1.0 - rho**2)
         us[t] = rho * us[t - 1] + innov * rng.standard_normal((nwalkers, ndim))
     return us
 
