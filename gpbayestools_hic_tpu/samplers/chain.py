@@ -749,6 +749,8 @@ class Chain:
         traj_jitter: int = 1,
         devices: int | None = None,
         mesh=None,
+        resume: bool = False,
+        warm_start=None,
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -768,26 +770,63 @@ class Chain:
         ``{"chain": (nwalkers, ceil(nsteps/nthin), ndim)}`` (stride
         slicing keeps the first of each ``nthin`` block, so a non-divisible
         ``nsteps`` rounds UP).
+
+        ``resume=True`` continues an existing chain pickle: walkers restart
+        from its last samples (the file's walker count wins over
+        ``nwalkers``) and the new thinned samples are APPENDED, mirroring
+        :meth:`run_mcmc`'s reference resume contract.  ``warm_start``
+        (an :class:`.hmc.HMCResult` from a previous call on this posterior)
+        additionally skips ALL adaptation phases by reusing the adapted
+        metric/step size/trajectory length -- ``resume=True,
+        warm_start=prev`` makes continuation cost zero warmup gradients.
         """
         from .hmc import run_hmc
 
         logger.info("Starting HMC ...")
+        chain_data = {}
+        if resume:
+            try:
+                with open(self.mcmc_path, "rb") as f:
+                    chain_data = pickle.load(f)
+            except FileNotFoundError:
+                pass
         log_post, like_state = self.posterior_with_state()
+        if "chain" in chain_data:
+            prev = chain_data["chain"]
+            if prev.shape[2] != self.ndim:
+                raise ValueError(
+                    f"existing chain has ndim={prev.shape[2]}, "
+                    f"posterior has ndim={self.ndim}"
+                )
+            logger.info("restarting from last point of existing chain")
+            nwalkers = prev.shape[0]
+            x0 = jnp.asarray(prev[:, -1, :], dtype=self._dtype)
+            # fold the stored length into the key: a resumed run with the
+            # same seed must NOT replay the fresh run's production momenta
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), prev.shape[1])
+        else:
+            x0 = jnp.asarray(
+                self.random_pos(nwalkers, seed=seed), dtype=self._dtype
+            )
+            key = jax.random.PRNGKey(seed)
         mesh, _, _ = self._mesh_tools(devices, mesh, nwalkers)
-        x0 = jnp.asarray(self.random_pos(nwalkers, seed=seed), dtype=self._dtype)
         res = run_hmc(
-            log_post, x0, nsteps, jax.random.PRNGKey(seed),
+            log_post, x0, nsteps, key,
             state=like_state, lo=self.min, hi=self.max,
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
             target_accept=target_accept, traj_jitter=traj_jitter,
-            mesh=mesh,
+            mesh=mesh, warm_start=warm_start,
         )
         logger.info(
             "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",
             res.step_size, res.n_leapfrog,
             float(np.mean(np.asarray(res.acceptance))),
         )
-        self.chain = np.asarray(res.chain[:, ::nthin, :])
+        thinned = np.asarray(res.chain[:, ::nthin, :])
+        if "chain" in chain_data:
+            self.chain = np.concatenate((chain_data["chain"], thinned), axis=1)
+        else:
+            self.chain = thinned
         logger.info("Writing MCMC chains to file...")
         with open(self.mcmc_path, "wb") as f:
             pickle.dump({"chain": self.chain}, f)

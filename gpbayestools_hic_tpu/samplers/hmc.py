@@ -318,6 +318,7 @@ def run_hmc(
     l_max: int = 16,
     probe_steps: int = 64,
     mesh=None,
+    warm_start: HMCResult | None = None,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
     production steps from walker positions ``x0`` (nwalkers, ndim).
@@ -359,6 +360,15 @@ def run_hmc(
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
+
+    ``warm_start``: an :class:`HMCResult` from a previous run on the SAME
+    posterior -- its adapted metric ``(precond_mu, precond_chol)``, step
+    size, and calibrated ``n_leapfrog`` are reused and ALL adaptation
+    phases (metric, step size, and the ``"auto"`` probe) are skipped:
+    production starts immediately from ``x0`` (typically the previous
+    ``result.final_state``).  Continuing a converged run this way costs
+    zero warmup gradients.  An explicit integer ``n_leapfrog`` overrides
+    the warm-started length; ``"auto"`` reuses it.
     """
     if state is None:
         # cached wrapper: a fresh lambda per call would be a new static-arg
@@ -419,46 +429,63 @@ def run_hmc(
     k_a, k_b, k_run = jax.random.split(key, 3)
     log_eps0 = jnp.asarray(np.log(eps0), dtype)
 
-    # ---- phase A: identity metric, adapt eps, estimate the metric
-    mu0 = np.zeros(ndim)
-    chol0 = np.eye(ndim)
-    tf = tf_of(mu0, chol0)
-    u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
-    xs, _, _, _, log_eps = _hmc_scan(
-        log_prob_fn, state, tf, u0, k_a, log_eps0,
-        nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
-        target_accept=target_accept, traj_jitter=traj_jitter,
-    )
-    # host-side metric estimation (all conversions in numpy: eager device
-    # ops pay a multi-second remote compile on some runtimes)
-    xs_np = np.asarray(xs)
-    half = xs_np[warmup // 2:].reshape(-1, ndim).astype(np.float64)
-    z = _x_to_u(half, lo_np, width_np, mu0, chol0)
-    mu_z = z.mean(0)
-    cov_z = np.atleast_2d(np.cov(z.T)) + 1e-10 * np.eye(ndim)
-    chol_z = np.linalg.cholesky(cov_z)
-
-    # ---- phase B: new metric, re-adapt eps from the phase-A end state
-    tf = tf_of(mu_z, chol_z)
-    xf = xs_np[-1].astype(np.float64)
-    u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
-    _, _, _, uf, log_eps = _hmc_scan(
-        log_prob_fn, state, tf, u0, k_b, log_eps,
-        nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
-        target_accept=target_accept, traj_jitter=traj_jitter,
-    )
-
-    # ---- optional probe: calibrate the production trajectory length
-    if auto_l:
-        # fold_in rather than a wider initial split keeps the fixed-L key
-        # stream untouched by the probe's existence
-        k_c = jax.random.fold_in(k_b, 1)
-        us, _, uf, _ = _hmc_scan(
-            log_prob_fn, state, tf, uf, k_c, log_eps,
-            nsteps=probe_steps, n_leapfrog=l_max, adapt=False,
-            bounded=bounded, target_accept=target_accept, probe=True,
+    if warm_start is not None:
+        # ---- reuse a previous run's adaptation: skip every warmup phase
+        mu_z = np.asarray(warm_start.precond_mu, np.float64)
+        chol_z = np.asarray(warm_start.precond_chol, np.float64)
+        if mu_z.shape != (ndim,) or chol_z.shape != (ndim, ndim):
+            raise ValueError(
+                f"warm_start metric is for ndim={mu_z.shape[0]}, "
+                f"x0 has ndim={ndim}"
+            )
+        tf = tf_of(mu_z, chol_z)
+        uf = shard(jnp.asarray(
+            _x_to_u(x0, lo_np, width_np, mu_z, chol_z).astype(dtype)
+        ))
+        log_eps = jnp.asarray(np.log(warm_start.step_size), dtype)
+        if auto_l:
+            n_leapfrog = int(warm_start.n_leapfrog)
+    else:
+        # ---- phase A: identity metric, adapt eps, estimate the metric
+        mu0 = np.zeros(ndim)
+        chol0 = np.eye(ndim)
+        tf = tf_of(mu0, chol0)
+        u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
+        xs, _, _, _, log_eps = _hmc_scan(
+            log_prob_fn, state, tf, u0, k_a, log_eps0,
+            nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
+            target_accept=target_accept, traj_jitter=traj_jitter,
         )
-        n_leapfrog = _select_leapfrog(np.asarray(us), l_max)
+        # host-side metric estimation (all conversions in numpy: eager device
+        # ops pay a multi-second remote compile on some runtimes)
+        xs_np = np.asarray(xs)
+        half = xs_np[warmup // 2:].reshape(-1, ndim).astype(np.float64)
+        z = _x_to_u(half, lo_np, width_np, mu0, chol0)
+        mu_z = z.mean(0)
+        cov_z = np.atleast_2d(np.cov(z.T)) + 1e-10 * np.eye(ndim)
+        chol_z = np.linalg.cholesky(cov_z)
+
+        # ---- phase B: new metric, re-adapt eps from the phase-A end state
+        tf = tf_of(mu_z, chol_z)
+        xf = xs_np[-1].astype(np.float64)
+        u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
+        _, _, _, uf, log_eps = _hmc_scan(
+            log_prob_fn, state, tf, u0, k_b, log_eps,
+            nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
+            target_accept=target_accept, traj_jitter=traj_jitter,
+        )
+
+        # ---- optional probe: calibrate the production trajectory length
+        if auto_l:
+            # fold_in rather than a wider initial split keeps the fixed-L
+            # key stream untouched by the probe's existence
+            k_c = jax.random.fold_in(k_b, 1)
+            us, _, uf, _ = _hmc_scan(
+                log_prob_fn, state, tf, uf, k_c, log_eps,
+                nsteps=probe_steps, n_leapfrog=l_max, adapt=False,
+                bounded=bounded, target_accept=target_accept, probe=True,
+            )
+            n_leapfrog = _select_leapfrog(np.asarray(us), l_max)
 
     # ---- production: fixed eps
     xs, lps, accs, _, _ = _hmc_scan(

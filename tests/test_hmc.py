@@ -203,6 +203,55 @@ def test_hmc_auto_leapfrog_calibrates_and_samples_correctly():
                 n_leapfrog="nuts")
 
 
+def test_hmc_warm_start_skips_adaptation(monkeypatch):
+    """warm_start reuses a previous run's metric/step size/length, runs
+    ONLY the production phase, and still samples the target correctly."""
+    import gpbayestools_hic_tpu.samplers.hmc as hmc_mod
+
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float64)
+
+    def log_prob(state, x):
+        return -0.5 * jnp.einsum("bi,ij,bj->b", x, prec, x)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(11), (64, 2), jnp.float64) * 0.2
+    res = run_hmc(log_prob, x0, 300, jax.random.PRNGKey(12), state=(),
+                  n_leapfrog=6, warmup=96)
+
+    calls = []
+    real_scan = hmc_mod._hmc_scan
+
+    def counting_scan(*a, **kw):
+        calls.append(kw.get("nsteps"))
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(hmc_mod, "_hmc_scan", counting_scan)
+    res2 = run_hmc(log_prob, res.final_state, 300, jax.random.PRNGKey(13),
+                   state=(), n_leapfrog=6, warmup=96, warm_start=res)
+    assert calls == [300]  # production only: no adaptation phases
+    # (log -> exp roundtrip: equal to float rounding, not bitwise)
+    np.testing.assert_allclose(res2.step_size, res.step_size, rtol=1e-12)
+    np.testing.assert_array_equal(res2.precond_chol, res.precond_chol)
+    np.testing.assert_array_equal(res2.precond_mu, res.precond_mu)
+    samples = np.asarray(res2.chain).reshape(-1, 2)
+    assert np.allclose(samples.mean(0), 0.0, atol=0.1)
+    assert np.allclose(samples.std(0), np.sqrt(np.diag(cov)), rtol=0.15)
+    # the continuation must not replay the donor run's randomness
+    assert not np.array_equal(np.asarray(res2.chain), np.asarray(res.chain))
+
+    # n_leapfrog='auto' + warm_start reuses the calibrated length with no
+    # probe phase (still a single production scan)
+    calls.clear()
+    res3 = run_hmc(log_prob, res.final_state, 100, jax.random.PRNGKey(14),
+                   state=(), n_leapfrog="auto", warmup=96, warm_start=res)
+    assert calls == [100]
+    assert res3.n_leapfrog == res.n_leapfrog
+
+    with pytest.raises(ValueError, match="ndim"):
+        run_hmc(log_prob, jnp.zeros((8, 3)), 4, jax.random.PRNGKey(0),
+                state=(), warm_start=res)
+
+
 @pytest.mark.slow
 def test_hmc_deterministic_given_seed():
     def log_prob(state, x):
@@ -274,6 +323,20 @@ def test_chain_run_hmc_contract(tmp_path):
         data = pickle.load(f)
     assert data["chain"].shape == (32, 200, ndim)
     assert res.step_size > 0
+
+    # resume-by-append with a warm start: same contract as run_mcmc's
+    # reference resume, zero adaptation phases re-run
+    ch.run_MCMC_HMC(nsteps=50, nwalkers=32, nburnsteps=64, n_leapfrog=6,
+                    seed=0, resume=True, warm_start=res)
+    with open(tmp_path / "mcmc" / "hmc.pkl", "rb") as f:
+        data2 = pickle.load(f)
+    assert data2["chain"].shape == (32, 250, ndim)
+    np.testing.assert_array_equal(data2["chain"][:, :200], data["chain"])
+    # the appended segment must not replay the fresh run's randomness
+    # (the chain length is folded into the resumed production key)
+    assert not np.array_equal(
+        data2["chain"][:, 200:250], data["chain"][:, :50]
+    )
 
     ce = make_chain("ens.pkl")
     ce.run_mcmc(nsteps=400, nburnsteps=400, nwalkers=32, nthin=2, seed=0,
