@@ -36,7 +36,10 @@ Measures and prints ONE JSON line on stdout (progress goes to stderr):
   ``pallas_evals_per_sec`` (likelihood_mode='generic': the per-block dense
   Cholesky route through ops.pallas_mvn.mvn_loglike_best), ``smc_wall_s``
   and ``smc_logz`` (full flow-preconditioned SMC pipeline via
-  ``Chain.run_pocoMC``), and the winning ``move`` / ``tau``.
+  ``Chain.run_pocoMC``), ``hmc_warm_ess_per_sec`` (steady-state
+  continuation rate via ``warm_start`` -- zero warmup gradients, the
+  throughput an appended/long run converges to; the headline stays
+  warmup-charged), and the winning ``move`` / ``tau``.
 
 ``--no-smc`` skips the SMC pipeline (field reported as null).
 """
@@ -268,7 +271,23 @@ def bench_hmc(chain, dtype):
     log(f"[hmc] {dt:.2f}s for {2 * HMC_WARMUP}+{HMC_STEPS} steps, "
         f"max tau {tau:.2f} {conv_note}, "
         f"ESS/sec {ess_per_sec:.1f}, acc {acc:.3f}, eps {res.step_size:.4f}")
-    return ess_per_sec, tau, all(convs)
+
+    # Steady-state continuation rate (secondary field, NOT the headline):
+    # warm_start reuses the adapted metric/step size so a resumed run pays
+    # zero warmup gradients -- the throughput a long or appended run
+    # converges to.  The headline above stays warmup-charged.
+    t0 = time.perf_counter()
+    res_w = run_hmc(log_post, res.final_state, HMC_STEPS,
+                    jax.random.PRNGKey(2), warm_start=res, **kwargs)
+    warm_chain = np.asarray(res_w.chain)
+    dt_w = time.perf_counter() - t0
+    tau_w = float(np.max([
+        integrated_autocorr_time(warm_chain[:, :, d]) for d in range(NDIM)
+    ]))
+    warm_ess_per_sec = (NWALKERS * HMC_STEPS / tau_w) / dt_w
+    log(f"[hmc] warm-start continuation: {dt_w:.2f}s for {HMC_STEPS} steps, "
+        f"max tau {tau_w:.2f}, ESS/sec {warm_ess_per_sec:.1f}")
+    return ess_per_sec, tau, all(convs), warm_ess_per_sec
 
 
 def bench_pallas_block_route(chain, dtype):
@@ -370,7 +389,7 @@ def main():
     best_ens = max(results, key=lambda m: results[m][0])
     ens_ess, evals_per_sec, ens_tau, ens_tau_converged = results[best_ens]
 
-    hmc_ess, hmc_tau, hmc_tau_converged = bench_hmc(chain, dtype)
+    hmc_ess, hmc_tau, hmc_tau_converged, hmc_warm_ess = bench_hmc(chain, dtype)
     if hmc_ess > ens_ess:
         best_move, ess_per_sec, tau = "hmc", hmc_ess, hmc_tau
     else:
@@ -404,6 +423,7 @@ def main():
         "ensemble_tau": round(ens_tau, 1),
         "ensemble_tau_converged": bool(ens_tau_converged),
         "hmc_ess_per_sec": round(hmc_ess, 1),
+        "hmc_warm_ess_per_sec": round(hmc_warm_ess, 1),
         "hmc_tau_converged": bool(hmc_tau_converged),
         "evals_per_sec": round(evals_per_sec, 0),
         "gp_train_s": round(gp_train_s, 1),
