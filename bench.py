@@ -281,13 +281,16 @@ def bench_hmc(chain, dtype):
                     jax.random.PRNGKey(2), warm_start=res, **kwargs)
     warm_chain = np.asarray(res_w.chain)
     dt_w = time.perf_counter() - t0
-    tau_w = float(np.max([
-        integrated_autocorr_time(warm_chain[:, :, d]) for d in range(NDIM)
-    ]))
+    taus_w, convs_w = zip(*(
+        integrated_autocorr_time(warm_chain[:, :, d], return_converged=True)
+        for d in range(NDIM)
+    ))
+    tau_w = float(np.max(taus_w))
     warm_ess_per_sec = (NWALKERS * HMC_STEPS / tau_w) / dt_w
+    warm_note = "converged" if all(convs_w) else "WINDOW-LIMITED"
     log(f"[hmc] warm-start continuation: {dt_w:.2f}s for {HMC_STEPS} steps, "
-        f"max tau {tau_w:.2f}, ESS/sec {warm_ess_per_sec:.1f}")
-    return ess_per_sec, tau, all(convs), warm_ess_per_sec
+        f"max tau {tau_w:.2f} ({warm_note}), ESS/sec {warm_ess_per_sec:.1f}")
+    return ess_per_sec, tau, all(convs), warm_ess_per_sec, all(convs_w)
 
 
 def bench_pallas_block_route(chain, dtype):
@@ -389,7 +392,8 @@ def main():
     best_ens = max(results, key=lambda m: results[m][0])
     ens_ess, evals_per_sec, ens_tau, ens_tau_converged = results[best_ens]
 
-    hmc_ess, hmc_tau, hmc_tau_converged, hmc_warm_ess = bench_hmc(chain, dtype)
+    (hmc_ess, hmc_tau, hmc_tau_converged,
+     hmc_warm_ess, hmc_warm_converged) = bench_hmc(chain, dtype)
     if hmc_ess > ens_ess:
         best_move, ess_per_sec, tau = "hmc", hmc_ess, hmc_tau
     else:
@@ -424,6 +428,7 @@ def main():
         "ensemble_tau_converged": bool(ens_tau_converged),
         "hmc_ess_per_sec": round(hmc_ess, 1),
         "hmc_warm_ess_per_sec": round(hmc_warm_ess, 1),
+        "hmc_warm_tau_converged": bool(hmc_warm_converged),
         "hmc_tau_converged": bool(hmc_tau_converged),
         "evals_per_sec": round(evals_per_sec, 0),
         "gp_train_s": round(gp_train_s, 1),

@@ -779,6 +779,10 @@ class Chain:
         additionally skips ALL adaptation phases by reusing the adapted
         metric/step size/trajectory length -- ``resume=True,
         warm_start=prev`` makes continuation cost zero warmup gradients.
+        When ``warm_start`` is given but no chain pickle exists (wrong
+        path, deleted file, or ``resume=False``), walkers start from
+        ``warm_start.final_state`` rather than fresh prior draws, since no
+        burn-in runs when adaptation is skipped.
         """
         from .hmc import run_hmc
 
@@ -792,7 +796,15 @@ class Chain:
                 pass
         log_post, like_state = self.posterior_with_state()
         if "chain" in chain_data:
-            prev = chain_data["chain"]
+            prev = np.asarray(chain_data["chain"])
+            if prev.ndim != 3:
+                raise ValueError(
+                    f"existing chain at {self.mcmc_path} has shape "
+                    f"{prev.shape}; HMC resume needs the walker-chain "
+                    f"contract (nwalkers, nsteps, ndim) -- a flat 2-D chain "
+                    f"was likely written by run_pocoMC and cannot seed "
+                    f"walker restarts"
+                )
             if prev.shape[2] != self.ndim:
                 raise ValueError(
                     f"existing chain has ndim={prev.shape[2]}, "
@@ -802,8 +814,32 @@ class Chain:
             nwalkers = prev.shape[0]
             x0 = jnp.asarray(prev[:, -1, :], dtype=self._dtype)
             # fold the stored length into the key: a resumed run with the
-            # same seed must NOT replay the fresh run's production momenta
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), prev.shape[1])
+            # same seed must NOT replay the fresh run's momenta.  The large
+            # offset keeps the folded index clear of the fresh run's own
+            # fold_in/split indices (on threefry fold_in(k, i) ==
+            # split(k, n)[i] for i < n, so short stored chains would
+            # otherwise replay the fresh run's phase keys).
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(seed), (1 << 20) + prev.shape[1]
+            )
+        elif warm_start is not None:
+            # warm_start skips ALL adaptation and burn-in, so random prior
+            # draws would be written straight into the chain as production
+            # samples; continue from the previous run's final walkers instead
+            if resume:
+                logger.warning(
+                    "resume=True but no chain found at %s; continuing from "
+                    "warm_start's final walker positions", self.mcmc_path,
+                )
+            fs = np.asarray(warm_start.final_state)
+            if fs.ndim != 2 or fs.shape[1] != self.ndim:
+                raise ValueError(
+                    f"warm_start.final_state has shape {fs.shape}, "
+                    f"expected (nwalkers, {self.ndim})"
+                )
+            nwalkers = fs.shape[0]
+            x0 = jnp.asarray(fs, dtype=self._dtype)
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), 1 << 21)
         else:
             x0 = jnp.asarray(
                 self.random_pos(nwalkers, seed=seed), dtype=self._dtype
@@ -824,12 +860,17 @@ class Chain:
         )
         thinned = np.asarray(res.chain[:, ::nthin, :])
         if "chain" in chain_data:
-            self.chain = np.concatenate((chain_data["chain"], thinned), axis=1)
+            chain_data["chain"] = np.concatenate(
+                (chain_data["chain"], thinned), axis=1
+            )
         else:
-            self.chain = thinned
+            chain_data["chain"] = thinned
+        self.chain = chain_data["chain"]
         logger.info("Writing MCMC chains to file...")
         with open(self.mcmc_path, "wb") as f:
-            pickle.dump({"chain": self.chain}, f)
+            # dump the full loaded dict so extra keys written alongside the
+            # chain survive a resume, matching run_mcmc's contract
+            pickle.dump(chain_data, f)
         return res
 
     # ----------------------------------------------------------------- SMC

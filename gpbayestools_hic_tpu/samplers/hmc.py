@@ -478,8 +478,13 @@ def run_hmc(
         # ---- optional probe: calibrate the production trajectory length
         if auto_l:
             # fold_in rather than a wider initial split keeps the fixed-L
-            # key stream untouched by the probe's existence
-            k_c = jax.random.fold_in(k_b, 1)
+            # key stream untouched by the probe's existence.  The index must
+            # dodge phase B's own stream: on threefry,
+            # fold_in(k, i) == split(k, n)[i] for i < n, and phase B consumed
+            # split(k_b, warmup) -- so a small index would replay warmup key
+            # material inside the probe.  A large constant is out of reach of
+            # any realistic split width.
+            k_c = jax.random.fold_in(k_b, 0x50524F42)
             us, _, uf, _ = _hmc_scan(
                 log_prob_fn, state, tf, uf, k_c, log_eps,
                 nsteps=probe_steps, n_leapfrog=l_max, adapt=False,

@@ -140,13 +140,17 @@ def effective_sample_size(chain: np.ndarray) -> float:
 
 def _rank_normalize(x: np.ndarray) -> np.ndarray:
     """Fractional ranks over ALL draws -> normal scores (Blom offsets
-    ``(r - 3/8)/(S + 1/4)``), shape-preserving."""
-    from scipy.stats import norm
+    ``(r - 3/8)/(S + 1/4)``), shape-preserving.
 
-    s = x.size
-    ranks = np.empty(s, dtype=np.float64)
-    ranks[np.argsort(x, axis=None, kind="stable")] = np.arange(1, s + 1)
-    return norm.ppf((ranks - 0.375) / (s + 0.25)).reshape(x.shape)
+    Ties get AVERAGE (fractional) ranks per Vehtari et al. 2021 -- ordinal
+    ranks would assign tied draws sequential ranks in walker-major order,
+    correlating rank with walker index (and making constant chains look
+    maximally unconverged instead of hitting the ``within == 0`` branch of
+    :func:`_split_rhat_raw`)."""
+    from scipy.stats import norm, rankdata
+
+    ranks = rankdata(x, method="average", axis=None)
+    return norm.ppf((ranks - 0.375) / (x.size + 0.25)).reshape(x.shape)
 
 
 def _split_rhat_raw(x: np.ndarray) -> float:

@@ -338,6 +338,30 @@ def test_chain_run_hmc_contract(tmp_path):
         data2["chain"][:, 200:250], data["chain"][:, :50]
     )
 
+    # warm_start with NO chain pickle: walkers must continue from the warm
+    # state's final positions (adaptation and burn-in are both skipped, so
+    # fresh prior draws would be written as unconverged production samples)
+    cw = make_chain("hmc_warm_only.pkl")
+    res_w = cw.run_MCMC_HMC(nsteps=20, nwalkers=64, seed=0, resume=True,
+                            warm_start=res)
+    with open(tmp_path / "mcmc" / "hmc_warm_only.pkl", "rb") as f:
+        warm_only = pickle.load(f)["chain"]
+    # warm_start.final_state's walker count (32) wins over nwalkers=64
+    assert warm_only.shape == (32, 20, ndim)
+    first_step_dist = np.linalg.norm(
+        warm_only[:, 0, :] - np.asarray(res.final_state), axis=1
+    )
+    # one HMC step from final_state, not a prior re-draw
+    assert np.median(first_step_dist) < 0.5 * np.sqrt(ndim)
+    assert res_w.step_size == res.step_size
+
+    # resuming over a flat 2-D chain (run_pocoMC's contract) is a clean error
+    cf = make_chain("flat.pkl")
+    with open(tmp_path / "mcmc" / "flat.pkl", "wb") as f:
+        pickle.dump({"chain": np.zeros((100, ndim))}, f)
+    with pytest.raises(ValueError, match="walker-chain contract"):
+        cf.run_MCMC_HMC(nsteps=10, nwalkers=8, resume=True)
+
     ce = make_chain("ens.pkl")
     ce.run_mcmc(nsteps=400, nburnsteps=400, nwalkers=32, nthin=2, seed=0,
                 move="de")

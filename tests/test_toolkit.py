@@ -418,6 +418,26 @@ def test_split_rhat_flags_stuck_and_trending_chains(rng):
         split_rhat(iid[:, :3, :])
 
 
+def test_split_rhat_ties_get_average_ranks(rng):
+    """Ties must take AVERAGE ranks (Vehtari et al. 2021): ordinal ranks
+    correlate rank with walker index and blow up R-hat on tied data."""
+    from gpbayestools_hic_tpu.utils.metrics import split_rhat
+
+    # a parameter pinned to a constant is converged by definition
+    const = np.full((8, 400, 2), 1.5)
+    np.testing.assert_array_equal(split_rhat(const), [1.0, 1.0])
+
+    # heavy exact repetition (low-acceptance MCMC): iid values repeated in
+    # runs are still iid across walkers -> R-hat must stay near 1
+    vals = rng.normal(size=(32, 50, 1))
+    sticky = np.repeat(vals, 4, axis=1)  # each draw held for 4 steps
+    assert np.all(split_rhat(sticky) < 1.05)
+
+    # coarse discretization (many cross-walker ties) on iid draws
+    disc = np.round(rng.normal(size=(32, 200, 1)) * 2) / 2
+    assert np.all(split_rhat(disc) < 1.01)
+
+
 def test_convergence_diagnostics_report(rng):
     from gpbayestools_hic_tpu.utils.metrics import convergence_diagnostics
 
