@@ -60,6 +60,13 @@ def _impute_iterative_svd(
     mask = np.isnan(data)
     if not mask.any():
         return data, mask, np.zeros(data.shape[1])
+    all_missing = mask.all(axis=0)
+    if all_missing.any():
+        raise ValueError(
+            "imputation needs at least one observed value per observable: "
+            f"column(s) {np.flatnonzero(all_missing).tolist()} are NaN for "
+            "every event"
+        )
     filled = data.copy()
     col_mean = np.nanmean(data, axis=0)
     filled[mask] = np.take(col_mean, np.where(mask)[1])

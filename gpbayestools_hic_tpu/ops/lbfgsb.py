@@ -166,6 +166,11 @@ def lbfgsb_minimize(
             (carry0, ok0),
         )
 
+        # A fully-clipped trial (x_try == x, dx == 0) passes Armijo trivially
+        # but makes no progress; treat it as a line-search failure so it hits
+        # the retry/stop path below instead of livelocking until maxiter.
+        ok = ok & jnp.any(x_new != state.x)
+
         # Failed line search: stay put.  If we still have curvature history,
         # clear it and retry from steepest descent next iteration; only stop
         # when even the plain (projected) gradient direction fails.
@@ -211,10 +216,7 @@ def lbfgsb_minimize(
     # converged means the projected gradient met the tolerance -- NOT that
     # the loop merely terminated (a terminal line-search failure also stops
     # it, and maxiter exhaustion leaves done False)
-    converged = (
-        jnp.max(jnp.abs(final.x - jnp.clip(final.x - final.g, lower, upper)))
-        < tol
-    ) & jnp.isfinite(final.f)
+    converged = (proj_grad_norm(final.x, final.g) < tol) & jnp.isfinite(final.f)
     return LBFGSBResult(
         x=final.x, fun=final.f, num_iters=final.k, converged=converged
     )

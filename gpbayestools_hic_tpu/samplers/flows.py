@@ -334,15 +334,23 @@ def fit_flow(
         return (i < steps) & (since < patience)
 
     def body(carry):
-        p, s, i, best, since, _ = carry
-        p, s, loss = adam_step(p, s)
+        p, s, i, best, since, best_p = carry
+        # adam_step's loss is evaluated at the PRE-update p, so p (not the
+        # updated params) is the candidate best; returning the best-seen
+        # params rather than the last ones means the patience window's
+        # post-plateau drift is never shipped to the caller
+        p_new, s, loss = adam_step(p, s)
+        take = loss < best
+        best_p = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(take, c, b), best_p, p
+        )
         improved = loss < best - 1e-3 * jnp.abs(best)
         best = jnp.minimum(best, loss)
         since = jnp.where(improved, 0, since + 1)
-        return p, s, i + 1, best, since, loss
+        return p_new, s, i + 1, best, since, best_p
 
-    params, _, _, _, _, last = lax.while_loop(
+    _, _, _, best, _, best_params = lax.while_loop(
         cond, body, (params, opt_state, jnp.asarray(0, jnp.int32), big,
-                     jnp.asarray(0, jnp.int32), big)
+                     jnp.asarray(0, jnp.int32), params)
     )
-    return params, last
+    return best_params, best

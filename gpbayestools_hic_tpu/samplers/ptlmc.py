@@ -138,11 +138,18 @@ def run_ptlmc(
     # and the main scan are device programs.
     logger.info("Begin PTLMC pre-optimization ...")
     key, k_noise, k_jit = jax.random.split(key, 3)
+    # setup randomness is HOST numpy too (the eager jax.random.normal calls
+    # each paid a remote compile), deterministically seeded from the key bits
+    host_rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(k_noise), np.uint32)
+    )
     lp0 = np.asarray(lp_fn(theta0), dtype=np.float64)
-    noise = ndim * np.asarray(
-        jax.random.normal(k_noise, (nstartparameters,), dtype), np.float64
-    ) ** 2
-    order0 = np.argsort(-np.nan_to_num(lp0, neginf=-1e300) + noise)
+    noise = ndim * host_rng.standard_normal(nstartparameters) ** 2
+    # nan=-1e300 too: a NaN log posterior must rank LAST, not at 0 (which
+    # would beat every legitimate, typically strongly negative, value)
+    order0 = np.argsort(
+        -np.nan_to_num(lp0, nan=-1e300, neginf=-1e300) + noise
+    )
     starts = np.asarray(theta0, np.float64)[order0[:totnum]]
 
     thetacen_np = starts.mean(axis=0)
@@ -165,7 +172,8 @@ def run_ptlmc(
 
     # jitter off the modes: accept stepadj * r while delta < 3 * ndim,
     # halving stepadj; give up below 1/16 (reference: src/mcmc.py:574-591)
-    r = jax.random.normal(k_jit, (totnum, ndim), dtype)
+    del k_jit  # split kept so the downstream key stream is unchanged
+    r = jnp.asarray(host_rng.standard_normal((totnum, ndim)), dtype)
     xw_jittered = _jitter(
         logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u
     )

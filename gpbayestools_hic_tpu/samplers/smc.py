@@ -314,7 +314,11 @@ def _mixture_terms(logl_h, betas, logzs, counts):
     reuses it across its ~60 ESS evaluations (the (N, T) matrix does not
     depend on the query beta).
     """
-    logl_h = np.nan_to_num(np.asarray(logl_h, dtype=np.float64), neginf=-1e300)
+    # nan=-1e300 too: a NaN likelihood particle must get ~zero weight, not
+    # logl=0 (which would dominate every real, strongly negative particle)
+    logl_h = np.nan_to_num(
+        np.asarray(logl_h, dtype=np.float64), nan=-1e300, neginf=-1e300
+    )
     betas = np.asarray(betas, dtype=np.float64)
     logzs = np.asarray(logzs, dtype=np.float64)
     counts = np.asarray(counts, dtype=np.float64)
@@ -398,7 +402,9 @@ def _systematic_resample(rng, log_w, n):
     utils.closure.systematic_resample_indices)."""
     from ..utils.closure import systematic_resample_indices
 
-    log_w = np.nan_to_num(np.asarray(log_w, dtype=np.float64), neginf=-1e300)
+    log_w = np.nan_to_num(
+        np.asarray(log_w, dtype=np.float64), nan=-1e300, neginf=-1e300
+    )
     return systematic_resample_indices(rng, np.exp(log_w - log_w.max()), n)
 
 
@@ -604,13 +610,15 @@ def run_smc(
         )
 
     # ------------------------------------------------- posterior collection
-    # keep iterating at beta = 1 until the history ESS reaches n_total
-    while iteration < max_iterations:
-        hl, hu = history()
+    # keep iterating at beta = 1 until the history ESS reaches n_total.
+    # lw1/hl/hu stay valid across the exit (the O(N*T) mixture matrix is
+    # NOT recomputed after the loop -- the history only changes inside it)
+    hl, hu = history()
+    while True:
         lc, lm = _mixture_terms(hl, betas, logzs, counts)
         lw1 = lc - lm  # beta = 1
         ess1 = _ess(lw1)
-        if ess1 >= n_total:
+        if ess1 >= n_total or iteration >= max_iterations:
             break
         iteration += 1
         logz1 = logmeanexp(lw1)
@@ -622,21 +630,20 @@ def run_smc(
             "SMC posterior iter %d: ESS %.0f / %d, steps=%d, accept=%.3f",
             iteration, ess1, n_total, steps, acc,
         )
+        hl, hu = history()
 
-    hl, hu = history()
     hp = np.concatenate(logp_h)
-    lw1 = _log_weights(hl, betas, logzs, counts, 1.0)
-    if iteration >= max_iterations and _ess(lw1) < n_total:
+    ess_final = _ess(lw1)
+    if iteration >= max_iterations and ess_final < n_total:
         logger.warning(
             "SMC: posterior collection hit max_iterations=%d with history "
             "ESS %.0f below the n_total=%d target; the returned weighted "
             "posterior is valid but less resolved than requested",
-            max_iterations, _ess(lw1), n_total,
+            max_iterations, ess_final, n_total,
         )
     logz_ps = logmeanexp(lw1)
     w = np.exp(lw1 - lw1.max())
     weights = w / w.sum()
-    ess_final = _ess(lw1)
     x_all = _to_bounded_np(hu, lo_np, hi_np)[0]
     logger.info(
         "SMC done: %d iterations, %d MCMC steps, %d particles, ESS %.0f",

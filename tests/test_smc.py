@@ -54,6 +54,38 @@ def test_flow_fits_correlated_gaussian():
     assert np.abs(z.std(axis=0) - 1).max() < 0.25
 
 
+def test_fit_flow_patience_returns_best_params():
+    """The patience path must return the best-seen parameters: the reported
+    loss has to match a fresh evaluation of the returned params (the old
+    code returned the LAST params with the loss of the best ones)."""
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.normal(size=(256, 2)) @ np.array([[1.0, 0.6], [0.0, 0.8]]))
+    w = jnp.ones(len(u), u.dtype)
+    params = init_flow(jax.random.PRNGKey(0), 2, CFG, u.dtype)
+    fitted, loss = fit_flow(params, u, w, jax.random.PRNGKey(1),
+                            config=CFG, steps=300, patience=20)
+    # fit_flow normalizes the weights internally; uniform w -> plain mean
+    fresh = float(-jnp.mean(flow_logprob(fitted, u, CFG)))
+    assert abs(fresh - float(loss)) < 1e-3 * max(1.0, abs(fresh)), (fresh, loss)
+
+
+def test_mixture_terms_rejects_nan_likelihoods():
+    """A NaN history log-likelihood must get ~zero posterior weight, not
+    logl=0 (which would dominate every real strongly-negative particle)."""
+    from gpbayestools_hic_tpu.samplers.smc import _mixture_terms
+
+    logl = np.array([-500.0, -510.0, np.nan, -np.inf])
+    lc, lm = _mixture_terms(
+        logl, betas=np.array([0.5, 1.0]), logzs=np.array([-200.0, -400.0]),
+        counts=np.array([2.0, 2.0]),
+    )
+    lw = lc - lm  # beta = 1 weights
+    assert np.isfinite(lw[:2]).all()
+    # the NaN and -inf particles must be negligible next to the real ones
+    assert lw[2] < lw[:2].min() - 1e5
+    assert lw[3] < lw[:2].min() - 1e5
+
+
 @pytest.mark.slow
 def test_smc_gaussian_posterior_and_evidence():
     """Known Gaussian likelihood in a unit box: check moments AND evidence.
