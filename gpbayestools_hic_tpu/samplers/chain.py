@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import logging
 import pickle
+import zlib
 from pathlib import Path
 
 import jax
@@ -43,6 +44,25 @@ logger = logging.getLogger(__name__)
 
 # 2*log(1e-16): the constant the reference's zeroed extra_std prior adds.
 _EXTRA_STD_CONST = 2.0 * np.log(1e-16)
+
+
+def _warm_fallback_key(seed: int, final_state: np.ndarray) -> jax.Array:
+    """Production key for a warm-started HMC run with no chain pickle.
+
+    Folds the warm start's final-state fingerprint into the key so chained
+    continuations with the same seed (run2 from res1, run3 from res2) have
+    distinct random streams -- identical momenta across segments would make
+    the concatenated chain cross-correlated.  (The chain-resume branch gets
+    the same property by folding in the stored chain length; here no chain
+    exists to count.)  Deterministic: the same (seed, final_state) pair
+    always yields the same key.  The 1 << 21 offset keeps the fold index
+    clear of a fresh run's fold_in/split indices (threefry fold_in(k, i)
+    == split(k, n)[i] for i < n)."""
+    fs = np.ascontiguousarray(np.asarray(final_state, dtype=np.float64))
+    fs_tag = zlib.crc32(fs.tobytes()) & 0x7FFFFFFF
+    return jax.random.fold_in(
+        jax.random.fold_in(jax.random.PRNGKey(seed), 1 << 21), fs_tag
+    )
 
 
 class Chain:
@@ -487,6 +507,21 @@ class Chain:
         except FileNotFoundError:
             pass
         burn_flag = "chain" not in chain_data
+        if not burn_flag:
+            prev = np.asarray(chain_data["chain"])
+            if prev.ndim != 3:
+                raise ValueError(
+                    f"existing chain at {self.mcmc_path} has shape "
+                    f"{prev.shape}; resume needs the walker-chain contract "
+                    f"(nwalkers, nsteps, ndim) -- a flat 2-D chain was "
+                    f"likely written by run_pocoMC and cannot seed walker "
+                    f"restarts"
+                )
+            if prev.shape[2] != self.ndim:
+                raise ValueError(
+                    f"existing chain has ndim={prev.shape[2]}, "
+                    f"posterior has ndim={self.ndim}"
+                )
         if nburnsteps is None or nwalkers is None:
             logger.error("must specify nburnsteps and nwalkers to start chain")
             return
@@ -742,7 +777,7 @@ class Chain:
         nsteps: int = 500,
         nwalkers: int = 256,
         nburnsteps: int = 128,
-        n_leapfrog: int | str = 8,
+        n_leapfrog: int | str | None = None,
         nthin: int = 1,
         seed: int = 0,
         target_accept: float = 0.8,
@@ -765,7 +800,11 @@ class Chain:
         warmup length (two windowed adaptation phases: metric, then step
         size).  ``n_leapfrog="auto"`` adds a third phase that calibrates
         the trajectory length to this posterior (per-length AR(1) mixing
-        score — effective samples per gradient; see :func:`.hmc.run_hmc`).  Writes the
+        score — effective samples per gradient; see :func:`.hmc.run_hmc`).
+        ``n_leapfrog=None`` (default) means 8 for a fresh run but INHERITS
+        the calibrated length from ``warm_start`` when one is given (an
+        explicit integer always wins, matching :func:`.hmc.run_hmc`'s
+        override contract).  Writes the
         standard chain contract
         ``{"chain": (nwalkers, ceil(nsteps/nthin), ndim)}`` (stride
         slicing keeps the first of each ``nthin`` block, so a non-divisible
@@ -786,6 +825,11 @@ class Chain:
         """
         from .hmc import run_hmc
 
+        if n_leapfrog is None:
+            # default: 8 fresh, but inherit a warm-started (possibly
+            # auto-calibrated) length -- "auto" with warm_start reuses
+            # warm_start.n_leapfrog without re-probing (run_hmc contract)
+            n_leapfrog = "auto" if warm_start is not None else 8
         logger.info("Starting HMC ...")
         chain_data = {}
         if resume:
@@ -839,7 +883,7 @@ class Chain:
                 )
             nwalkers = fs.shape[0]
             x0 = jnp.asarray(fs, dtype=self._dtype)
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), 1 << 21)
+            key = _warm_fallback_key(seed, fs)
         else:
             x0 = jnp.asarray(
                 self.random_pos(nwalkers, seed=seed), dtype=self._dtype

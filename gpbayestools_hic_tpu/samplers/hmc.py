@@ -390,8 +390,9 @@ def run_hmc(
             raise ValueError(
                 f"n_leapfrog must be an int or 'auto', got {n_leapfrog!r}"
             )
-        # keep full-length warmup here: the adapted eps must transfer to
-        # probe lengths up to l_max, twice the fixed-L production case
+        # warmup at half the PROBE ceiling (not half the final production
+        # length, which isn't known yet): the adapted eps must transfer to
+        # probe lengths up to l_max
         l_warm = max(l_max // 2, 1)
     elif warmup_leapfrog is not None:
         l_warm = int(warmup_leapfrog)

@@ -354,6 +354,10 @@ def test_chain_run_hmc_contract(tmp_path):
     # one HMC step from final_state, not a prior re-draw
     assert np.median(first_step_dist) < 0.5 * np.sqrt(ndim)
     assert res_w.step_size == res.step_size
+    # the default n_leapfrog=None INHERITS the warm start's calibrated
+    # trajectory length (res ran with n_leapfrog=6) instead of silently
+    # overriding it with the fresh-run default of 8
+    assert res_w.n_leapfrog == res.n_leapfrog == 6
 
     # resuming over a flat 2-D chain (run_pocoMC's contract) is a clean error
     cf = make_chain("flat.pkl")
@@ -361,6 +365,10 @@ def test_chain_run_hmc_contract(tmp_path):
         pickle.dump({"chain": np.zeros((100, ndim))}, f)
     with pytest.raises(ValueError, match="walker-chain contract"):
         cf.run_MCMC_HMC(nsteps=10, nwalkers=8, resume=True)
+    # ... and run_mcmc gives the same informative error (not a cryptic
+    # too-many-indices crash) for the same misuse
+    with pytest.raises(ValueError, match="walker-chain contract"):
+        cf.run_mcmc(nsteps=10, nburnsteps=10, nwalkers=8)
 
     ce = make_chain("ens.pkl")
     ce.run_mcmc(nsteps=400, nburnsteps=400, nwalkers=32, nthin=2, seed=0,
@@ -371,3 +379,22 @@ def test_chain_run_hmc_contract(tmp_path):
     assert np.all(np.abs(hmc_flat.mean(0) - ens_flat.mean(0)) < 3 * width)
     ratio = hmc_flat.std(0) / ens_flat.std(0)
     assert np.all(ratio < 3) and np.all(ratio > 1 / 3), ratio
+
+
+def test_warm_fallback_key_distinct_per_continuation():
+    """Chained warm-start continuations (no chain pickle) with the SAME
+    seed must not replay one random stream: the key folds in the warm
+    start's final-state fingerprint, so distinct final states give distinct
+    streams while the same (seed, state) pair stays reproducible."""
+    from gpbayestools_hic_tpu.samplers.chain import _warm_fallback_key
+
+    fs1 = np.random.default_rng(0).normal(size=(32, 4))
+    fs2 = np.random.default_rng(1).normal(size=(32, 4))
+    k1 = np.asarray(jax.random.key_data(_warm_fallback_key(0, fs1)))
+    k2 = np.asarray(jax.random.key_data(_warm_fallback_key(0, fs2)))
+    k1_again = np.asarray(jax.random.key_data(_warm_fallback_key(0, fs1)))
+    assert not np.array_equal(k1, k2)
+    np.testing.assert_array_equal(k1, k1_again)
+    # seed still matters for a fixed state
+    k1_seed7 = np.asarray(jax.random.key_data(_warm_fallback_key(7, fs1)))
+    assert not np.array_equal(k1, k1_seed7)
