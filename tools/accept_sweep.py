@@ -1,0 +1,81 @@
+"""Sweep (target_accept, n_leapfrog) for flagship HMC ESS/s.
+
+The production default is target_accept=0.8 with L=8 (eps adapts to
+~0.38, integration time eps*L ~ 3.1).  A lower acceptance target lets eps
+grow, so the same integration time needs fewer gradients per step --
+potentially more effective samples per gradient if tau holds.  This tool
+measures it on the real flagship posterior (same protocol as
+bench.bench_hmc: warmup charged, converged 512-step tau window).
+
+Usage: python tools/accept_sweep.py [acc:L ...]   (default grid below)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import NDIM, NWALKERS, HMC_STEPS, HMC_WARMUP, build_chain, log
+
+
+def run_config(chain, target_accept, n_leapfrog, dtype=np.float32):
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.samplers.hmc import run_hmc
+    from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
+
+    log_post, like_state = chain.posterior_with_state()
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
+    kwargs = dict(state=like_state, lo=chain.min, hi=chain.max,
+                  n_leapfrog=n_leapfrog, warmup=HMC_WARMUP,
+                  target_accept=target_accept)
+
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, x0, HMC_STEPS, jax.random.PRNGKey(0), **kwargs)
+    np.asarray(res.final_state)
+    log(f"[acc={target_accept} L={n_leapfrog}] compile+first run: "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, res.final_state, HMC_STEPS, jax.random.PRNGKey(1),
+                  **kwargs)
+    chain_arr = np.asarray(res.chain)
+    dt = time.perf_counter() - t0
+
+    taus, convs = zip(*(
+        integrated_autocorr_time(chain_arr[:, :, d], return_converged=True)
+        for d in range(NDIM)
+    ))
+    tau = float(np.max(taus))
+    ess_per_sec = (NWALKERS * HMC_STEPS / tau) / dt
+    acc = float(np.mean(np.asarray(res.acceptance)))
+    log(f"[acc={target_accept} L={n_leapfrog}] {dt:.2f}s, tau {tau:.2f} "
+        f"({'converged' if all(convs) else 'WINDOW-LIMITED'}), acc {acc:.3f}, "
+        f"eps {res.step_size:.4f}, ESS/s {ess_per_sec:.1f}")
+    return ess_per_sec, tau, acc, res.step_size
+
+
+def main():
+    grid = [(0.8, 8), (0.7, 7), (0.65, 6), (0.6, 6), (0.7, 6)]
+    if len(sys.argv) > 1:
+        grid = [tuple(map(float, a.split(":"))) for a in sys.argv[1:]]
+        grid = [(a, int(l)) for a, l in grid]
+
+    log("building flagship problem ...")
+    chain, _ = build_chain()
+    results = {}
+    for acc, L in grid:
+        results[(acc, L)] = run_config(chain, acc, L)
+    log("==== summary ====")
+    for (acc, L), (ess, tau, a, eps) in sorted(
+        results.items(), key=lambda kv: -kv[1][0]
+    ):
+        log(f"target {acc} L={L}: ESS/s {ess:.1f}, tau {tau:.2f}, "
+            f"acc {a:.3f}, eps {eps:.4f}")
+
+
+if __name__ == "__main__":
+    main()
