@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import working_dtype
 from ..runtime import parse_model_parameter_file
-from ..ops.linalg import mvn_loglike_batch, mvn_loglike_diagcov_batch
+from ..ops.linalg import mvn_loglike_diagcov_batch
 from ..ops.pallas_mvn import mvn_loglike_best
 from ..utils.io import load_exp_data_pickle
 from .ensemble import run_ensemble
