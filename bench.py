@@ -356,6 +356,44 @@ def bench_smc(chain):
     return dt, float(out["logz"])
 
 
+def wait_for_device(max_wait_s: float = 1800.0, poll_s: float = 60.0):
+    """Block until a JAX backend initializes (the axon TPU tunnel on this
+    image has transient outages: 'Unable to initialize backend' raised from
+    the first eager op).  Probes in a SUBPROCESS first -- JAX caches a
+    failed backend init for the life of the process, so an in-process
+    retry loop would re-raise the cached error forever.  Returns the first
+    device; raises after ``max_wait_s`` so a hard outage still fails loudly
+    instead of hanging the benchmark."""
+    import subprocess
+
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        # a probe can HANG on a congested tunnel (blocked RPC), not just
+        # fail -- bound it by the remaining budget and treat a timeout as
+        # "still unavailable"
+        budget = max(deadline - time.monotonic(), 15.0)
+        err = ""
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, text=True, timeout=min(600.0, budget),
+            )
+            if probe.returncode == 0:
+                import jax
+
+                return jax.devices()[0]
+            err = probe.stderr[-2000:]
+        except subprocess.TimeoutExpired:
+            err = "probe timed out (backend init hanging)"
+        if time.monotonic() >= deadline:
+            raise RuntimeError(
+                "no JAX backend came up within "
+                f"{max_wait_s:.0f}s; last probe:\n{err}"
+            )
+        log(f"device backend unavailable; retrying in {poll_s:.0f}s")
+        time.sleep(poll_s)
+
+
 def main():
     import jax
 
@@ -363,7 +401,7 @@ def main():
 
     enable_compilation_cache()
     dtype = np.float32
-    dev = jax.devices()[0]
+    dev = wait_for_device()
     log(f"device: {dev.platform} ({dev.device_kind})")
 
     log("building flagship problem (9 emulators, 544 observables) ...")
