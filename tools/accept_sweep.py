@@ -65,6 +65,9 @@ def main():
         grid = [(a, int(l)) for a, l in grid]
 
     log("building flagship problem ...")
+    from bench import wait_for_device
+
+    wait_for_device()  # ride out transient tunnel outages
     chain, _ = build_chain()
     results = {}
     for acc, L in grid:

@@ -29,6 +29,7 @@ def main(tol: float = 0.5) -> int:
     from gpbayestools_hic_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
+    bench.wait_for_device()  # ride out transient tunnel outages
     chain, _ = bench.build_chain()
     rng = np.random.default_rng(9)
     x = rng.uniform(0.3, 0.7, (64, chain.ndim))
