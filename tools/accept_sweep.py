@@ -59,7 +59,11 @@ def run_config(chain, target_accept, n_leapfrog, dtype=np.float32):
 
 
 def main():
-    grid = [(0.8, 8), (0.7, 7), (0.65, 6), (0.6, 6), (0.7, 6)]
+    # both directions: lower acceptance -> bigger eps -> fewer gradients
+    # per integration time; higher acceptance -> fewer rejection-repeats
+    # (tau ~ (1+P_rej)/(1-P_rej) when accepted moves are near-iid, so at
+    # acc 0.8 rejections alone explain most of tau ~ 1.9)
+    grid = [(0.8, 8), (0.7, 7), (0.65, 6), (0.85, 8), (0.9, 8), (0.9, 9)]
     if len(sys.argv) > 1:
         grid = [tuple(map(float, a.split(":"))) for a in sys.argv[1:]]
         grid = [(a, int(l)) for a, l in grid]
