@@ -16,7 +16,8 @@ from gpbayestools_hic_tpu.models.validation import (
 DATA = Path("synthetic_data")
 
 
-def main(group: str = "dNdy"):
+def main(group: str = "dNdy", n_test_points: int = 20,
+         test_sizes=(10, 30, 60)):
     train_pkl = str(DATA / f"training_data_{group}.pkl")
     parfile = str(DATA / "model_params.txt")
     factories = {
@@ -24,13 +25,13 @@ def main(group: str = "dNdy"):
         "PCGP": lambda: EmulatorBAND(train_pkl, parfile, method="PCGP"),
         "PCSK": lambda: EmulatorBAND(train_pkl, parfile, method="PCSK"),
     }
-    results = validate_multiple_emulators(factories, n_test_points=20)
+    results = validate_multiple_emulators(factories, n_test_points=n_test_points)
     print(f"\n{'variant':12s} {'mean E':>8s} {'<log H>':>8s}")
     for name, res in results.items():
         print(f"{name:12s} {res['mean_E']:8.4f} {res['mean_log_H']:8.3f}")
 
     scan = holdout_scan(
-        lambda: Emulator(train_pkl, parfile, npc=4), test_sizes=(10, 30, 60)
+        lambda: Emulator(train_pkl, parfile, npc=4), test_sizes=test_sizes
     )
     print("\nholdout scan:", dict(zip(scan["test_sizes"], scan["mean_E"].round(4))))
 

@@ -8,11 +8,15 @@ from pathlib import Path
 
 from gpbayestools_hic_tpu.design import Design
 
-if __name__ == "__main__":
+def main(npoints: int = 100, seed: int = 42):
     design = Design(
         Path(__file__).parent / "modelDesign_example.txt",
-        npoints=100,
-        seed=42,
+        npoints=npoints,
+        seed=seed,
     )
     design.write_files(Path("./design_points"))
     print(f"wrote {len(design.points)} design points to ./design_points/main")
+
+
+if __name__ == "__main__":
+    main()

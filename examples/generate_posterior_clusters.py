@@ -14,11 +14,12 @@ from gpbayestools_hic_tpu.utils import generate_posterior_clusters
 DATA = Path("synthetic_data")
 GROUPS = ("dNdy", "meanpT", "vn")
 
-if __name__ == "__main__":
+def main(chain_name: str = "chain_smc.pkl", n_clusters: int = 3,
+         n_top_samples: int = 1000):
     centers, labels = generate_posterior_clusters(
-        DATA / "mcmc" / "chain_smc.pkl",
-        n_clusters=3,
-        n_top_samples=1000,
+        DATA / "mcmc" / chain_name,
+        n_clusters=n_clusters,
+        n_top_samples=n_top_samples,
         output_dir=DATA,
     )
     print("cluster centers (one per row):\n", centers.round(4))
@@ -34,3 +35,7 @@ if __name__ == "__main__":
     np.savetxt(DATA / "cluster_observables.txt", preds.T)
     print(f"cluster-center observables written to "
           f"{DATA / 'cluster_observables.txt'} (one cluster per column)")
+
+
+if __name__ == "__main__":
+    main()

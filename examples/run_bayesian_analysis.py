@@ -27,30 +27,36 @@ def build_chain(mcmc_name: str) -> Chain:
     return chain
 
 
-def main(sampler: str = "pocoMC", devices: int | None = None):
+def main(sampler: str = "pocoMC", devices: int | None = None, **overrides):
     # sampler: pocoMC | emcee | PTLMC | HMC.  devices=N shards the
     # walker/particle axis over the first N accelerator chips (the
-    # reference's pool=12 ergonomics, now a device count).
+    # reference's pool=12 ergonomics, now a device count).  Keyword
+    # overrides are forwarded to the sampler call (e.g. smaller sizes for
+    # a smoke run).
     if sampler == "pocoMC":  # recommended (reference cell 4)
         chain = build_chain("chain_smc.pkl")
-        chain.run_pocoMC(
+        kwargs = dict(
             n_effective=1000, n_active=500, n_prior=2000,
             sample="tpcn", n_max_steps=50, n_total=8000, n_evidence=2000,
             devices=devices,
         )
+        chain.run_pocoMC(**{**kwargs, **overrides})
     elif sampler == "emcee":  # reference cell 5
         chain = build_chain("chain_ensemble.pkl")
-        chain.run_mcmc(nsteps=1000, nburnsteps=1000, nwalkers=100, nthin=2,
-                       devices=devices)
+        kwargs = dict(nsteps=1000, nburnsteps=1000, nwalkers=100, nthin=2,
+                      devices=devices)
+        chain.run_mcmc(**{**kwargs, **overrides})
     elif sampler == "PTLMC":  # reference cell 6
         chain = build_chain("chain_ptlmc.pkl")
-        chain.run_MCMC_PTLMC(nsteps=1000, nwalkers=16, ntemps=30,
-                             maxtemp=100, devices=devices)
+        kwargs = dict(nsteps=1000, nwalkers=16, ntemps=30,
+                      maxtemp=100, devices=devices)
+        chain.run_MCMC_PTLMC(**{**kwargs, **overrides})
     elif sampler == "HMC":  # beyond-reference: gradient-based, near-iid
         chain = build_chain("chain_hmc.pkl")
         # n_leapfrog="auto" calibrates the trajectory length per posterior
-        chain.run_MCMC_HMC(nsteps=500, nwalkers=64, nburnsteps=128,
-                           n_leapfrog="auto", devices=devices)
+        kwargs = dict(nsteps=500, nwalkers=64, nburnsteps=128,
+                      n_leapfrog="auto", devices=devices)
+        chain.run_MCMC_HMC(**{**kwargs, **overrides})
     else:
         raise SystemExit(f"unknown sampler {sampler}")
     if sampler != "pocoMC":  # weighted SMC posteriors have no walker-time axis
