@@ -1,7 +1,6 @@
 """Emulator tests: reference-formula parity, contracts, round trips."""
 
 import numpy as np
-import jax.numpy as jnp
 import pytest
 from sklearn.decomposition import PCA as SkPCA
 from sklearn.preprocessing import StandardScaler as SkScaler

@@ -22,7 +22,7 @@ from gpbayestools_hic_tpu.ops import (
     lbfgsb_minimize,
 )
 from gpbayestools_hic_tpu.ops.scalers import n_components_for_variance
-from gpbayestools_hic_tpu.ops.kernels import init_kernel_params, kernel_diag
+from gpbayestools_hic_tpu.ops.kernels import kernel_diag
 
 
 def test_standard_scaler_matches_sklearn(rng):

@@ -56,7 +56,6 @@ def test_lhs_beats_random_maximin(tmp_path):
 
 def test_lhs_cache_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setenv("WORKDIR", str(tmp_path))
-    import importlib
     import gpbayestools_hic_tpu.runtime as rt
     monkeypatch.setattr(rt, "workdir", tmp_path)
     x1 = generate_lhs(10, 2, seed=5)
