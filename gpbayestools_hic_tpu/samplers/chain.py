@@ -776,7 +776,7 @@ class Chain:
         self,
         nsteps: int = 500,
         nwalkers: int = 256,
-        nburnsteps: int = 128,
+        nburnsteps: int | str = 128,
         n_leapfrog: int | str | None = None,
         nthin: int = 1,
         seed: int = 0,
@@ -798,7 +798,11 @@ class Chain:
         between well-separated modes (use ``run_pocoMC`` for those).
         ``nburnsteps`` is the per-phase
         warmup length (two windowed adaptation phases: metric, then step
-        size).  ``n_leapfrog="auto"`` adds a third phase that calibrates
+        size); ``nburnsteps="auto"`` lets each phase terminate itself as
+        soon as the dual-averaged step size has stabilized with acceptance
+        on target (32-256 steps; see :func:`.hmc.run_hmc`), so no
+        hand-picked count is needed.  ``n_leapfrog="auto"`` adds a third
+        phase that calibrates
         the trajectory length to this posterior (per-length AR(1) mixing
         score — effective samples per gradient; see :func:`.hmc.run_hmc`).
         ``n_leapfrog=None`` (default) means 8 for a fresh run but INHERITS

@@ -46,6 +46,7 @@ DE's number is an upper bound while HMC's tau is converged (window >>
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache, partial
 from typing import Callable, NamedTuple
 
@@ -53,6 +54,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+logger = logging.getLogger(__name__)
 
 
 class HMCResult(NamedTuple):
@@ -98,7 +101,7 @@ def _x_to_u(x, lo, width, mu, chol):
     jax.jit,
     static_argnames=(
         "log_prob_fn", "nsteps", "n_leapfrog", "adapt", "bounded",
-        "traj_jitter", "probe",
+        "traj_jitter", "probe", "return_da",
     ),
 )
 def _hmc_scan(
@@ -116,12 +119,23 @@ def _hmc_scan(
     target_accept: float = 0.8,
     traj_jitter: int = 0,
     probe: bool = False,
+    da0=None,
+    return_da: bool = False,
 ):
     """One compiled HMC phase: ``nsteps`` steps from ``u0``.
 
     Returns (chain_x, lp_x, accept_probs, u_final, log_eps_bar).  With
     ``adapt`` the step size follows dual averaging and the returned
     ``log_eps_bar`` is the averaged estimate; otherwise eps stays fixed.
+
+    ``da0``: optional dual-averaging state ``(hbar, log_eps, log_eps_bar,
+    t)`` carried over from a previous chunk, so adaptation can be split
+    into short compiled chunks with host-side convergence checks between
+    them (``warmup="auto"`` in :func:`run_hmc`).  ``log_eps0`` stays the
+    ORIGINAL anchor: the dual-averaging shrinkage target ``mu_da`` is
+    derived from it and must not move between chunks.  With ``return_da``
+    the final element of the result is the full state tuple instead of
+    ``log_eps_bar``.
 
     With ``probe`` step ``s`` runs walker ``w`` at the rotating stratified
     trajectory length ``1 + ((w + s) mod n_leapfrog)`` and the outputs
@@ -239,11 +253,17 @@ def _hmc_scan(
 
     lp0_u, lp0_x, g0 = value_and_grad_u(u0)
     zero = jnp.asarray(0.0, u0.dtype)
-    carry0 = (u0, lp0_u, lp0_x, g0, zero, log_eps0, log_eps0, zero)
+    if da0 is None:
+        hbar0, log_eps_c, log_eps_bar0, t0 = zero, log_eps0, log_eps0, zero
+    else:
+        hbar0, log_eps_c, log_eps_bar0, t0 = da0
+    carry0 = (u0, lp0_u, lp0_x, g0, hbar0, log_eps_c, log_eps_bar0, t0)
     keys = jax.random.split(key, nsteps)
-    (uf, _, _, _, _, _, log_eps_bar, _), outs = lax.scan(
+    (uf, _, _, _, hbar_f, log_eps_f, log_eps_bar, t_f), outs = lax.scan(
         step, carry0, (keys, jnp.arange(nsteps))
     )
+    if return_da:
+        return (*outs, uf, (hbar_f, log_eps_f, log_eps_bar, t_f))
     return (*outs, uf, log_eps_bar)
 
 
@@ -300,6 +320,65 @@ def _select_leapfrog(us: np.ndarray, l_max: int) -> int:
     return int(np.argmax(score))
 
 
+# warmup="auto" stopping rule: adapt in short compiled chunks and stop as
+# soon as the dual-averaged step size has stabilized AND acceptance sits on
+# target.  The chunk program (nsteps=16) compiles once and is reused by both
+# adaptation phases and every chunk.
+_WARMUP_CHUNK = 16
+_WARMUP_MIN_CHUNKS = 2       # never decide on fewer than 32 steps
+_WARMUP_MAX_CHUNKS = 16      # hard cap: 256 steps per phase
+_WARMUP_EPS_TOL = 0.02       # |delta log_eps_bar| across a chunk
+_WARMUP_ACC_TOL = 0.10       # |acceptance - target| over the last chunk
+
+
+def _adaptive_phase(
+    log_prob_fn, state, tf, u0, key, log_eps_anchor, *,
+    n_leapfrog, bounded, target_accept, traj_jitter,
+):
+    """One warmup phase with an automatic stopping rule (``warmup="auto"``).
+
+    Runs dual-averaging adaptation in compiled ``_WARMUP_CHUNK``-step
+    chunks, carrying the full DA state across chunks, and stops once the
+    averaged log step size moved less than ``_WARMUP_EPS_TOL`` over the
+    last chunk and the chunk's mean acceptance is within
+    ``_WARMUP_ACC_TOL`` of ``target_accept`` (at least
+    ``_WARMUP_MIN_CHUNKS`` chunks, at most ``_WARMUP_MAX_CHUNKS``).
+
+    Returns ``(xs_all, u_final, log_eps_bar, nsteps_done)`` with ``xs_all``
+    the full (nsteps_done, nwalkers, ndim) x-space sample stack (the metric
+    estimate in :func:`run_hmc` uses its second half).
+    """
+    xs_chunks = []
+    u, da = u0, None
+    prev_bar = None
+    bar = float(np.asarray(log_eps_anchor))
+    for c in range(_WARMUP_MAX_CHUNKS):
+        k_c = jax.random.fold_in(key, c)
+        xs, _, accs, u, da = _hmc_scan(
+            log_prob_fn, state, tf, u, k_c, log_eps_anchor,
+            nsteps=_WARMUP_CHUNK, n_leapfrog=n_leapfrog, adapt=True,
+            bounded=bounded, target_accept=target_accept,
+            traj_jitter=traj_jitter, da0=da, return_da=True,
+        )
+        xs_chunks.append(np.asarray(xs))
+        bar = float(np.asarray(da[2]))
+        acc = float(np.mean(np.asarray(accs)))
+        if (
+            c + 1 >= _WARMUP_MIN_CHUNKS
+            and prev_bar is not None
+            and abs(bar - prev_bar) < _WARMUP_EPS_TOL
+            and abs(acc - target_accept) < _WARMUP_ACC_TOL
+        ):
+            break
+        prev_bar = bar
+    nsteps_done = len(xs_chunks) * _WARMUP_CHUNK
+    logger.info(
+        "HMC auto warmup phase: %d steps (eps_bar %.4f, last-chunk "
+        "acceptance %.3f)", nsteps_done, np.exp(bar), acc,
+    )
+    return np.concatenate(xs_chunks, axis=0), u, jnp.asarray(da[2]), nsteps_done
+
+
 def run_hmc(
     log_prob_fn: Callable[..., jnp.ndarray],
     x0: jnp.ndarray,
@@ -310,7 +389,7 @@ def run_hmc(
     lo=None,
     hi=None,
     n_leapfrog: int | str = 8,
-    warmup: int = 128,
+    warmup: int | str = 128,
     warmup_leapfrog: int | None = None,
     eps0: float = 0.1,
     target_accept: float = 0.8,
@@ -361,6 +440,14 @@ def run_hmc(
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
 
+    ``warmup="auto"`` replaces the fixed per-phase step count with an
+    automatic stopping rule: each adaptation phase runs in compiled
+    16-step chunks and ends as soon as the dual-averaged step size has
+    stabilized (|delta log eps_bar| < 0.02 over a chunk) with acceptance
+    within 0.1 of ``target_accept`` — at least 32 and at most 256 steps
+    per phase.  On an easy posterior this stops near the minimum budget;
+    on a hard one it keeps adapting, so no hand-picked count is needed.
+
     ``warm_start``: an :class:`HMCResult` from a previous run on the SAME
     posterior -- its adapted metric ``(precond_mu, precond_chol)``, step
     size, and calibrated ``n_leapfrog`` are reused and ALL adaptation
@@ -384,6 +471,9 @@ def run_hmc(
         shard = lambda u: shard_batch(mesh, u)  # noqa: E731
     else:
         shard = lambda u: u  # noqa: E731
+    auto_warmup = isinstance(warmup, str)
+    if auto_warmup and warmup != "auto":
+        raise ValueError(f"warmup must be an int or 'auto', got {warmup!r}")
     auto_l = isinstance(n_leapfrog, str)
     if auto_l:
         if n_leapfrog != "auto":
@@ -452,15 +542,23 @@ def run_hmc(
         chol0 = np.eye(ndim)
         tf = tf_of(mu0, chol0)
         u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
-        xs, _, _, _, log_eps = _hmc_scan(
-            log_prob_fn, state, tf, u0, k_a, log_eps0,
-            nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
-            target_accept=target_accept, traj_jitter=traj_jitter,
-        )
+        if auto_warmup:
+            xs_np, _, log_eps, n_done = _adaptive_phase(
+                log_prob_fn, state, tf, u0, k_a, log_eps0,
+                n_leapfrog=l_warm, bounded=bounded,
+                target_accept=target_accept, traj_jitter=traj_jitter,
+            )
+        else:
+            xs, _, _, _, log_eps = _hmc_scan(
+                log_prob_fn, state, tf, u0, k_a, log_eps0,
+                nsteps=warmup, n_leapfrog=l_warm, adapt=True,
+                bounded=bounded, target_accept=target_accept,
+                traj_jitter=traj_jitter,
+            )
+            xs_np, n_done = np.asarray(xs), warmup
         # host-side metric estimation (all conversions in numpy: eager device
         # ops pay a multi-second remote compile on some runtimes)
-        xs_np = np.asarray(xs)
-        half = xs_np[warmup // 2:].reshape(-1, ndim).astype(np.float64)
+        half = xs_np[n_done // 2:].reshape(-1, ndim).astype(np.float64)
         z = _x_to_u(half, lo_np, width_np, mu0, chol0)
         mu_z = z.mean(0)
         cov_z = np.atleast_2d(np.cov(z.T)) + 1e-10 * np.eye(ndim)
@@ -470,11 +568,19 @@ def run_hmc(
         tf = tf_of(mu_z, chol_z)
         xf = xs_np[-1].astype(np.float64)
         u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
-        _, _, _, uf, log_eps = _hmc_scan(
-            log_prob_fn, state, tf, u0, k_b, log_eps,
-            nsteps=warmup, n_leapfrog=l_warm, adapt=True, bounded=bounded,
-            target_accept=target_accept, traj_jitter=traj_jitter,
-        )
+        if auto_warmup:
+            _, uf, log_eps, _ = _adaptive_phase(
+                log_prob_fn, state, tf, u0, k_b, log_eps,
+                n_leapfrog=l_warm, bounded=bounded,
+                target_accept=target_accept, traj_jitter=traj_jitter,
+            )
+        else:
+            _, _, _, uf, log_eps = _hmc_scan(
+                log_prob_fn, state, tf, u0, k_b, log_eps,
+                nsteps=warmup, n_leapfrog=l_warm, adapt=True,
+                bounded=bounded, target_accept=target_accept,
+                traj_jitter=traj_jitter,
+            )
 
         # ---- optional probe: calibrate the production trajectory length
         if auto_l:

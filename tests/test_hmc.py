@@ -203,6 +203,48 @@ def test_hmc_auto_leapfrog_calibrates_and_samples_correctly():
                 n_leapfrog="nuts")
 
 
+def test_hmc_auto_warmup_terminates_and_samples_correctly(monkeypatch):
+    """warmup='auto': adaptation runs in compiled 16-step chunks and stops
+    itself once the dual-averaged step size stabilizes on target acceptance
+    -- no hand-picked warmup count -- and sampling is still correct."""
+    import gpbayestools_hic_tpu.samplers.hmc as hmc_mod
+
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float64)
+
+    def log_prob(state, x):
+        return -0.5 * jnp.einsum("bi,ij,bj->b", x, prec, x)
+
+    calls = []
+    real_scan = hmc_mod._hmc_scan
+
+    def counting_scan(*a, **kw):
+        calls.append(kw.get("nsteps"))
+        return real_scan(*a, **kw)
+
+    monkeypatch.setattr(hmc_mod, "_hmc_scan", counting_scan)
+    x0 = jax.random.normal(jax.random.PRNGKey(20), (64, 2), jnp.float64) * 0.2
+    res = run_hmc(log_prob, x0, 400, jax.random.PRNGKey(21), state=(),
+                  n_leapfrog=6, warmup="auto")
+    # every adaptation call is one chunk; production is the single long scan
+    warm_calls = [n for n in calls if n == hmc_mod._WARMUP_CHUNK]
+    assert calls[-1] == 400
+    assert len(warm_calls) == len(calls) - 1
+    # two phases, each >= the minimum and < the hard cap (the stopping rule
+    # must actually fire on this easy target)
+    assert 2 * hmc_mod._WARMUP_MIN_CHUNKS <= len(warm_calls), calls
+    assert len(warm_calls) < 2 * hmc_mod._WARMUP_MAX_CHUNKS, calls
+    acc = float(np.mean(np.asarray(res.acceptance)))
+    assert 0.6 < acc <= 1.0, acc
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert np.allclose(samples.mean(0), 0.0, atol=0.1)
+    assert np.allclose(samples.std(0), np.sqrt(np.diag(cov)), rtol=0.15)
+
+    with pytest.raises(ValueError, match="warmup"):
+        run_hmc(log_prob, x0, 4, jax.random.PRNGKey(0), state=(),
+                warmup="fast")
+
+
 def test_hmc_warm_start_skips_adaptation(monkeypatch):
     """warm_start reuses a previous run's metric/step size/length, runs
     ONLY the production phase, and still samples the target correctly."""
