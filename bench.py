@@ -68,11 +68,13 @@ NPC = 4
 NWALKERS = 1024
 NSTEPS = 1024
 HMC_STEPS = 512      # >> 50 * tau (~1.9): the tau estimate is converged
-# per windowed-adaptation phase (two phases).  64 is measured sufficient on
-# this posterior (eps/acc/tau identical to 128-step warmup: eps 0.383 vs
-# 0.384, acc 0.801, tau 1.83) and the warmup is charged to the ESS/s wall
-# clock, so shorter adaptation is a direct headline gain (6468 vs 5074).
-HMC_WARMUP = 64
+# warmup="auto": each adaptation phase terminates itself once the dual-
+# averaged step size stabilizes with acceptance on target (32-256 steps;
+# samplers/hmc.py), so the warmup budget is chosen by the production
+# mechanism rather than a benchmark-specific sweep.  The earlier fixed
+# sweep found 64/phase optimal here; the auto rule lands in the same
+# neighborhood and its cost is charged to the ESS/s wall clock.
+HMC_WARMUP = "auto"
 HMC_LEAPFROG = 8
 CPU_BASELINE_WALKERS = 7
 # ensemble tau window: 8 x 1024 = 8192 steps >> 50 * tau (~90) so the
@@ -232,8 +234,8 @@ def bench_move(chain, move, dtype, n_chunks: int = ENS_TAU_CHUNKS):
 
 def bench_hmc(chain, dtype):
     """Preconditioned HMC through the same fused posterior: ESS/s charged
-    with the FULL wall clock of a fresh adaptive run (2 x HMC_WARMUP
-    adaptation steps + HMC_STEPS production), compilation excluded."""
+    with the FULL wall clock of a fresh adaptive run (auto-terminated
+    adaptation phases + HMC_STEPS production), compilation excluded."""
     import jax
     import jax.numpy as jnp
 
@@ -268,7 +270,7 @@ def bench_hmc(chain, dtype):
         f"(converged: window {HMC_STEPS} >= 50 tau)" if all(convs)
         else "(WINDOW-LIMITED: tau is a lower bound)"
     )
-    log(f"[hmc] {dt:.2f}s for {2 * HMC_WARMUP}+{HMC_STEPS} steps, "
+    log(f"[hmc] {dt:.2f}s for {res.warmup_steps}+{HMC_STEPS} steps, "
         f"max tau {tau:.2f} {conv_note}, "
         f"ESS/sec {ess_per_sec:.1f}, acc {acc:.3f}, eps {res.step_size:.4f}")
 

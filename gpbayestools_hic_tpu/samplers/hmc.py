@@ -67,6 +67,9 @@ class HMCResult(NamedTuple):
     precond_chol: np.ndarray  # (ndim, ndim) adapted metric Cholesky
     precond_mu: np.ndarray    # (ndim,)
     n_leapfrog: int           # production trajectory length (as calibrated)
+    warmup_steps: int = 0     # adaptation steps actually run (both phases
+                              # combined; 0 for a warm start, excludes the
+                              # n_leapfrog="auto" probe)
 
 
 @lru_cache(maxsize=64)
@@ -534,6 +537,7 @@ def run_hmc(
             _x_to_u(x0, lo_np, width_np, mu_z, chol_z).astype(dtype)
         ))
         log_eps = jnp.asarray(np.log(warm_start.step_size), dtype)
+        n_warm_total = 0
         if auto_l:
             n_leapfrog = int(warm_start.n_leapfrog)
     else:
@@ -569,7 +573,7 @@ def run_hmc(
         xf = xs_np[-1].astype(np.float64)
         u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
         if auto_warmup:
-            _, uf, log_eps, _ = _adaptive_phase(
+            _, uf, log_eps, n_done_b = _adaptive_phase(
                 log_prob_fn, state, tf, u0, k_b, log_eps,
                 n_leapfrog=l_warm, bounded=bounded,
                 target_accept=target_accept, traj_jitter=traj_jitter,
@@ -581,6 +585,8 @@ def run_hmc(
                 bounded=bounded, target_accept=target_accept,
                 traj_jitter=traj_jitter,
             )
+            n_done_b = warmup
+        n_warm_total = n_done + n_done_b
 
         # ---- optional probe: calibrate the production trajectory length
         if auto_l:
@@ -614,4 +620,5 @@ def run_hmc(
         precond_chol=chol_z,
         precond_mu=mu_z,
         n_leapfrog=int(n_leapfrog),
+        warmup_steps=int(n_warm_total),
     )
