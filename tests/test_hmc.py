@@ -234,6 +234,8 @@ def test_hmc_auto_warmup_terminates_and_samples_correctly(monkeypatch):
     # must actually fire on this easy target)
     assert 2 * hmc_mod._WARMUP_MIN_CHUNKS <= len(warm_calls), calls
     assert len(warm_calls) < 2 * hmc_mod._WARMUP_MAX_CHUNKS, calls
+    # the result reports exactly the adaptation steps that actually ran
+    assert res.warmup_steps == len(warm_calls) * hmc_mod._WARMUP_CHUNK
     acc = float(np.mean(np.asarray(res.acceptance)))
     assert 0.6 < acc <= 1.0, acc
     samples = np.asarray(res.chain).reshape(-1, 2)
@@ -259,6 +261,7 @@ def test_hmc_warm_start_skips_adaptation(monkeypatch):
     x0 = jax.random.normal(jax.random.PRNGKey(11), (64, 2), jnp.float64) * 0.2
     res = run_hmc(log_prob, x0, 300, jax.random.PRNGKey(12), state=(),
                   n_leapfrog=6, warmup=96)
+    assert res.warmup_steps == 2 * 96  # fixed warmup: both phases reported
 
     calls = []
     real_scan = hmc_mod._hmc_scan
@@ -271,6 +274,7 @@ def test_hmc_warm_start_skips_adaptation(monkeypatch):
     res2 = run_hmc(log_prob, res.final_state, 300, jax.random.PRNGKey(13),
                    state=(), n_leapfrog=6, warmup=96, warm_start=res)
     assert calls == [300]  # production only: no adaptation phases
+    assert res2.warmup_steps == 0  # warm start reports zero adaptation
     # (log -> exp roundtrip: equal to float rounding, not bitwise)
     np.testing.assert_allclose(res2.step_size, res.step_size, rtol=1e-12)
     np.testing.assert_array_equal(res2.precond_chol, res.precond_chol)
