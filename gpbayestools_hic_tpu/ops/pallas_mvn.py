@@ -48,6 +48,31 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: phase count for dead-row trimming in the elimination loop.  More phases
+#: trim closer to the exact triangular profile but emit more distinct loop
+#: bodies (compile time); 16 captured ~all of the win in the sweep.
+N_PHASES = 16
+
+
+def _phases(n: int, rows: int, n_phases: int):
+    """Static (col_start, col_end, row_start) phase list for dead-row trim.
+
+    Columns [c0, c1) only update rows [r0, rows) with r0 = c0 rounded DOWN
+    to a sublane multiple.  This is EXACT: the elimination at pivot k only
+    reads rows >= k (row k itself plus the trailing rows it updates), and
+    the two outputs -- pivot A[k, k] read at iteration k and the quadratic
+    form A[n, n] with n >= c1 -- always lie inside the updated window.
+    Rows < r0 are finalized and never read again, so skipping their update
+    cuts up to ~45% of the VPU work (triangular vs square profile).
+    """
+    bounds = sorted({min(n, (n * i) // n_phases) for i in range(n_phases)} | {n})
+    out = []
+    for c0, c1 in zip(bounds[:-1], bounds[1:]):
+        if c0 < c1:
+            out.append((c0, c1, (c0 // 8) * 8))
+    return out
+
+
 def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
     """One batch chunk: a_ref (chunk, np_pad, np_pad) -> out_ref (chunk, 128).
 
@@ -63,25 +88,33 @@ def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
     # padding 170 -> 256 at flagship shapes costs 31% otherwise).
     rows = min(_round_up(n + 1, 8), np_pad)
 
-    def body(k, logdet_half):
-        row = a_ref[:, k, :]  # (chunk, np_pad) -- symmetric: row k == col k
-        # pivot A[k, k] via masked reduction (dynamic lane gather is not
-        # lowerable on TPU; this is one cheap VPU reduce instead)
-        pivot = jnp.sum(jnp.where(col_ids == k, row, 0.0), axis=1)  # (chunk,)
-        logdet_half = logdet_half + 0.5 * jnp.log(pivot)
-        u = jnp.where(col_ids > k, row, 0.0)  # eliminate only trailing rows
-        # row factor: lane-vector u moved onto the sublane axis FIRST, then
-        # sublane-sliced to `rows` (a direct lane slice to a non-multiple of
-        # 128 is not lowerable)
-        u_rows = u[:, :, None][:, :rows, :]
-        a_ref[:, :rows, :] = a_ref[:, :rows, :] - (
-            u_rows * (u[:, None, :] / pivot[:, None, None])
-        )
-        return logdet_half
+    def make_body(r0):
+        def body(k, logdet_half):
+            row = a_ref[:, k, :]  # (chunk, np_pad) -- symmetric: row k == col k
+            # pivot A[k, k] via masked reduction (dynamic lane gather is not
+            # lowerable on TPU; this is one cheap VPU reduce instead)
+            pivot = jnp.sum(jnp.where(col_ids == k, row, 0.0), axis=1)
+            logdet_half = logdet_half + 0.5 * jnp.log(pivot)
+            u = jnp.where(col_ids > k, row, 0.0)  # only trailing lanes live
+            # row factor: lane-vector u moved onto the sublane axis FIRST,
+            # then sublane-sliced to [r0, rows) (a direct lane slice to a
+            # non-multiple of 128 is not lowerable; a lane-offset dynamic
+            # load is not lowerable either, so only rows are trimmed)
+            u_rows = u[:, :, None][:, r0:rows, :]
+            a_ref[:, r0:rows, :] = a_ref[:, r0:rows, :] - (
+                u_rows * (u[:, None, :] / pivot[:, None, None])
+            )
+            return logdet_half
 
-    logdet_half = lax.fori_loop(
-        0, n, body, jnp.zeros((chunk,), a_ref.dtype), unroll=False
-    )
+        return body
+
+    # Phased dead-row trimming (see _phases): 1.4x over a single full-window
+    # loop at flagship shapes (n=170: 12.3 -> 8.8 ms on v5e).
+    logdet_half = jnp.zeros((chunk,), a_ref.dtype)
+    for c0, c1, r0 in _phases(n, rows, N_PHASES):
+        logdet_half = lax.fori_loop(
+            c0, c1, make_body(r0), logdet_half, unroll=False
+        )
     # After eliminating columns 0..n-1: A[n, n] = -y^T C^-1 y.
     quad = -a_ref[:, n, n]
     lp = -0.5 * quad - logdet_half
