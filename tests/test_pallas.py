@@ -15,7 +15,7 @@ def interpret_mode(monkeypatch):
     monkeypatch.setattr(pm, "INTERPRET", True)
 
 
-@pytest.mark.parametrize("b,n", [(4, 7), (2, 60), (8, 130)])
+@pytest.mark.parametrize("b,n", [(4, 1), (4, 2), (4, 3), (4, 7), (2, 60), (8, 130)])
 def test_pallas_mvn_matches_xla(rng, b, n):
     a = rng.normal(size=(b, n, n)).astype(np.float32)
     cov = jnp.asarray(a @ a.transpose(0, 2, 1) + n * np.eye(n, dtype=np.float32))
