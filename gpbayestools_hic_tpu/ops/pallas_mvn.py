@@ -14,9 +14,11 @@ Algorithm -- augmented symmetric elimination:
   ``logdet(L) = 1/2 sum log p_k``, and after eliminating all n columns the
   trailing entry is ``A[n,n] = -y^T C^-1 y`` -- the quadratic form falls out
   with NO separate triangular solve.
-- The update ``A -= u u^T / p_k`` (u = masked row k) is a rank-1 FMA over
-  the whole (chunk, np, np) block: fully batch- and lane-vectorized VPU
-  work, ~n^3 flops per matrix with zero sequential solves.
+- The update ``A -= u u^T / p_k`` (u = masked row k) is applied blocked:
+  a short VPU rank-1 loop inside each PANEL-column panel, then the panel's
+  cumulative trailing (Schur) update as one batched MXU ``dot_general`` --
+  ~n^3 flops per matrix with zero sequential solves, the bulk of them on
+  the systolic array.
 - A is kept symmetric throughout, so "column k" is read as *row* k -- a
   sublane slice, cheap on TPU, instead of a lane gather.
 
@@ -48,29 +50,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-#: phase count for dead-row trimming in the elimination loop.  More phases
-#: trim closer to the exact triangular profile but emit more distinct loop
-#: bodies (compile time); 16 captured ~all of the win in the sweep.
-N_PHASES = 16
-
-
-def _phases(n: int, rows: int, n_phases: int):
-    """Static (col_start, col_end, row_start) phase list for dead-row trim.
-
-    Columns [c0, c1) only update rows [r0, rows) with r0 = c0 rounded DOWN
-    to a sublane multiple.  This is EXACT: the elimination at pivot k only
-    reads rows >= k (row k itself plus the trailing rows it updates), and
-    the two outputs -- pivot A[k, k] read at iteration k and the quadratic
-    form A[n, n] with n >= c1 -- always lie inside the updated window.
-    Rows < r0 are finalized and never read again, so skipping their update
-    cuts up to ~45% of the VPU work (triangular vs square profile).
-    """
-    bounds = sorted({min(n, (n * i) // n_phases) for i in range(n_phases)} | {n})
-    out = []
-    for c0, c1 in zip(bounds[:-1], bounds[1:]):
-        if c0 < c1:
-            out.append((c0, c1, (c0 // 8) * 8))
-    return out
+#: panel width for the blocked elimination.  Each panel is factored by a
+#: short VPU rank-1 loop over its own rows, then the cumulative trailing
+#: (Schur) update is applied as ONE batched MXU contraction.  32 won the
+#: v5e sweep (16/32/64/128): wide enough to amortize the matmul, narrow
+#: enough that the VPU panel work stays tiny.
+PANEL = 32
 
 
 def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
@@ -78,18 +63,47 @@ def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
 
     a_ref holds the augmented matrices; columns/rows >= n+1 are identity
     padding.  Writes lp = -0.5 * quad - logdet_half into out lane 0.
+
+    Blocked right-looking elimination, two stages per static PANEL-column
+    panel [c0, c1):
+
+    - **phase 1 (VPU)**: the classic rank-1 update restricted to the
+      panel's own row tile [p_r0, p_r1) -- row k+1 must see column k's
+      update before it is read as the next pivot row, but no row outside
+      the panel tile is read until the panel is done.
+    - **phase 2 (MXU)**: the trailing rows' cumulative update factors as
+          A[i, j] -= sum_k U[k, i] * U[k, j] / p_k,
+      U = the finished panel rows masked to columns > k -- one batched
+      ``dot_general`` contracting the panel axis, which runs on the MXU
+      instead of burning VPU cycles row by row.
+
+    Exactness: rows above a panel are finalized and never read again
+    (elimination at pivot k only reads rows >= k), and the two outputs --
+    pivot A[k, k] read at iteration k and the quadratic form A[n, n] --
+    always lie inside the updated window, so the restricted updates are
+    EXACT, not approximations.  Trailing-row entries in columns <= c0 go
+    stale after phase 2 of a later panel, but every later read masks to
+    columns > k >= c0.  Measured on v5e at the flagship 170-observable
+    block (512-matrix f32 batch): 12.3 ms for the square rank-1 kernel,
+    8.6 ms with dead-row trimming alone, 7.4 ms blocked+MXU (this form).
+    A lane-axis trim of the same kind is NOT lowerable (Mosaic rejects
+    dynamic loads at a nonzero lane offset), so only rows are blocked.
     """
     chunk = a_ref.shape[0]
     col_ids = lax.broadcasted_iota(jnp.int32, (chunk, np_pad), dimension=1)
     # Rows > n are inert identity padding: row r > n has zeros in every
     # column <= n, so u_r = 0 and the rank-1 update never touches it.
-    # Restricting the update to the first sublane-aligned `rows` rows is
-    # EXACT and skips up to (np_pad - rows)/np_pad of the work (the lane
-    # padding 170 -> 256 at flagship shapes costs 31% otherwise).
+    # Restricting updates to the first sublane-aligned `rows` rows is EXACT
+    # and skips the lane padding (170 -> 256 at flagship shapes).
     rows = min(_round_up(n + 1, 8), np_pad)
 
-    def make_body(r0):
-        def body(k, logdet_half):
+    logdet_half = jnp.zeros((chunk,), a_ref.dtype)
+    for c0 in range(0, n, PANEL):
+        c1 = min(c0 + PANEL, n)
+        p_r0 = (c0 // 8) * 8
+        p_r1 = min(_round_up(c1, 8), rows)
+
+        def body(k, logdet_half, p_r0=p_r0, p_r1=p_r1):
             row = a_ref[:, k, :]  # (chunk, np_pad) -- symmetric: row k == col k
             # pivot A[k, k] via masked reduction (dynamic lane gather is not
             # lowerable on TPU; this is one cheap VPU reduce instead)
@@ -97,24 +111,43 @@ def _mvn_kernel(a_ref, out_ref, *, n: int, np_pad: int):
             logdet_half = logdet_half + 0.5 * jnp.log(pivot)
             u = jnp.where(col_ids > k, row, 0.0)  # only trailing lanes live
             # row factor: lane-vector u moved onto the sublane axis FIRST,
-            # then sublane-sliced to [r0, rows) (a direct lane slice to a
-            # non-multiple of 128 is not lowerable; a lane-offset dynamic
-            # load is not lowerable either, so only rows are trimmed)
-            u_rows = u[:, :, None][:, r0:rows, :]
-            a_ref[:, r0:rows, :] = a_ref[:, r0:rows, :] - (
+            # then sublane-sliced (a direct lane slice to a non-multiple of
+            # 128 is not lowerable)
+            u_rows = u[:, :, None][:, p_r0:p_r1, :]
+            a_ref[:, p_r0:p_r1, :] = a_ref[:, p_r0:p_r1, :] - (
                 u_rows * (u[:, None, :] / pivot[:, None, None])
             )
             return logdet_half
 
-        return body
+        logdet_half = lax.fori_loop(c0, c1, body, logdet_half, unroll=False)
 
-    # Phased dead-row trimming (see _phases): 1.4x over a single full-window
-    # loop at flagship shapes (n=170: 12.3 -> 8.8 ms on v5e).
-    logdet_half = jnp.zeros((chunk,), a_ref.dtype)
-    for c0, c1, r0 in _phases(n, rows, N_PHASES):
-        logdet_half = lax.fori_loop(
-            c0, c1, make_body(r0), logdet_half, unroll=False
-        )
+        if p_r1 < rows:
+            pr = p_r1 - p_r0
+            panel = a_ref[:, p_r0:p_r1, :]  # finished panel rows
+            row_k = lax.broadcasted_iota(jnp.int32, (1, pr, np_pad), 1) + p_r0
+            cols = lax.broadcasted_iota(jnp.int32, (1, pr, np_pad), 2)
+            in_panel = (row_k >= c0) & (row_k < c1)
+            u_panel = jnp.where(in_panel & (cols > row_k), panel, 0.0)
+            # pivots: the panel rows' diagonal entries (1.0 on the tile rows
+            # outside [c0, c1), whose u_panel rows are zero anyway)
+            piv = jnp.sum(
+                jnp.where((cols == row_k) & in_panel, panel, 0.0), axis=2
+            )
+            piv = jnp.where(piv != 0.0, piv, 1.0)
+            w_panel = u_panel / piv[:, :, None]
+            # delta[c, i, j] = sum_k U[c, k, i] * W[c, k, j]; HIGHEST keeps
+            # the f32 multi-pass MXU path (bf16 products corrupt covariance
+            # algebra, see package __init__) -- measured same speed here.
+            delta = lax.dot_general(
+                u_panel,
+                w_panel,
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGHEST,
+            )
+            a_ref[:, p_r1:rows, :] = (
+                a_ref[:, p_r1:rows, :] - delta[:, p_r1:rows, :]
+            )
     # After eliminating columns 0..n-1: A[n, n] = -y^T C^-1 y.
     quad = -a_ref[:, n, n]
     lp = -0.5 * quad - logdet_half
@@ -139,12 +172,14 @@ def _build_augmented(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
 
 
 def _pick_chunk(
-    b: int, np_pad: int, itemsize: int = 4, vmem_budget: int = 6 * 2**20
+    b: int, np_pad: int, itemsize: int = 4, vmem_budget: int = 3 * 2**20
 ) -> int:
-    # The budget covers the INPUT block only; the rank-1 update in the body
-    # materializes one more block-sized temporary, so the true VMEM need is
-    # ~2x this plus the output block.  8 MiB overflowed the 16 MiB scoped
-    # limit by 36 KiB on a (512, 256, 256) f32 batch; 6 MiB leaves headroom.
+    # The budget covers the INPUT block only; the body materializes up to
+    # two more block-sized temporaries (the rank-1 update and the phase-2
+    # `delta`), so the true VMEM need is ~3x this plus the output block.
+    # 8 MiB overflowed the 16 MiB scoped limit by 36 KiB on a
+    # (512, 256, 256) f32 batch even before the MXU stage; 3 MiB compiles
+    # with the delta temporary and measured fastest in the panel sweep.
     # itemsize comes from the actual dtype: hardcoding 4 bytes would halve
     # the estimated footprint for f64 inputs and blow the scoped limit.
     per_mat = np_pad * np_pad * itemsize
