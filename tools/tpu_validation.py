@@ -23,21 +23,17 @@ import numpy as np
 _EXTRA_STD_CONST = 2.0 * np.log(1e-16)
 
 
-def main(tol: float = 0.5) -> int:
-    sys.path.insert(0, ".")
-    import bench
-    from gpbayestools_hic_tpu.config import enable_compilation_cache
+def f64_log_posterior(chain, x: np.ndarray) -> np.ndarray:
+    """Float64 host-numpy ground truth of the chain's fused log-posterior.
 
-    enable_compilation_cache()
-    bench.wait_for_device()  # ride out transient tunnel outages
-    chain, _ = bench.build_chain()
-    rng = np.random.default_rng(9)
-    x = rng.uniform(0.3, 0.7, (64, chain.ndim))
-
-    # --- f32 on TPU through the production program -------------------------
-    lp32 = chain.log_posterior(x)
-
-    # --- f64 ground truth on host from the identical GP state --------------
+    Recomputes, from the identical trained GP state (kernel hyperparams,
+    alpha_vec, explicit L^-1), the exact quantity the device program
+    evaluates: per-emulator RBF cross-kernels, PC means/variances, the
+    low-rank physical covariance ``A^T diag(v) A + cov_trunc + exp_var``,
+    and a full f64 Cholesky log-likelihood per walker.  Used by the
+    validation gate below and by precision experiments
+    (tools/var_precision_experiment.py)."""
+    x = np.asarray(x, np.float64)
     exp_mean_full = np.asarray(chain.expdata, np.float64).flatten()
     exp_var_full = np.diag(np.asarray(chain.expdata_cov, np.float64))
     offsets = np.cumsum([0] + [e.nobs for e in chain.emuList])
@@ -77,6 +73,25 @@ def main(tol: float = 0.5) -> int:
             chol = np.linalg.cholesky(cov)
             alpha = np.linalg.solve(cov, y[i])
             lp64[i] += -0.5 * y[i] @ alpha - np.log(np.diag(chol)).sum()
+    return lp64
+
+
+def main(tol: float = 0.5) -> int:
+    sys.path.insert(0, ".")
+    import bench
+    from gpbayestools_hic_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
+    bench.wait_for_device()  # ride out transient tunnel outages
+    chain, _ = bench.build_chain()
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0.3, 0.7, (64, chain.ndim))
+
+    # --- f32 on TPU through the production program -------------------------
+    lp32 = chain.log_posterior(x)
+
+    # --- f64 ground truth on host from the identical GP state --------------
+    lp64 = f64_log_posterior(chain, x)
 
     d = np.abs(np.asarray(lp32) - lp64)
     print(f"f32 vs f64 log-posterior: max {d.max():.4f}, median "
