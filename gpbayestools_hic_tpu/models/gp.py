@@ -48,6 +48,19 @@ class GPConfig(NamedTuple):
     passes of "highest" (the explicit-K^-1 formulation needed "highest":
     its product error was amplified ~40x by cancellation inside
     ``k_*^T K^-1 k_*``).  Ignored on CPU (always full precision).
+
+    Measured ladder on the flagship posterior (v5e,
+    tools/var_precision_experiment.py; max |lp32 - lp64| over 64 points /
+    posterior evals/s, value only):
+
+    - "highest": 0.056 log-units, 132k evals/s;
+    - "high":    0.292 log-units, 160k evals/s  <- validated default;
+    - "default": 68.3 log-units -- REJECTED.  The norm form fixed the
+      cancellation *inside* q, but the final variance ``kdiag - q`` still
+      subtracts two nearly-equal numbers wherever the GP is confident
+      (q -> kdiag), so bf16's ~2e-3 product error explodes the small
+      variance by orders of magnitude.  Do not re-attempt bf16 here
+      without reformulating that subtraction away.
     """
 
     kernel: KernelConfig = KernelConfig("RBF")

@@ -79,13 +79,24 @@ def parse_model_parameter_file(parfile) -> dict:
     """
     pardict = {}
     with open(parfile, "r") as f:
-        for line in f:
+        for lineno, line in enumerate(f, start=1):
             par = line.split("#")[0]
             if par == "" or par.strip() == "":
                 continue
-            name, _, rest = par.partition(":")
+            name, sep, rest = par.partition(":")
             vals = [v.strip() for v in rest.split(",")]
-            vals[1] = float(vals[1])
-            vals[2] = float(vals[2])
+            if not sep or len(vals) < 3:
+                raise ValueError(
+                    f"{parfile}:{lineno}: expected 'name: label, min, max', "
+                    f"got {line.strip()!r}"
+                )
+            try:
+                vals[1] = float(vals[1])
+                vals[2] = float(vals[2])
+            except ValueError as e:
+                raise ValueError(
+                    f"{parfile}:{lineno}: min/max must be numbers in "
+                    f"{line.strip()!r}"
+                ) from e
             pardict[name] = vals
     return pardict

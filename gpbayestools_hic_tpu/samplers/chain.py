@@ -474,6 +474,25 @@ class Chain:
             lambda tree: replicate(m, tree),
         )
 
+    def _validate_resume_chain(self, prev: np.ndarray) -> None:
+        """Check a stored chain satisfies the walker-chain resume contract
+        ``(nwalkers, nsteps, ndim)`` (shared by run_mcmc and run_MCMC_HMC).
+        A flat 2-D chain (written by run_pocoMC) cannot seed walker
+        restarts."""
+        if prev.ndim != 3:
+            raise ValueError(
+                f"existing chain at {self.mcmc_path} has shape "
+                f"{prev.shape}; resume needs the walker-chain contract "
+                f"(nwalkers, nsteps, ndim) -- a flat 2-D chain was "
+                f"likely written by run_pocoMC and cannot seed walker "
+                f"restarts"
+            )
+        if prev.shape[2] != self.ndim:
+            raise ValueError(
+                f"existing chain has ndim={prev.shape[2]}, "
+                f"posterior has ndim={self.ndim}"
+            )
+
     def run_mcmc(
         self,
         nsteps: int = 500,
@@ -508,20 +527,7 @@ class Chain:
             pass
         burn_flag = "chain" not in chain_data
         if not burn_flag:
-            prev = np.asarray(chain_data["chain"])
-            if prev.ndim != 3:
-                raise ValueError(
-                    f"existing chain at {self.mcmc_path} has shape "
-                    f"{prev.shape}; resume needs the walker-chain contract "
-                    f"(nwalkers, nsteps, ndim) -- a flat 2-D chain was "
-                    f"likely written by run_pocoMC and cannot seed walker "
-                    f"restarts"
-                )
-            if prev.shape[2] != self.ndim:
-                raise ValueError(
-                    f"existing chain has ndim={prev.shape[2]}, "
-                    f"posterior has ndim={self.ndim}"
-                )
+            self._validate_resume_chain(np.asarray(chain_data["chain"]))
         if nburnsteps is None or nwalkers is None:
             logger.error("must specify nburnsteps and nwalkers to start chain")
             return
@@ -845,19 +851,7 @@ class Chain:
         log_post, like_state = self.posterior_with_state()
         if "chain" in chain_data:
             prev = np.asarray(chain_data["chain"])
-            if prev.ndim != 3:
-                raise ValueError(
-                    f"existing chain at {self.mcmc_path} has shape "
-                    f"{prev.shape}; HMC resume needs the walker-chain "
-                    f"contract (nwalkers, nsteps, ndim) -- a flat 2-D chain "
-                    f"was likely written by run_pocoMC and cannot seed "
-                    f"walker restarts"
-                )
-            if prev.shape[2] != self.ndim:
-                raise ValueError(
-                    f"existing chain has ndim={prev.shape[2]}, "
-                    f"posterior has ndim={self.ndim}"
-                )
+            self._validate_resume_chain(prev)
             logger.info("restarting from last point of existing chain")
             nwalkers = prev.shape[0]
             x0 = jnp.asarray(prev[:, -1, :], dtype=self._dtype)

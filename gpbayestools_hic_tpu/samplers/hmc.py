@@ -355,6 +355,7 @@ def _adaptive_phase(
     u, da = u0, None
     prev_bar = None
     bar = float(np.asarray(log_eps_anchor))
+    stopped = False
     for c in range(_WARMUP_MAX_CHUNKS):
         k_c = jax.random.fold_in(key, c)
         xs, _, accs, u, da = _hmc_scan(
@@ -366,12 +367,16 @@ def _adaptive_phase(
         xs_chunks.append(np.asarray(xs))
         bar = float(np.asarray(da[2]))
         acc = float(np.mean(np.asarray(accs)))
+        delta_bar = (
+            abs(bar - prev_bar) if prev_bar is not None else float("nan")
+        )
         if (
             c + 1 >= _WARMUP_MIN_CHUNKS
             and prev_bar is not None
-            and abs(bar - prev_bar) < _WARMUP_EPS_TOL
+            and delta_bar < _WARMUP_EPS_TOL
             and abs(acc - target_accept) < _WARMUP_ACC_TOL
         ):
+            stopped = True
             break
         prev_bar = bar
     nsteps_done = len(xs_chunks) * _WARMUP_CHUNK
@@ -379,6 +384,18 @@ def _adaptive_phase(
         "HMC auto warmup phase: %d steps (eps_bar %.4f, last-chunk "
         "acceptance %.3f)", nsteps_done, np.exp(bar), acc,
     )
+    if not stopped:
+        # the stopping rule never fired: adaptation hit the hard cap with
+        # the step size still drifting or acceptance off target -- surface
+        # it, a silently poorly-adapted run shows up only as inflated tau
+        logger.warning(
+            "HMC auto warmup phase exhausted the %d-step cap without "
+            "stabilizing (|delta log eps_bar| %.4f vs tol %.2g, acceptance "
+            "%.3f vs target %.2f +- %.2f); production may be poorly adapted "
+            "-- consider a fixed, larger warmup.",
+            _WARMUP_MAX_CHUNKS * _WARMUP_CHUNK,
+            delta_bar, _WARMUP_EPS_TOL, acc, target_accept, _WARMUP_ACC_TOL,
+        )
     return np.concatenate(xs_chunks, axis=0), u, jnp.asarray(da[2]), nsteps_done
 
 

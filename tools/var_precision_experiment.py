@@ -23,8 +23,11 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-REPS = 30
+REPS = 7
 BATCH = 1024
+NSCAN = 32  # evals per compiled program: amortizes the ~25-30 ms per-call
+            # tunnel dispatch latency that otherwise dominates (a single
+            # 1024-walker eval takes ~6 us/eval of compute)
 
 
 def rebind_precision(chain, prec: str) -> None:
@@ -36,30 +39,54 @@ def rebind_precision(chain, prec: str) -> None:
     chain._device_fns = None  # force rebuild against the new programs
 
 
-def measure(chain, x, key) -> tuple[float, float]:
-    """(value evals/s, value+grad evals/s) on the current device programs."""
+def measure(chain, x) -> tuple[float, float]:
+    """(value evals/s, value+grad evals/s) on the current device programs.
+
+    Each timed call runs NSCAN posterior evaluations inside ONE compiled
+    ``lax.scan`` -- the shape the real samplers execute -- so the number is
+    compute throughput, not the tunnel's per-dispatch latency.  The scan
+    input is perturbed per iteration so XLA cannot collapse the loop body
+    into a single hoisted evaluation."""
     import jax
     import jax.numpy as jnp
 
     log_post, state = chain.posterior_with_state()
     xd = jnp.asarray(x, dtype=chain._dtype)
+    # ks is an ARGUMENT of the jitted programs, not a closure constant: a
+    # closed-over device array pays the ~25 ms per-call re-upload this
+    # runtime charges (CLAUDE.md), which would put the dispatch latency
+    # right back into the timed calls.
+    ks = jnp.arange(NSCAN, dtype=xd.dtype)
 
-    val_fn = jax.jit(log_post)
-    grad_fn = jax.jit(
-        lambda s, q: jax.value_and_grad(lambda qq: jnp.sum(log_post(s, qq)))(q)
-    )
+    @jax.jit
+    def scan_val(s, x0, kk):
+        def body(acc, k):
+            lp = log_post(s, x0 + k * jnp.asarray(1e-6, x0.dtype))
+            return acc + jnp.sum(lp), None
 
-    def timed(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)  # compile + warm
+        tot, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), kk)
+        return tot
+
+    @jax.jit
+    def scan_grad(s, x0, kk):
+        def body(acc, k):
+            xq = x0 + k * jnp.asarray(1e-6, x0.dtype)
+            v, g = jax.value_and_grad(lambda q: jnp.sum(log_post(s, q)))(xq)
+            return acc + v + jnp.sum(g), None
+
+        tot, _ = jax.lax.scan(body, jnp.zeros((), x0.dtype), kk)
+        return tot
+
+    def timed(fn):
+        jax.block_until_ready(fn(state, xd, ks))  # compile + warm
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            jax.block_until_ready(fn(state, xd, ks))
             times.append(time.perf_counter() - t0)
-        return BATCH / float(np.median(times))
+        return BATCH * NSCAN / float(np.median(times))
 
-    return timed(val_fn, state, xd), timed(grad_fn, state, xd)
+    return timed(scan_val), timed(scan_grad)
 
 
 def main() -> int:
@@ -82,7 +109,7 @@ def main() -> int:
         rebind_precision(chain, prec)
         lp32 = np.asarray(chain.log_posterior(x_val))
         err = np.abs(lp32 - lp64)
-        v_rate, g_rate = measure(chain, x_thr, None)
+        v_rate, g_rate = measure(chain, x_thr)
         print(f"{prec:>8}  {v_rate:12.0f}  {g_rate:13.0f}  "
               f"{err.max():9.4f}  {np.median(err):9.4f}", flush=True)
     return 0
