@@ -313,12 +313,19 @@ class Emulator:
         # one device upload for everything (training prep is host numpy).
         # dtype probed WITHOUT np.asarray: that would copy already-on-device
         # leaves (linv is ~16 MB per flagship emulator) back to host just to
-        # read .dtype.
-        def _upload(a):
-            kind = np.dtype(getattr(a, "dtype", np.result_type(a))).kind
-            return jnp.asarray(a, dtype=self._dtype if kind == "f" else None)
+        # read .dtype.  Host leaves are dtype-converted in numpy and shipped
+        # in ONE batched jax.device_put (per-leaf jnp.asarray would pay a
+        # separate dispatch each); device leaves stay put (their dtype is
+        # already the working dtype -- jnp.asarray would be a no-op).
+        np_dtype = np.dtype(jnp.dtype(self._dtype).name)
 
-        return jax.tree.map(_upload, st)
+        def _convert(a):
+            if isinstance(a, jax.Array):
+                return jnp.asarray(a, dtype=self._dtype)
+            kind = np.dtype(getattr(a, "dtype", np.result_type(a))).kind
+            return np.asarray(a, dtype=np_dtype if kind == "f" else None)
+
+        return jax.device_put(jax.tree.map(_convert, st))
 
     def _build_predict_fn(self):
         """Assemble the fused predict programs (jitted once per training)."""

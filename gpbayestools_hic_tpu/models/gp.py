@@ -158,7 +158,9 @@ def _unpack(vec, d):
     }
 
 
-@partial(jax.jit, static_argnames=("config", "nrestarts", "maxiter"))
+@partial(
+    jax.jit, static_argnames=("config", "nrestarts", "maxiter", "ls_growth")
+)
 def gp_fit(
     x: jnp.ndarray,
     y_batch: jnp.ndarray,
@@ -169,6 +171,7 @@ def gp_fit(
     key: jax.Array | None = None,
     maxiter: int = 200,
     noise_diag: jnp.ndarray | None = None,
+    ls_growth: float = 2.0,
 ) -> GPState:
     """Fit ``npc`` independent GPs on shared inputs, all in one device program.
 
@@ -178,7 +181,10 @@ def gp_fit(
     sampled uniformly in the log-bound box and the best optimum wins
     (sklearn ``n_restarts_optimizer`` semantics).  ``noise_diag`` (npc, n)
     adds known per-point noise variances to each GP's Gram diagonal
-    (stochastic kriging / PCSK).
+    (stochastic kriging / PCSK).  ``ls_growth`` is the L-BFGS line-search
+    warm-start growth factor (see :func:`..ops.lbfgsb.lbfgsb_minimize`);
+    every trial costs an O(n^3) Cholesky, so the trial count IS the fit
+    wall clock.
     """
     dtype = x.dtype
     d = x.shape[1]
@@ -213,7 +219,9 @@ def gp_fit(
                 )
             return nll
 
-        res = lbfgsb_minimize(nll_vec, t0, lower, upper, maxiter=maxiter)
+        res = lbfgsb_minimize(
+            nll_vec, t0, lower, upper, maxiter=maxiter, ls_growth=ls_growth
+        )
         return res.x, res.fun
 
     # vmap over (PC x restart).

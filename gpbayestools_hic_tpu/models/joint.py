@@ -11,6 +11,7 @@ ensembles' GPs can be stacked into ONE device program: 9 emulators x 4 PCs
 from __future__ import annotations
 
 import logging
+from functools import partial
 from typing import Sequence
 
 import jax
@@ -101,16 +102,31 @@ def train_emulators_jointly(
     )
     logger.info("joint GP LMLs: %s", np.asarray(state_all.lml))
 
-    offsets = np.cumsum([0] + npcs)
-    for e, i0, i1 in zip(emulators, offsets[:-1], offsets[1:]):
-        sliced = GPState(
-            params=jax.tree.map(lambda a: a[i0:i1], state_all.params),
-            x=state_all.x,
-            y=state_all.y[i0:i1],
-            chol=state_all.chol[i0:i1],
-            alpha_vec=state_all.alpha_vec[i0:i1],
-            linv=state_all.linv[i0:i1],
-            lml=state_all.lml[i0:i1],
-        )
+    offsets = tuple(int(o) for o in np.cumsum([0] + npcs))
+    for e, sliced in zip(emulators, _slice_states(offsets, state_all)):
         e._finalize_training(sliced)
     return emulators
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _slice_states(offsets: tuple, sa: GPState):
+    """Slice the joint GPState into per-emulator views in ONE program.
+
+    Eager slicing would be 8 leaves x 9 emulators = 72 separate device
+    dispatches (~25 ms each on this runtime's tunnel), i.e. ~2 s of pure
+    dispatch latency on the training critical path.  Module-level + static
+    offsets so the compiled program is REUSED across retrains (a jit
+    defined inside the caller would be a fresh function object -- and a
+    fresh compile -- every call)."""
+    return tuple(
+        GPState(
+            params=jax.tree.map(lambda a: a[i0:i1], sa.params),
+            x=sa.x,
+            y=sa.y[i0:i1],
+            chol=sa.chol[i0:i1],
+            alpha_vec=sa.alpha_vec[i0:i1],
+            linv=sa.linv[i0:i1],
+            lml=sa.lml[i0:i1],
+        )
+        for i0, i1 in zip(offsets[:-1], offsets[1:])
+    )

@@ -51,6 +51,7 @@ class _State(NamedTuple):
     rho_hist: jnp.ndarray    # (m,)
     num_corrs: jnp.ndarray   # number of valid correction pairs
     gamma: jnp.ndarray       # initial Hessian scaling
+    t0: jnp.ndarray          # warm-started initial line-search step
     done: jnp.ndarray        # bool
 
 
@@ -83,7 +84,11 @@ def _two_loop(state: _State, m: int) -> jnp.ndarray:
     return -r
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("maxiter", "history", "max_linesearch"))
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("maxiter", "history", "max_linesearch", "ls_growth"),
+)
 def lbfgsb_minimize(
     fun: Callable[[jnp.ndarray], jnp.ndarray],
     x0: jnp.ndarray,
@@ -92,8 +97,9 @@ def lbfgsb_minimize(
     *,
     maxiter: int = 200,
     history: int = 10,
-    tol: float = 1e-6,
+    tol: float | None = None,
     max_linesearch: int = 25,
+    ls_growth: float = 2.0,
 ) -> LBFGSBResult:
     """Minimize ``fun`` over the box [lower, upper] starting from ``x0``.
 
@@ -101,8 +107,19 @@ def lbfgsb_minimize(
     objective values during line search are treated as rejected steps, so the
     optimizer is robust to, e.g., Cholesky failures at extreme
     hyperparameters.
+
+    ``tol`` (projected-gradient infinity norm) defaults by dtype: 1e-6 in
+    f64, 1e-4 in f32.  An f32 objective built from O(n^3) linear algebra
+    carries ~|f| * eps ~ 1e-4 of rounding noise in its gradient, so a 1e-6
+    target is simply unreachable: every lane then burns its full
+    ``maxiter`` budget failing ~``max_linesearch``-trial line searches at
+    the noise floor (measured on the flagship 36-GP fit: 50 s at tol=1e-6
+    vs convergence in a fraction of that at the reachable tolerance, with
+    LML differences at the f32 noise level).
     """
     m = history
+    if tol is None:
+        tol = 1e-6 if jnp.dtype(x0.dtype) == jnp.float64 else 1e-4
     vg = jax.value_and_grad(fun)
     dtype = x0.dtype
     d = x0.shape[0]
@@ -124,6 +141,7 @@ def lbfgsb_minimize(
         rho_hist=jnp.zeros((m,), dtype),
         num_corrs=jnp.zeros((), jnp.int32),
         gamma=jnp.ones((), dtype),
+        t0=jnp.ones((), dtype),
         done=~jnp.isfinite(f0) | (proj_grad_norm(x0, g0) < tol),
     )
 
@@ -155,8 +173,16 @@ def lbfgsb_minimize(
             (_, _, _, _, n_ls), ok = carry_ok
             return (~ok) & (n_ls < max_linesearch)
 
+        # Warm-started initial step: each iteration's line search begins at
+        # min(1, 2 * last accepted t) instead of always 1.  On ill-scaled
+        # objectives where the accepted step sits at ~2^-k, restarting from
+        # 1 re-pays k rejected trials EVERY iteration -- and each trial is
+        # a full value_and_grad (an O(n^3) Cholesky in the GP fit).  Under
+        # vmap the whole batch also waits for its worst lane's trial count,
+        # which amplifies the waste.  Doubling preserves the ability to
+        # recover full steps as the two-loop scaling improves.
         carry0 = (
-            jnp.ones((), dtype), state.x, state.f, state.g,
+            state.t0, state.x, state.f, state.g,
             jnp.zeros((), jnp.int32),
         )
         carry0, ok0 = ls_body(carry0)
@@ -164,6 +190,13 @@ def lbfgsb_minimize(
             ls_cond,
             lambda c: ls_body(c[0]),
             (carry0, ok0),
+        )
+        # ls_body halves t after every trial, so the accepted step is 2*t.
+        # ``ls_growth`` sets how far above the last accepted step the next
+        # search starts (2.0 = one spare doubling per iteration).
+        t_acc = 2.0 * t_next
+        t0_next = jnp.where(
+            ok, jnp.clip(ls_growth * t_acc, 1e-8, 1.0), jnp.ones((), dtype)
         )
 
         # A fully-clipped trial (x_try == x, dx == 0) passes Armijo trivially
@@ -209,6 +242,7 @@ def lbfgsb_minimize(
             rho_hist=rho_hist,
             num_corrs=num_corrs,
             gamma=gamma,
+            t0=t0_next,
             done=done,
         )
 

@@ -192,3 +192,18 @@ def test_gp_predict_fast_grad_parity(rng):
     gl1 = jax.grad(wrt_linv(True))(state.linv)
     np.testing.assert_allclose(np.asarray(gl1), np.asarray(gl0), rtol=1e-9,
                                atol=1e-12)
+
+
+def test_gp_fit_ls_growth_variants_reach_same_optimum(rng):
+    """The line-search warm-start growth factor changes the search path,
+    not the converged optimum: LMLs must agree to optimizer tolerance."""
+    x, y = _toy_data(rng, n=50)
+    ptp = np.ones(3)
+    lmls = []
+    for growth in (2.0, 1.25):
+        state = gp_fit(
+            jnp.asarray(x), jnp.asarray(y)[None, :], jnp.asarray(ptp),
+            config=GPConfig(), key=jax.random.PRNGKey(1), ls_growth=growth,
+        )
+        lmls.append(float(state.lml[0]))
+    np.testing.assert_allclose(lmls[0], lmls[1], rtol=0, atol=1e-5)
