@@ -52,6 +52,7 @@ class _State(NamedTuple):
     num_corrs: jnp.ndarray   # number of valid correction pairs
     gamma: jnp.ndarray       # initial Hessian scaling
     t0: jnp.ndarray          # warm-started initial line-search step
+    stalled: jnp.ndarray     # bool: stopped via the ftol improvement rule
     done: jnp.ndarray        # bool
 
 
@@ -98,6 +99,7 @@ def lbfgsb_minimize(
     maxiter: int = 200,
     history: int = 10,
     tol: float | None = None,
+    ftol: float | None = None,
     max_linesearch: int = 25,
     ls_growth: float = 2.0,
 ) -> LBFGSBResult:
@@ -111,15 +113,26 @@ def lbfgsb_minimize(
     ``tol`` (projected-gradient infinity norm) defaults by dtype: 1e-6 in
     f64, 1e-4 in f32.  An f32 objective built from O(n^3) linear algebra
     carries ~|f| * eps ~ 1e-4 of rounding noise in its gradient, so a 1e-6
-    target is simply unreachable: every lane then burns its full
-    ``maxiter`` budget failing ~``max_linesearch``-trial line searches at
-    the noise floor (measured on the flagship 36-GP fit: 50 s at tol=1e-6
-    vs convergence in a fraction of that at the reachable tolerance, with
-    LML differences at the f32 noise level).
+    target is simply unreachable; even 1e-4 is marginal (the flagship
+    fit's worst lane sits exactly at that floor), which is why the
+    improvement-based ``ftol`` rule below is the stop that actually fires
+    in f32.
+
+    ``ftol`` (relative objective improvement, scipy L-BFGS-B ``factr``
+    semantics): stop after an accepted step whose improvement satisfies
+    ``f_old - f_new <= ftol * max(|f_old|, |f_new|, 1)``.  Defaults by
+    dtype to ``factr * eps``: 2.2e-9 in f64 (scipy's factr=1e7 default)
+    and 2.4e-6 in f32 (factr=20 -- the f32 noise scale).  Measured on the
+    flagship 36-GP fit: without this rule every f32 lane burned the full
+    maxiter=200 budget (50 s) to gain 0.04 LML units over the
+    30-iteration result.
     """
     m = history
+    f64 = jnp.dtype(x0.dtype) == jnp.float64
     if tol is None:
-        tol = 1e-6 if jnp.dtype(x0.dtype) == jnp.float64 else 1e-4
+        tol = 1e-6 if f64 else 1e-4
+    if ftol is None:
+        ftol = 1e7 * 2.22e-16 if f64 else 20 * 1.19e-7
     vg = jax.value_and_grad(fun)
     dtype = x0.dtype
     d = x0.shape[0]
@@ -142,6 +155,7 @@ def lbfgsb_minimize(
         num_corrs=jnp.zeros((), jnp.int32),
         gamma=jnp.ones((), dtype),
         t0=jnp.ones((), dtype),
+        stalled=jnp.zeros((), bool),
         done=~jnp.isfinite(f0) | (proj_grad_norm(x0, g0) < tol),
     )
 
@@ -231,7 +245,14 @@ def lbfgsb_minimize(
         gamma = jnp.where(retry, jnp.ones((), dtype), gamma)
 
         pg_converged = proj_grad_norm(x_new, g_new) < tol
-        done = ((~ok) & (~retry)) | pg_converged
+        # scipy-factr stop: an accepted step that no longer improves the
+        # objective beyond dtype noise means further iterations only churn
+        # line-search trials (each a full value_and_grad)
+        f_stalled = ok & (
+            (state.f - f_new)
+            <= ftol * jnp.maximum(jnp.maximum(jnp.abs(state.f), jnp.abs(f_new)), 1.0)
+        )
+        done = ((~ok) & (~retry)) | pg_converged | f_stalled
         return _State(
             k=state.k + 1,
             x=x_new,
@@ -243,6 +264,7 @@ def lbfgsb_minimize(
             num_corrs=num_corrs,
             gamma=gamma,
             t0=t0_next,
+            stalled=state.stalled | f_stalled,
             done=done,
         )
 
@@ -250,7 +272,9 @@ def lbfgsb_minimize(
     # converged means the projected gradient met the tolerance -- NOT that
     # the loop merely terminated (a terminal line-search failure also stops
     # it, and maxiter exhaustion leaves done False)
-    converged = (proj_grad_norm(final.x, final.g) < tol) & jnp.isfinite(final.f)
+    converged = (
+        (proj_grad_norm(final.x, final.g) < tol) | final.stalled
+    ) & jnp.isfinite(final.f)
     return LBFGSBResult(
         x=final.x, fun=final.f, num_iters=final.k, converged=converged
     )
