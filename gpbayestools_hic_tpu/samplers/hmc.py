@@ -494,6 +494,14 @@ def run_hmc(
     auto_warmup = isinstance(warmup, str)
     if auto_warmup and warmup != "auto":
         raise ValueError(f"warmup must be an int or 'auto', got {warmup!r}")
+    if not auto_warmup and int(warmup) < 1 and warm_start is None:
+        # a 0-length warmup scan yields an empty sample stack whose metric
+        # estimate is all-NaN and dies later in a cryptic Cholesky error;
+        # the supported way to skip adaptation is warm_start=
+        raise ValueError(
+            f"warmup must be >= 1 (got {warmup}); to skip adaptation pass "
+            "warm_start= from a previous HMCResult"
+        )
     auto_l = isinstance(n_leapfrog, str)
     if auto_l:
         if n_leapfrog != "auto":

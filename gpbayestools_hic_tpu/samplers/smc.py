@@ -334,9 +334,10 @@ def _mixture_terms(logl_h, betas, logzs, counts):
     return logl_h, log_mix
 
 
-def _log_weights(logl_h, betas, logzs, counts, beta):
-    """Balance-heuristic log-weights of every history particle at ``beta``."""
-    logl_clean, log_mix = _mixture_terms(logl_h, betas, logzs, counts)
+def _log_weights(logl_clean, log_mix, beta):
+    """Balance-heuristic log-weights at ``beta`` from the precomputed
+    :func:`_mixture_terms` pieces (the (N, T) mixture matrix is
+    beta-independent and reused across the bisection's ESS evaluations)."""
     return beta * logl_clean - log_mix
 
 
@@ -502,14 +503,41 @@ def run_smc(
                 "programs and would silently be replaced by the uniform box"
             )
         log_prior_fn = custom_prior.log_prior_jax
-        x0 = np.asarray(custom_prior.rvs(n_prior))
-        x0 = np.clip(
-            x0,
-            np.asarray(prior_lo) + 1e-9,
-            np.asarray(prior_hi) - 1e-9,
-        )
+        # Rejection-sample the prior INTO the box instead of clipping:
+        # clipped draws pile up exactly on the box faces, so batch 0 would
+        # no longer be prior-distributed and every persistent-sampling
+        # weight (and the evidence) would be silently biased.  Rejection
+        # keeps batch 0 exactly ~ pi restricted to the box; the accepted
+        # fraction estimates the prior mass inside the box, which enters
+        # the mixture as batch 0's log-normalizer below.
+        kept, n_try, n_in = [], 0, 0
+        while sum(a.shape[0] for a in kept) < n_prior:
+            if n_try >= 1000 * n_prior:
+                raise ValueError(
+                    "custom_prior places less than ~0.1% of its mass inside "
+                    "the sampling box [prior_lo, prior_hi]; check the "
+                    "parameter ranges against the prior"
+                )
+            draw = np.atleast_2d(np.asarray(custom_prior.rvs(n_prior)))
+            m = np.all((draw > lo_np) & (draw < hi_np), axis=1)
+            n_try += draw.shape[0]
+            n_in += int(m.sum())
+            kept.append(draw[m])
+        x0 = np.concatenate(kept, axis=0)[:n_prior]
+        prior_frac_in = n_in / n_try
+        if prior_frac_in < 0.999:
+            logger.warning(
+                "custom prior has ~%.1f%% of its mass outside the sampling "
+                "box; initial draws were rejection-sampled into the box and "
+                "the evidence accounts for the truncation (log mass %.4f)",
+                100.0 * (1.0 - prior_frac_in), np.log(prior_frac_in),
+            )
+        # margin only guards the logit transform against exact-boundary
+        # round-off; the draws themselves are strictly inside
+        x0 = np.clip(x0, lo_np + 1e-9, hi_np - 1e-9)
     else:
         x0 = rng.uniform(lo_np, hi_np, (n_prior, ndim))
+        prior_frac_in = 1.0
     u0 = _shard(jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype)))
     _, logl0, _, logp_x0 = _eval_u(
         ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
@@ -520,7 +548,10 @@ def run_smc(
     u_h = [np.asarray(u0, dtype=np.float64)]
     logl_h = [np.asarray(logl0, dtype=np.float64)]
     logp_h = [np.asarray(logp_x0, dtype=np.float64)]
-    betas, logzs, counts = [0.0], [0.0], [n_prior]
+    # batch 0's mixture component is the prior restricted to the box, whose
+    # log-normalizer relative to the full prior is log(mass inside) -- the
+    # rejection-sampling acceptance fraction estimates exactly that.
+    betas, logzs, counts = [0.0], [float(np.log(prior_frac_in))], [n_prior]
 
     key, k_flow = jax.random.split(key)
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
@@ -592,7 +623,7 @@ def run_smc(
         hl, hu = history()
         lc, lm = _mixture_terms(hl, betas, logzs, counts)
         beta_new = _next_beta(lc, lm, beta, n_effective)
-        lw = beta_new * lc - lm
+        lw = _log_weights(lc, lm, beta_new)
         logz_new = logmeanexp(lw)
         steps, acc, flow_loss = run_iteration(beta_new, lw, hl, hu)
         betas.append(beta_new)
@@ -616,7 +647,7 @@ def run_smc(
     hl, hu = history()
     while True:
         lc, lm = _mixture_terms(hl, betas, logzs, counts)
-        lw1 = lc - lm  # beta = 1
+        lw1 = _log_weights(lc, lm, 1.0)
         ess1 = _ess(lw1)
         if ess1 >= n_total or iteration >= max_iterations:
             break
@@ -658,11 +689,15 @@ def run_smc(
         # the IS proposal matches the posterior better than the last
         # n_active-particle fit (tighter weight variance -> tighter logz)
         n_fit = min(len(hl), max(4 * n_active, 1000))
+        if mesh is not None:
+            # keep the refit batch shardable (and actually shard it below:
+            # this is the LARGEST flow fit of the whole run)
+            n_fit = max((n_fit // mesh.size) * mesh.size, mesh.size)
         fit_idx = _systematic_resample(rng, lw1, n_fit)
         key, k_refit = jax.random.split(key)
         flow_params, _ = fit_flow(
-            flow_params, jnp.asarray(hu[fit_idx], dtype=dtype),
-            jnp.asarray(np.ones(n_fit, np_dtype)), k_refit,
+            flow_params, _shard(jnp.asarray(hu[fit_idx], dtype=dtype)),
+            _shard(jnp.asarray(np.ones(n_fit, np_dtype))), k_refit,
             config=flow_config, steps=flow_fit_steps,
             patience=flow_fit_patience,
         )

@@ -444,3 +444,14 @@ def test_warm_fallback_key_distinct_per_continuation():
     # seed still matters for a fixed state
     k1_seed7 = np.asarray(jax.random.key_data(_warm_fallback_key(7, fs1)))
     assert not np.array_equal(k1, k1_seed7)
+
+
+def test_run_hmc_rejects_nonpositive_warmup():
+    """warmup=0 used to produce an empty metric-estimation window and die
+    in an unrelated Cholesky error; it must raise a targeted ValueError
+    (warm_start= is the supported way to skip adaptation)."""
+    with pytest.raises(ValueError, match="warmup must be >= 1"):
+        run_hmc(
+            lambda s, x: -jnp.sum(x**2, axis=1), jnp.zeros((4, 2)), 8,
+            jax.random.PRNGKey(0), warmup=0,
+        )

@@ -419,3 +419,44 @@ def test_smc_rejects_numpy_only_prior():
             n_effective=100, n_active=50, n_prior=200, n_total=100,
             n_evidence=0, custom_prior=BadPrior(), flow_config=CFG,
         )
+
+
+def test_smc_custom_prior_mass_outside_box(caplog):
+    """A prior with substantial mass outside the box must be
+    rejection-sampled into it (no boundary pile-up from clipping) with the
+    truncated mass entering the mixture normalizer, and the posterior must
+    still match the analytic product of prior and likelihood."""
+    import logging
+
+    from scipy.stats import norm, uniform as sp_uniform
+
+    from gpbayestools_hic_tpu.utils.priors import ScipyPrior
+
+    s = 0.08
+    mu = jnp.asarray([0.5, 0.5])
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2
+
+    # ~9% of dim-0 prior mass lies below 0; none of it may end up clipped
+    # onto the box face
+    prior = ScipyPrior([norm(loc=0.4, scale=0.3), sp_uniform(0, 1)])
+    with caplog.at_level(
+        logging.WARNING, logger="gpbayestools_hic_tpu.samplers.smc"
+    ):
+        result = run_smc(
+            logl, jnp.zeros(2), jnp.ones(2),
+            n_effective=300, n_active=150, n_prior=600,
+            n_max_steps=25, n_total=2000, n_evidence=0, seed=6,
+            flow_config=CFG, flow_fit_steps=150, custom_prior=prior,
+        )
+    assert any(
+        "outside the sampling box" in r.getMessage() for r in caplog.records
+    )
+    samples, w = result["samples"], result["weights"]
+    frac_edge = np.mean((samples[:, 0] < 1e-6) | (samples[:, 0] > 1 - 1e-6))
+    assert frac_edge < 0.005, frac_edge
+    expected0 = (0.5 / s**2 + 0.4 / 0.3**2) / (1 / s**2 + 1 / 0.3**2)
+    np.testing.assert_allclose(
+        np.average(samples[:, 0], weights=w), expected0, atol=0.03
+    )
