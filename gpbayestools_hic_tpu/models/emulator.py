@@ -525,8 +525,17 @@ class Emulator:
             truth = np.exp(self.model_data[validate_mask, :])
             truth_err = self.model_data_err[validate_mask, :] * truth
         else:
-            truth = self.model_data[validate_mask, :]
-            truth_err = self.model_data_err[validate_mask, :]
+            truth = np.array(self.model_data[validate_mask, :])
+            truth_err = np.array(self.model_data_err[validate_mask, :])
+        # imputed entries (BAND PCGPwImpute/PCGPwM) are model output, not
+        # observed truth -- comparing predictions against them would
+        # optimistically bias every holdout metric, so they are marked NaN
+        # and the E/H metrics exclude them (utils/metrics nanmean)
+        imp = getattr(self, "_impute_mask", None)
+        if imp is not None:
+            imp_v = np.asarray(imp, bool)[np.asarray(validate_mask, bool), :]
+            truth = np.where(imp_v, np.nan, truth)
+            truth_err = np.where(imp_v, np.nan, truth_err)
         return (
             preds.reshape(-1, self.nobs),
             preds_err.reshape(-1, self.nobs),
@@ -685,6 +694,11 @@ class Emulator:
             "model_data_err": self.model_data_err,
             "design_points": self.design_points,
             "design_points_org": self.design_points_org_,
+            # BAND imputation state: without it a loaded PCGPwM emulator
+            # retrains as plain PCGP (the saved model_data is already
+            # imputed, so the mask cannot be rebuilt from the data)
+            "impute_mask": getattr(self, "_impute_mask", None),
+            "impute_col_var": getattr(self, "_impute_col_var", None),
         }
         meta = {
             "npc": self.npc,
@@ -741,8 +755,12 @@ class Emulator:
             self.method_ = meta["method"]
             self.pc_target_variance = meta.get("pc_target_variance", 0.99)
             self.kernel_kind_ = meta["kernel_kind"]
-            self._impute_mask = None
-            self._impute_col_var = None
+            im = tree.get("impute_mask")
+            icv = tree.get("impute_col_var")
+            self._impute_mask = None if im is None else np.asarray(im, bool)
+            self._impute_col_var = (
+                None if icv is None else np.asarray(icv, np.float64)
+            )
         # restored BEFORE gp_config below so the loaded config carries the
         # saved MAP setting (one source of truth)
         self.gp_map_prior_strength = meta.get("map_prior_strength", 0.0)

@@ -139,16 +139,19 @@ class EmulatorBAND(Emulator):
             seed=seed,
             gp_maxiter=gp_maxiter,
         )
-        self.nparameters = self.design_points.shape[1]
         # small jitter instead of sklearn's alpha=0.1: PCSK carries the real
         # noise explicitly and PCGP learns its white level
         self.gp_alpha = 1e-6
         self._impute_mask = None
         self._impute_col_var = None
-        if method in ("PCGPwImpute", "PCGPwM"):
-            self.model_data, self._impute_mask, self._impute_col_var = (
-                _impute_iterative_svd(self.model_data)
-            )
+        # training_set_path=None (the base class's data-less shell mode,
+        # used by load()) leaves design_points/model_data unset
+        if training_set_path is not None:
+            self.nparameters = self.design_points.shape[1]
+            if method in ("PCGPwImpute", "PCGPwM"):
+                self.model_data, self._impute_mask, self._impute_col_var = (
+                    _impute_iterative_svd(self.model_data)
+                )
 
     # ---------------------------------------------------------------- hooks
 

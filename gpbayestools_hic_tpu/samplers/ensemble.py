@@ -13,9 +13,12 @@ From-scratch emcee-parity sampler (reference uses
 
 Beyond reference parity, ``move="de"`` selects a differential-evolution
 proposal (emcee ``DEMove`` semantics) which mixes much faster on correlated
-posteriors, ``move="snooker"`` the DE-snooker proposal (emcee
-``DESnookerMove`` / ter Braak & Vrugt 2008: a line move through a third
-walker with the ``(d-1) log(|Y-z|/|X-z|)`` Jacobian factor), and
+posteriors, ``move="snooker"`` the DE-snooker proposal (the ter Braak &
+Vrugt 2008 form: a line move along the UNIT direction through a third
+walker with the ``(d-1) log(|Y-z|/|X-z|)`` Jacobian factor -- emcee's
+``DESnookerMove`` differs in detail, scaling its step by ``|X-z|^{1/2}``
+via a non-unit direction and halving the Jacobian exponent; both leave
+the target invariant), and
 ``move="de-snooker"`` the classic 80/20 DE+snooker mixture (each walker
 independently draws its kernel each step -- both kernels leave the target
 invariant, so the fixed mixture does too).  The reference-default stretch
@@ -76,7 +79,8 @@ def _propose_de(key, active, passive):
 
 
 def _propose_snooker(key, active, passive):
-    # DE-snooker (emcee DESnookerMove / ter Braak & Vrugt 2008): slide X
+    # DE-snooker (ter Braak & Vrugt 2008 unit-direction form; see module
+    # docstring for how emcee's DESnookerMove differs): slide X
     # along the unit line u through an anchor walker z by
     # gamma_s (u.z1 - u.z2); the line move needs the Jacobian factor
     # (d - 1) log(|Y - z| / |X - z|) to preserve detailed balance.
@@ -172,6 +176,18 @@ def run_ensemble(
         base_fn = log_prob_fn
         log_prob_fn = lambda x: base_fn(state, x)  # noqa: E731
     nwalkers, ndim = x0.shape
+    # minimum ensemble sizes (emcee raises similarly): de needs two
+    # DISTINCT partners per half (>= 4 walkers) and snooker an anchor plus
+    # two partners (>= 6) -- below that the mod-trick index draws collide
+    # and the move silently degenerates to frozen walkers at acceptance ~1
+    min_walkers = {"stretch": 4, "de": 4, "snooker": 6, "de-snooker": 6}
+    need = min_walkers.get(move, 4)
+    if nwalkers < need:
+        raise ValueError(
+            f"move={move!r} needs at least {need} walkers (got {nwalkers}): "
+            "smaller ensembles make the partner draws collide and freeze "
+            "the chain"
+        )
     half = nwalkers // 2
     lp0 = log_prob_fn(x0)
 

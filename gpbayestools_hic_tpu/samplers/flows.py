@@ -81,6 +81,12 @@ def init_flow(key, ndim: int, config: FlowConfig = FlowConfig(), dtype=jnp.float
     Deterministic in ``key`` (the key data seeds a host RNG); all arrays are
     built in numpy and uploaded with ``jnp.asarray`` -- zero XLA compiles.
     """
+    if config.coupling not in ("rqs", "affine"):
+        # a typo'd coupling kind would otherwise silently select the
+        # affine branch (_conditioner_width/_coupling test only == "rqs")
+        raise ValueError(
+            f"unknown coupling {config.coupling!r}: use 'rqs' or 'affine'"
+        )
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     seed = np.asarray(jax.random.key_data(key)).astype(np.uint32).ravel()
     rng = np.random.default_rng(seed.tolist())
@@ -276,6 +282,10 @@ def fit_flow(
     consecutive steps -- warm-started refits inside the SMC loop plateau
     quickly, and steps after the plateau are pure waste.  Returns
     (params, final_loss).
+
+    ``key`` is currently UNUSED -- the fit is deterministic (full-batch
+    gradients, no dropout/minibatching); the parameter is kept so callers
+    don't churn if stochastic fitting (minibatch Adam) is ever added.
     """
     w = weights / jnp.sum(weights)
     mean = jnp.sum(w[:, None] * u, axis=0)

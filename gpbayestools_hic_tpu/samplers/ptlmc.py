@@ -171,11 +171,14 @@ def run_ptlmc(
     )
 
     # jitter off the modes: accept stepadj * r while delta < 3 * ndim,
-    # halving stepadj; give up below 1/16 (reference: src/mcmc.py:574-591)
-    del k_jit  # split kept so the downstream key stream is unchanged
-    r = jnp.asarray(host_rng.standard_normal((totnum, ndim)), dtype)
+    # halving stepadj; give up below 1/16.  The direction r is redrawn on
+    # EVERY halving attempt like the reference (src/mcmc.py:577-591 draws
+    # inside the while loop): one fixed draw pointing up a steep ridge
+    # would be probed repeatedly at shrinking steps and give up where a
+    # fresh direction succeeds.
     xw_jittered = _jitter(
-        logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u
+        logpost_fn, state, xw_opt, l0, k_jit, thetacen, thetas, bound_l,
+        bound_u,
     )
     # chain 0 keeps the raw optimum (reference: notmoved=False when k==0)
     thetac = thetacen + thetas * xw_jittered
@@ -250,35 +253,40 @@ def _preopt(logpost_fn, state, whitened, thetacen, thetas, bound_l, bound_u,
 
 
 @partial(jax.jit, static_argnums=(0,))
-def _jitter(logpost_fn, state, xw_opt, l0, r, thetacen, thetas, bound_l, bound_u):
+def _jitter(logpost_fn, state, xw_opt, l0, key, thetacen, thetas, bound_l, bound_u):
     dtype = xw_opt.dtype
     ndim = xw_opt.shape[1]
+    keys = jax.random.split(key, xw_opt.shape[0])
 
     def nlp(xw):
         x = thetacen + thetas * xw
         return -logpost_fn(state, x[None, :])[0]
 
-    def jitter_one(xw, l0v, rv):
+    def jitter_one(xw, l0v, kv):
         def cond(carry):
             stepadj, accepted = carry[0], carry[2]
             return (~accepted) & (stepadj >= 1.0 / 16.0)
 
         def body(carry):
-            stepadj, xw_cur, _ = carry
+            stepadj, xw_cur, _, k = carry
+            # fresh direction per attempt (reference redraws in-loop)
+            k, k_draw = jax.random.split(k)
+            rv = jax.random.normal(k_draw, (ndim,), dtype)
             trial = jnp.clip(xw + stepadj * rv, bound_l, bound_u)
             ok = (nlp(trial) - l0v) < 3.0 * ndim
             return (
                 jnp.where(ok, stepadj, stepadj / 2.0),
                 jnp.where(ok, trial, xw_cur),
                 ok,
+                k,
             )
 
-        stepadj, xw_new, _ = lax.while_loop(
-            cond, body, (jnp.asarray(4.0, dtype), xw, jnp.asarray(False))
+        stepadj, xw_new, _, _ = lax.while_loop(
+            cond, body, (jnp.asarray(4.0, dtype), xw, jnp.asarray(False), kv)
         )
         return xw_new
 
-    out = jax.vmap(jitter_one)(xw_opt, l0, r)
+    out = jax.vmap(jitter_one)(xw_opt, l0, keys)
     # chain 0 keeps the raw optimum (reference: notmoved=False when k==0)
     return out.at[0].set(xw_opt[0])
 
@@ -300,7 +308,7 @@ def _ptlmc_scan(
     tau0,
     rho0,
     key,
-    covmat0=None,
+    covmat0,
     *,
     total_steps: int,
     samptunning: int,
@@ -372,8 +380,6 @@ def _ptlmc_scan(
 
         return (thetac, fval, dfval, tau, adjrho, numtimes), thetac[numtemps:]
 
-    if covmat0 is None:
-        covmat0 = jnp.eye(ndim, dtype=dtype)
     dfval0 = (
         grad_fn(thetac) / temps[:, None]
         if use_gradients

@@ -31,22 +31,27 @@ import numpy as np
 
 
 def rms_relative_error(pred: np.ndarray, truth: np.ndarray, axis=0) -> np.ndarray:
-    """E: RMS of (pred - truth)/truth over samples (per observable)."""
+    """E: RMS of (pred - truth)/truth over samples (per observable).
+
+    NaN truth entries are EXCLUDED (validation arrays mark imputed --
+    never actually observed -- entries as NaN; see
+    Emulator._validation_arrays)."""
     rel = (np.asarray(pred) - np.asarray(truth)) / np.asarray(truth)
-    return np.sqrt(np.mean(rel**2, axis=axis))
+    return np.sqrt(np.nanmean(rel**2, axis=axis))
 
 
 def honesty(pred: np.ndarray, pred_err: np.ndarray, truth: np.ndarray, axis=0) -> np.ndarray:
     """H: RMS of (pred - truth)/sigma_pred.  H >> 1: overconfident;
-    H << 1: underconfident; H ~ 1: honest uncertainties."""
+    H << 1: underconfident; H ~ 1: honest uncertainties.  NaN truth
+    entries (imputed, not observed) are excluded."""
     z = (np.asarray(pred) - np.asarray(truth)) / np.asarray(pred_err)
-    return np.sqrt(np.mean(z**2, axis=axis))
+    return np.sqrt(np.nanmean(z**2, axis=axis))
 
 
 def mean_log_honesty(pred, pred_err, truth) -> float:
     """<log H> averaged over observables (EmulatorValidation.ipynb cell 19)."""
     h = honesty(pred, pred_err, truth)
-    return float(np.mean(np.log(h)))
+    return float(np.nanmean(np.log(h)))
 
 
 def delta_d(chain: np.ndarray, truth: np.ndarray, prior_min: np.ndarray,

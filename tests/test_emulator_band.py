@@ -424,3 +424,61 @@ def test_band_heads_match_golden_fixtures(tmp_path):
     # the surmise kernel family is a real alternative, not an alias
     if "PCGP_surmise_mean" in fix:
         assert np.max(np.abs(fix["PCGP_surmise_mean"] - fix["PCGP_mean"])) > 1e-6
+
+
+def test_pcgpwm_impute_state_survives_save_load(
+    tmp_path, rng, training_pickle_factory
+):
+    """A loaded PCGPwM emulator must keep its imputation mask: without it a
+    retrain silently degrades to plain PCGP (zero imputation-noise
+    inflation) because the saved model_data is already imputed."""
+    design, base, err = _make_dataset(rng)
+    holed = base.copy()
+    holed[3, 1] = np.nan
+    holed[11, 5] = np.nan
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, holed, err)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwM",
+                       max_rel_uncertainty_data=10.0)
+    emu.trainEmulatorAutoMask()
+    path = tmp_path / "emu.sav"
+    emu.save(str(path))
+
+    from gpbayestools_hic_tpu.models import Emulator
+
+    loaded = Emulator.load(str(path))
+    assert loaded._impute_mask is not None
+    assert loaded._impute_mask[3, 1] and loaded._impute_mask[11, 5]
+    loaded.trainEmulatorAutoMask()
+    nd = np.asarray(
+        loaded._pc_noise_diag(np.ones(loaded.nev, dtype=bool),
+                              loaded._npc_used)
+    )
+    assert nd[:, 3].sum() > 0 and nd[:, 11].sum() > 0
+
+
+def test_imputed_entries_excluded_from_validation_truth(
+    tmp_path, rng, training_pickle_factory
+):
+    """Holdout validation must not treat imputed (never observed) entries
+    as truth: they are returned as NaN and the E/H metrics exclude them."""
+    from gpbayestools_hic_tpu.utils.metrics import (
+        honesty, rms_relative_error,
+    )
+
+    design, base, err = _make_dataset(rng)
+    holed = base.copy()
+    hold_row = base.shape[0] - 1  # the holdout row testEmulatorErrors uses
+    holed[hold_row, 2] = np.nan
+    pkl = training_pickle_factory(tmp_path / "t.pkl", design, holed, err)
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+    emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwImpute",
+                       max_rel_uncertainty_data=10.0)
+    pred, pred_err, truth, truth_err = emu.testEmulatorErrors(number_test_points=2)
+    assert np.isnan(truth[-1, 2]) and np.isnan(truth_err[-1, 2])
+    assert np.isfinite(pred).all()
+    e = rms_relative_error(pred, truth)
+    h = honesty(pred, pred_err, truth)
+    assert np.isfinite(e).all() and np.isfinite(h).all()

@@ -127,7 +127,11 @@ def test_gp_fit_batched_over_pcs(rng):
     for i in range(3):
         solo = gp_fit(jnp.asarray(x), jnp.asarray(ys[i])[None], ptp,
                       config=GPConfig())
-        np.testing.assert_allclose(state.lml[i], solo.lml[0], rtol=1e-6)
+        # batched and solo runs reassociate floating point differently, and
+        # the ftol improvement stop (ops/lbfgsb.py) can therefore fire one
+        # iteration apart on the two paths -- the optima agree to optimizer
+        # tolerance, not bitwise (observed delta ~4e-6 relative)
+        np.testing.assert_allclose(state.lml[i], solo.lml[0], rtol=1e-4)
 
 
 @pytest.mark.slow
