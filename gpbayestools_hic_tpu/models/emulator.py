@@ -208,7 +208,22 @@ class Emulator:
             self.PCA_new_design_points if self.parameterTrafoPCA_ else self.design_points
         )[eventMask, :]
         design = jnp.asarray(design, dtype=dtype)
-        ptp = jnp.asarray(self.design_max - self.design_min, dtype=dtype)
+        ptp_np = np.asarray(self.design_max) - np.asarray(self.design_min)
+        if np.any(ptp_np <= 0):
+            # log(0) length-scale init would silently propagate NaN through
+            # the whole GP state (gp_fit is jitted and cannot raise on
+            # values); name the offending parameters here instead
+            names = list(self.pardict.keys())
+            bad = [
+                names[i] if i < len(names) else f"column {i}"
+                for i in np.nonzero(ptp_np <= 0)[0]
+            ]
+            raise ValueError(
+                f"parameter range(s) with max <= min: {bad}; fixed (pinned) "
+                "parameters must be removed from the parameter file (see "
+                "utils.io.delete_parameters_from_pickle), not zero-width"
+            )
+        ptp = jnp.asarray(ptp_np, dtype=dtype)
         self.gp_config = GPConfig(
             kernel=KernelConfig(kernel_type), alpha=self.gp_alpha,
             map_prior_strength=getattr(self, "gp_map_prior_strength", 0.0),
@@ -486,7 +501,21 @@ class Emulator:
             Xq = apply_param_pca(self.param_pca_state, tuple(self.param_pca_groups), X)
         else:
             Xq = X
-        seed = 0 if random_state is None else int(random_state)
+        # sklearn-parity random_state: int, None, Generator, or RandomState
+        # (the reference forwards it to GPR.sample_y, which accepts all)
+        if random_state is None:
+            seed = 0
+        elif isinstance(random_state, (int, np.integer)):
+            seed = int(random_state)
+        elif isinstance(random_state, np.random.Generator):
+            seed = int(random_state.integers(2**31))
+        elif isinstance(random_state, np.random.RandomState):
+            seed = int(random_state.randint(2**31))
+        else:
+            raise TypeError(
+                f"random_state must be int, None, numpy Generator or "
+                f"RandomState, got {type(random_state).__name__}"
+            )
         key, key_rest = jax.random.split(jax.random.PRNGKey(seed))
         draws = gp_sample(self.gp_state, Xq, key, n_samples, config=self.gp_config)
         # draws: (npc, m, n_samples) -> (m, n_samples, npc)
@@ -512,9 +541,7 @@ class Emulator:
         pred, pred_cov = self.predict(
             self.design_points_org_[validate_mask, :], return_cov=True
         )
-        pred_err = np.sqrt(
-            np.array([pred_cov[i].diagonal() for i in range(pred_cov.shape[0])])
-        )
+        pred_err = np.sqrt(np.diagonal(pred_cov, axis1=1, axis2=2))
         if self.logTrafo_ and not self.exp_and_cov_diagonal_:
             preds = np.exp(pred)
             preds_err = pred_err * np.exp(pred)
@@ -566,16 +593,26 @@ class Emulator:
             rel = np.nan_to_num(self.model_data_err / self.model_data)
         return np.mean(rel, axis=0)
 
-    def outputPCAvsParam(self):
-        """Return (design_points, PC scores^T) for diagnostics
-        (reference: src/emulator.py:244-249).  Host numpy throughout --
-        eager device ops pay a remote compile on this runtime."""
+    def _diag_pca_prep(self):
+        """Shared host-numpy scaler/PCA prep for the diagnostics paths
+        (outputPCAvsParam, print_learning_curve) -- one place so the
+        diagnostics cannot silently drift from each other.  Host numpy
+        throughout: eager device ops pay a remote compile on this
+        runtime."""
         data = np.asarray(self.model_data, dtype=np.float64)
         scaler = fit_standard_scaler(data)
         pca = fit_pca(scaler_transform(scaler, data), whiten=True)
         npc_used = min(self.npc, pca.components.shape[0])
-        z = pca_transform(pca, scaler_transform(scaler, data), npc=npc_used)
-        return self.design_points, np.asarray(z.T)
+        z = np.asarray(
+            pca_transform(pca, scaler_transform(scaler, data), npc=npc_used)
+        )
+        return scaler, pca, npc_used, z
+
+    def outputPCAvsParam(self):
+        """Return (design_points, PC scores^T) for diagnostics
+        (reference: src/emulator.py:244-249)."""
+        _, _, _, z = self._diag_pca_prep()
+        return self.design_points, z.T
 
     def print_learning_curve(self, train_sizes=(0.2, 0.4, 0.6, 0.8, 0.9), n_folds=5):
         """Learning curve per PC: mean train/test R^2 over CV folds at each
@@ -596,12 +633,7 @@ class Emulator:
         columns (n_train, mean train R^2, mean test R^2).
         """
         dtype = self._dtype
-        # scaler/PCA prep in host numpy (training-prep rule; see CLAUDE.md)
-        data = np.asarray(self.model_data, dtype=np.float64)
-        scaler = fit_standard_scaler(data)
-        pca = fit_pca(scaler_transform(scaler, data), whiten=True)
-        npc_used = min(self.npc, pca.components.shape[0])
-        z = np.asarray(pca_transform(pca, scaler_transform(scaler, data), npc=npc_used))
+        _, _, npc_used, z = self._diag_pca_prep()
         design = (
             self.PCA_new_design_points if self.parameterTrafoPCA_ else self.design_points
         )
@@ -629,9 +661,16 @@ class Emulator:
                 )
                 n_used = max(int(np.ceil(frac * len(train_idx))), 2)
                 train_idx = train_idx[:n_used]
-                cfg = getattr(
-                    self, "gp_config",
-                    GPConfig(alpha=self.gp_alpha),
+                # before any trainEmulator call gp_config doesn't exist yet:
+                # fall back to the emulator's CONFIGURED kernel family (an
+                # untrained EmulatorBAND with kernel_kind='Matern' must not
+                # get learning-curve numbers for an RBF model)
+                cfg = getattr(self, "gp_config", None) or GPConfig(
+                    kernel=KernelConfig(getattr(self, "kernel_kind_", "RBF")),
+                    alpha=self.gp_alpha,
+                    map_prior_strength=getattr(
+                        self, "gp_map_prior_strength", 0.0
+                    ),
                 )
                 x_tr = jnp.asarray(design[train_idx], dtype=dtype)
                 y_tr = jnp.asarray(z[train_idx].T, dtype=dtype)
@@ -738,6 +777,14 @@ class Emulator:
             from .emulator_band import EmulatorBAND
 
             cls = EmulatorBAND
+        elif meta.get("method") is None and cls is not Emulator:
+            # EmulatorBAND.load on a plain-Emulator save would build a BAND
+            # shell without method_/pc_target_variance that only fails much
+            # later, at retrain time, with a confusing AttributeError
+            raise ValueError(
+                f"{path} holds a plain Emulator save; load it with "
+                "Emulator.load (BAND saves carry a 'method' field)"
+            )
         self = cls.__new__(cls)
         self.logTrafo_ = meta["logTrafo"]
         self.parameterTrafoPCA_ = meta["parameterTrafoPCA"]

@@ -27,7 +27,7 @@ from ..ops.kernels import KernelConfig
 from ..ops.scalers import PCAState, StandardScalerState
 from .emulator import Emulator
 from .gp import GPConfig, finalize_gp_state
-from .param_pca import ParamPCAGroup, ParamPCAState, default_groups
+from .param_pca import ParamPCAState, default_groups
 
 logger = logging.getLogger(__name__)
 
@@ -105,25 +105,16 @@ def _load_dill(source):
 def _convert_param_pca(self, ref, dtype):
     """Import the reference's fitted parameter-space PCA transform
     (scalers + PCAs for the bulk/shear/yloss groups)."""
+    # canonical grids/curves come from param_pca.default_groups() (single
+    # source of truth); only the parameter indices are taken from the
+    # reference object
+    ref_indices = {
+        "bulk": tuple(ref.indices_zeta_s_parameters),
+        "shear": tuple(ref.indices_eta_s_parameters),
+        "yloss": tuple(ref.indices_yloss_parameters),
+    }
     groups = [
-        ParamPCAGroup(
-            name="bulk",
-            indices=tuple(ref.indices_zeta_s_parameters),
-            grid=tuple(np.linspace(0.0, 0.5, 100)),
-            curve="zeta",
-        ),
-        ParamPCAGroup(
-            name="shear",
-            indices=tuple(ref.indices_eta_s_parameters),
-            grid=tuple(np.linspace(0.0, 0.6, 100)),
-            curve="eta",
-        ),
-        ParamPCAGroup(
-            name="yloss",
-            indices=tuple(ref.indices_yloss_parameters),
-            grid=tuple(np.linspace(0.0, 6.2, 100)),
-            curve="yloss",
-        ),
+        g._replace(indices=ref_indices[g.name]) for g in default_groups()
     ]
     self.param_pca_groups = groups
     scalers, pcas, npcs = [], [], []

@@ -68,6 +68,10 @@ def kmeans(
     Lloyd iterations; the lowest-inertia run wins (sklearn semantics).
     """
     n, d = x.shape
+    if n < k:
+        # sklearn raises the same way; silently returning duplicated /
+        # zero-initialized centers would poison cluster_centers.txt
+        raise ValueError(f"n_samples={n} should be >= n_clusters={k}")
 
     def lloyd(key):
         centers = _kmeans_pp_init(key, x, k)
@@ -150,6 +154,17 @@ def generate_posterior_clusters(
     )
     centers = np.asarray(centers_std) * scale + mean
     logger.info("k-means inertia: %.4f", float(inertia))
+    used = np.unique(np.asarray(labels)).size
+    if used < n_clusters:
+        # heavily duplicated top samples (e.g. a sharply converged SMC
+        # posterior) can leave clusters empty -- their centers are then
+        # duplicates, and downstream consumers of cluster_centers.txt
+        # should know the effective cluster count is lower
+        logger.warning(
+            "only %d of %d clusters are populated (top samples contain "
+            "many duplicates); cluster_centers.txt has duplicate rows",
+            used, n_clusters,
+        )
 
     outdir = Path(output_dir) if output_dir else Path(chain_path).parent
     outdir.mkdir(parents=True, exist_ok=True)
