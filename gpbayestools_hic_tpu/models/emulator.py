@@ -631,6 +631,13 @@ class Emulator:
 
         Returns a list (one per PC) of arrays (len(train_sizes), 3) with
         columns (n_train, mean train R^2, mean test R^2).
+
+        Cost note: ``gp_fit`` is shape-specialized, so each distinct
+        training-set size pays one XLA compile (up to ``len(train_sizes)``
+        plus fold-size off-by-ones); on runtimes with slow remote compiles
+        this diagnostic is minutes of compile for seconds of compute.
+        Padding to one shape is NOT done because duplicated rows would
+        change the GP posterior.
         """
         dtype = self._dtype
         _, _, npc_used, z = self._diag_pca_prep()
