@@ -91,7 +91,9 @@ def _anneal(key, x0, *, niters: int, criterion: str):
         key, temp = inp
         k1, k2, k3, k4 = jax.random.split(key, 4)
         i = jax.random.randint(k1, (), 0, n)
-        j = jax.random.randint(k2, (), 0, n)
+        # j != i by construction: an i == j draw would be a guaranteed-
+        # accepted no-op swap wasting ~1/n of the annealing budget
+        j = jnp.mod(i + 1 + jax.random.randint(k2, (), 0, n - 1), n)
         dim = jax.random.randint(k3, (), 0, d)
         xi, xj = x[i, dim], x[j, dim]
         x_new = x.at[i, dim].set(xj).at[j, dim].set(xi)
@@ -160,7 +162,12 @@ def generate_lhs(
     x0 = _random_lhs(k_init, npoints, ndim)
     x, energy = _anneal(k_anneal, x0, niters=niters, criterion=method)
     x = np.asarray(x)
-    logger.debug("annealed %s energy: %.4f", method, float(energy))
+    # the annealer optimizes a smooth surrogate (softmin / log-product);
+    # report the EXACT criterion value users care about alongside it
+    logger.debug(
+        "annealed %s surrogate energy: %.4f (exact min pairwise distance "
+        "%.5f)", method, float(energy), min_pairwise_distance(x),
+    )
 
     if cache:
         cachefile.parent.mkdir(parents=True, exist_ok=True)

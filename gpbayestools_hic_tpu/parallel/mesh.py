@@ -27,6 +27,13 @@ def make_mesh(n_devices: int | None = None, axis_name: str = "walkers") -> Mesh:
     """1-D device mesh over the first ``n_devices`` devices (all if None)."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            # devices[:n] would silently truncate and hand back a smaller
+            # mesh than the caller asked for
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devices)} "
+                "available"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 
@@ -52,11 +59,7 @@ def resolve_mesh(
             f"devices must be a positive count or -1 (all), got {devices}"
         )
     n = None if devices == -1 else devices
-    if n is not None and n > len(jax.devices()):
-        raise ValueError(
-            f"requested {n} devices but only {len(jax.devices())} available"
-        )
-    return make_mesh(n, axis_name)
+    return make_mesh(n, axis_name)  # raises if n exceeds available devices
 
 
 def replicate(mesh: Mesh, tree):

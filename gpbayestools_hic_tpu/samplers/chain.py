@@ -105,7 +105,11 @@ class Chain:
         for emu in emulatorPathList:
             # duck-type on the attributes _build_device_fns actually reads,
             # so an incomplete object fails HERE, not deep in the build
-            if hasattr(emu, "predict_fn_pure") and hasattr(emu, "predict_state"):
+            if (
+                hasattr(emu, "predict_fn_pure")
+                and hasattr(emu, "predict_state")
+                and hasattr(emu, "nobs")
+            ):
                 self.emuList.append(emu)
                 continue
             if not isinstance(emu, (str, Path)) and hasattr(emu, "predict"):
@@ -237,7 +241,12 @@ class Chain:
                 t = y @ bs["c0_inv"]                     # (b, n)  [MXU]
                 q0 = jnp.sum(y * t, axis=1)
                 u = y @ bs["g"].T                        # (b, npc)
-                sv = jnp.sqrt(jnp.maximum(v, 0.0))
+                # floor strictly above 0: d/dv sqrt(v) at the max(v, 0)
+                # clamp is +inf, so an f32 PC variance that cancels to <= 0
+                # near a training point would inject NaN into HMC/Langevin
+                # gradients (silently rejected trajectories, stuck walkers);
+                # below the floor the clamp's gradient is exactly 0
+                sv = jnp.sqrt(jnp.maximum(v, 1e-22))
                 s = bs["eye_npc"] + sv[:, :, None] * bs["m"] * sv[:, None, :]
                 s_chol = jnp.linalg.cholesky(s)
                 rhs = (sv * u)[:, :, None]
@@ -582,7 +591,14 @@ class Chain:
             x0 = shard(jnp.asarray(chain_data["chain"][:, -1, :], dtype=dtype))
             if not skip_initial_state_check:
                 self._check_initial_state(like_state, x0)
-            key, prod_key = jax.random.split(key)
+            # fold the stored chain length into the key (same scheme and
+            # rationale as run_MCMC_HMC): split(key, 2)[1] equals the fresh
+            # run's burn-in phase key AND is identical on every
+            # continuation, so same-seed resumed segments would replay one
+            # random stream and cross-correlate the appended chain
+            prod_key = jax.random.fold_in(
+                key, (1 << 20) + chain_data["chain"].shape[1]
+            )
 
         logger.info("running %d walkers for %d steps", x0.shape[0], nsteps)
         res = self._run_segments(
@@ -668,9 +684,12 @@ class Chain:
         accs = []
         while done < nsteps:
             chunk = min(status, nsteps - done)
-            key, sub = jax.random.split(key)
+            # same base key + absolute step offset: the chunked run
+            # consumes the identical per-step stream as the unchunked one,
+            # so the status LOG cadence cannot change the sampled chain
             res = run_ensemble(
-                log_post, state_x, chunk, sub, state=like_state, move=move
+                log_post, state_x, chunk, key, state=like_state, move=move,
+                step_offset=done,
             )
             done += chunk
             logger.info("step %d:", done)
@@ -699,11 +718,19 @@ class Chain:
             with open(self.mcmc_path, "rb") as f:
                 self.chain = pickle.load(f)["chain"]
         logger.info("Computing log likelihood for the chain...")
-        flat = self.chain.reshape(-1, self.ndim)
+        chain = np.asarray(self.chain)
+        flat = chain.reshape(-1, self.ndim)
         out = np.empty(flat.shape[0])
         for i in range(0, flat.shape[0], batch_size):
             out[i : i + batch_size] = self.log_likelihood(flat[i : i + batch_size])
-        likelihood = out.reshape(self.chain.shape[0], self.chain.shape[1])
+        # walker chains score as (nwalkers, nsteps) (reference contract,
+        # src/mcmc.py:745-747); a flat pocoMC chain (nsamples, ndim) has no
+        # walker axis and scores as (nsamples,)
+        likelihood = (
+            out.reshape(chain.shape[0], chain.shape[1])
+            if chain.ndim == 3
+            else out
+        )
         with open(output_path, "wb") as f:
             pickle.dump({"log_likelihood": likelihood}, f)
         return likelihood

@@ -160,12 +160,18 @@ def run_ensemble(
     a: float = 2.0,
     move: str = "stretch",
     state=None,
+    step_offset: int = 0,
 ) -> EnsembleResult:
     """Run ``nsteps`` stretch-move updates from walker positions ``x0``.
 
     ``log_prob_fn`` maps (m, ndim) -> (m,) and must be traceable (the whole
     sampler is one compiled program; each step calls it twice on half the
     ensemble).  ``x0`` (nwalkers, ndim) with nwalkers even.
+
+    ``step_offset`` shifts the per-step key indices (``fold_in(key,
+    step_offset + i)``) so a run split into segments with the SAME base
+    key reproduces the unsegmented run exactly -- used by the
+    status-logging chunking in :meth:`Chain._run_segments`.
 
     Pass posterior arrays via ``state`` (then ``log_prob_fn(state, x)``)
     rather than closing over device arrays -- closure-captured arrays pay a
@@ -207,7 +213,13 @@ def run_ensemble(
         acc = jnp.concatenate([acc1, acc2])
         return (x, lp), (x, lp, acc)
 
-    keys = jax.random.split(key, nsteps)
+    # Per-step keys by ABSOLUTE step index (fold_in) rather than one
+    # split(key, nsteps): a run chunked into segments (the status-logging
+    # cadence in Chain._run_segments) then consumes the identical stream as
+    # the unchunked run -- the log frequency must not change the samples.
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+        step_offset + jnp.arange(nsteps)
+    )
     (xf, lpf), (chain, lps, accs) = lax.scan(step, (x0, lp0), keys)
     return EnsembleResult(
         chain=jnp.transpose(chain, (1, 0, 2)),

@@ -72,8 +72,14 @@ def delta_d(chain: np.ndarray, truth: np.ndarray, prior_min: np.ndarray,
 
 
 def coverage(pred, pred_err, truth, n_sigma: float = 1.0) -> float:
-    """Fraction of truths within +- n_sigma of the claimed Gaussian."""
+    """Fraction of truths within +- n_sigma of the claimed Gaussian.
+
+    NaN truth entries (imputed, never observed -- see
+    Emulator._validation_arrays) are excluded like in the other validation
+    metrics; counting them as misses would misreport a calibrated emulator
+    as overconfident."""
     z = np.abs((np.asarray(pred) - np.asarray(truth)) / np.asarray(pred_err))
+    z = z[~np.isnan(z)]
     return float(np.mean(z < n_sigma))
 
 
@@ -137,10 +143,16 @@ def integrated_autocorr_time(
 
 
 def effective_sample_size(chain: np.ndarray) -> float:
-    """ESS of a (nwalkers, nsteps, ndim) chain: nwalkers*nsteps / max_d tau_d."""
+    """ESS of a (nwalkers, nsteps, ndim) chain: n_alive*nsteps / max_d tau_d.
+
+    Frozen (zero-variance) walkers are excluded from BOTH tau and the
+    sample count: tau is averaged over moving walkers only, so crediting
+    stuck walkers' draws as independent would overreport ESS for exactly
+    the pathological ensembles this diagnostic exists to flag."""
     chain = np.asarray(chain)
     taus = [integrated_autocorr_time(chain[:, :, d]) for d in range(chain.shape[-1])]
-    return chain.shape[0] * chain.shape[1] / max(taus)
+    alive = int((np.var(chain, axis=1).max(axis=-1) > 0).sum())
+    return alive * chain.shape[1] / max(taus)
 
 
 def _rank_normalize(x: np.ndarray) -> np.ndarray:
@@ -264,7 +276,10 @@ def convergence_diagnostics(chain: np.ndarray, rhat_threshold: float = 1.01) -> 
             convs.append(c)
     taus = np.asarray(taus)
     convs = np.asarray(convs)
-    ess = x.shape[0] * x.shape[1] / taus.max()
+    # frozen walkers don't contribute independent draws (tau is computed
+    # over moving walkers only; see effective_sample_size)
+    n_alive = int((np.var(x, axis=1).max(axis=-1) > 0).sum())
+    ess = n_alive * x.shape[1] / taus.max()
     return {
         "rhat": rhat,
         "tau": taus,
