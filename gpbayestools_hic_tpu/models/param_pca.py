@@ -188,6 +188,29 @@ def fit_param_pca(
         groups = default_groups()
     _validate_group_order(groups)
 
+    # Training-prep rule (CLAUDE.md): fit-time work must not run eager ops
+    # on the default accelerator -- each would pay a remote compile on
+    # runtimes like the axon tunnel.  The curve evaluators are shared with
+    # the jitted predict path (single source of truth), so instead of
+    # numpy twins the whole fit is pinned to the local CPU backend, where
+    # eager compiles are milliseconds.
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:  # no CPU backend registered: run on the default
+        return _fit_param_pca_impl(
+            design_points, design_min, design_max, groups, target_variance
+        )
+    with jax.default_device(cpu):
+        return _fit_param_pca_impl(
+            design_points, design_min, design_max, groups, target_variance
+        )
+
+
+def _fit_param_pca_impl(
+    design_points, design_min, design_max, groups, target_variance
+):
     x = jnp.asarray(design_points)
     scalers, pcas, npcs = [], [], []
     current = x

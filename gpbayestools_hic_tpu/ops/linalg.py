@@ -50,15 +50,21 @@ def cholesky_jittered(a: jnp.ndarray, jitter_scale: float | None = None) -> jnp.
     ``a + jitter * mean(diag(a)) * I``.  Fully traceable (no data-dependent
     control flow beyond a ``where`` select); NaN propagates if even the
     jittered matrix is non-PD, which downstream treats as -inf likelihood.
+
+    Batched inputs (..., n, n) are handled PER MATRIX: each element gets
+    its own bad-flag and its own mean-diagonal bump, so a single non-PD
+    element never perturbs the healthy matrices sharing its batch.
     """
     if jitter_scale is None:
         jitter_scale = chol_jitter(a.dtype)
     chol = jnp.linalg.cholesky(a)
-    bad = ~jnp.all(jnp.isfinite(jnp.diagonal(chol, axis1=-2, axis2=-1)))
+    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
+    bad = ~jnp.all(jnp.isfinite(diag), axis=-1)          # (...,)
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
-    bump = jitter_scale * jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1)) * eye
+    mean_diag = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+    bump = jitter_scale * mean_diag[..., None, None] * eye
     chol_rescued = jnp.linalg.cholesky(a + bump)
-    return jnp.where(bad, chol_rescued, chol)
+    return jnp.where(bad[..., None, None], chol_rescued, chol)
 
 
 def tri_matmul_lower(

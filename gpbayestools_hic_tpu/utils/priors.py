@@ -66,11 +66,18 @@ def _logpdf_factory(dist):
         return logpdf
     if name in ("loguniform", "reciprocal"):
         a, b = get(0, "a", None), get(1, "b", None)
+        loc, scale = get(2, "loc", 0.0), get(3, "scale", 1.0)
         log_range = float(np.log(np.log(b) - np.log(a)))
 
         def logpdf(x):
-            inside = (x >= a) & (x <= b)
-            return jnp.where(inside, -jnp.log(x) - log_range, -jnp.inf)
+            # scipy shift/scale convention: X = loc + scale * base with
+            # base ~ loguniform(a, b); density picks up a 1/scale factor
+            z = (x - loc) / scale
+            inside = (z >= a) & (z <= b)
+            # clamp keeps log() finite outside the support so the masked
+            # branch cannot leak NaN into gradients
+            lp = -jnp.log(jnp.maximum(z, a)) - log_range - jnp.log(scale)
+            return jnp.where(inside, lp, -jnp.inf)
 
         return logpdf
     raise ValueError(

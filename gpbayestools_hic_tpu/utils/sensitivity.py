@@ -43,20 +43,34 @@ def sensitivity_matrix_fd(
     emulator, theta: np.ndarray, rel_step: float = 0.1
 ) -> np.ndarray:
     """Reference-style central differences with h = rel_step * theta
-    (SensitivityAnalysis.ipynb cell 4).  Returns (nobs, ndim)."""
+    (SensitivityAnalysis.ipynb cell 4).  Returns (nobs, ndim).
+
+    Implements the reference's exact estimator
+    ``(Y1 - Y2) / (2h) * theta_d / mean(Y1, Y2)`` -- finite for
+    ``theta_d <= 0`` (h = rel_step * |theta_d|, with an absolute floor so
+    a zero parameter still gets a step) and with no logs of theta.  For a
+    ``logTrafo`` emulator ``predict`` returns ln Y, so
+    ``d lnY / d ln theta`` is the raw difference quotient times theta --
+    dividing by the log-space mean would compute d ln(lnY) and blow up
+    near Y = 1 (the same special case as :func:`sensitivity_matrix`)."""
     theta = np.asarray(theta, dtype=float)
     ndim = theta.shape[0]
+    log_trafo = bool(getattr(emulator, "logTrafo_", False)) and not bool(
+        getattr(emulator, "exp_and_cov_diagonal_", False)
+    )
     base = emulator.predict(theta[None, :], return_cov=False)[0]
     out = np.empty((base.shape[0], ndim))
     for d in range(ndim):
-        h = rel_step * theta[d]
+        h = rel_step * max(abs(theta[d]), 1e-8)
         up = theta.copy()
         dn = theta.copy()
         up[d] += h
         dn[d] -= h
         y_up = emulator.predict(up[None, :], return_cov=False)[0]
         y_dn = emulator.predict(dn[None, :], return_cov=False)[0]
-        out[:, d] = (np.log(np.abs(y_up)) - np.log(np.abs(y_dn))) / (
-            np.log(up[d]) - np.log(dn[d])
-        )
+        slope = (y_up - y_dn) / (2.0 * h)
+        if log_trafo:
+            out[:, d] = slope * theta[d]
+        else:
+            out[:, d] = slope * theta[d] / (0.5 * (y_up + y_dn))
     return out
