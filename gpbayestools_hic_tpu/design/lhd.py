@@ -216,7 +216,19 @@ class Design:
         self.array = self.min + (self.max - self.min) * unit
 
     def __array__(self, dtype=None, copy=None):
-        return np.asarray(self.array, dtype=dtype)
+        out = np.asarray(self.array, dtype=dtype)
+        if copy:
+            return out.copy()
+        if copy is False and out is not self.array:
+            # NumPy 2 protocol: copy=False must alias or raise, never
+            # silently hand back a fresh array the caller can't mutate
+            # through (the reference crashed on exactly this class of
+            # numpy-2 semantics change)
+            raise ValueError(
+                "Design.__array__ cannot satisfy copy=False with a dtype "
+                "conversion"
+            )
+        return out
 
     def write_files(self, basedir):
         """Write one ``key value`` input file per design point

@@ -40,8 +40,12 @@ def weighted_quantile(x, weights, qs) -> np.ndarray:
     if w.shape[0] != x.shape[0]:
         raise ValueError(f"weights length {w.shape[0]} != {x.shape[0]} samples")
     order = np.argsort(x)
-    cdf = np.cumsum(w[order])
-    cdf = cdf / cdf[-1]
+    ws = w[order]
+    # midpoint CDF: each sample sits at the CENTER of its probability mass,
+    # (cumsum(w) - w/2) / total.  The raw right-edge cumsum places sample i
+    # at the TOP of its mass, biasing every quantile low (with uniform
+    # weights the median of [0, 1] would read 0.0 instead of 0.5).
+    cdf = (np.cumsum(ws) - 0.5 * ws) / np.sum(ws)
     return np.interp(np.asarray(qs, dtype=np.float64), cdf, x[order])
 
 

@@ -17,16 +17,24 @@ logger = logging.getLogger(__name__)
 
 
 @contextlib.contextmanager
-def timed(label: str, result=None):
-    """Time a block; blocks on ``result`` (pytree) before stopping the clock
-    so async dispatch doesn't lie."""
+def timed(label: str):
+    """Time a block; set ``t["result"]`` inside to block on a pytree of
+    device arrays before the clock stops, so async dispatch doesn't lie::
+
+        with timed("gp predict") as t:
+            t["result"] = predict_fn(state, x)
+
+    (An eagerly-evaluated ``result=`` parameter could never see work
+    created inside the block -- the value would have to exist before the
+    ``with`` statement ran.)  ``t["seconds"]`` holds the elapsed wall
+    time after the block exits."""
     t0 = time.perf_counter()
     out = {}
     try:
         yield out
     finally:
-        if result is not None:
-            jax.block_until_ready(result)
+        if out.get("result") is not None:
+            jax.block_until_ready(out["result"])
         out["seconds"] = time.perf_counter() - t0
         logger.info("[timer] %s: %.3f s", label, out["seconds"])
 
