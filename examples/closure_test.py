@@ -37,8 +37,15 @@ def main():
 
     pct = percentile_params(chain, weights=weights)
     print("16/50/84 percentiles:\n", np.round(pct, 3))
-    dd = delta_d(chain, truth, np.zeros(truth.size), np.ones(truth.size),
-                 weights=weights)
+    # prior bounds from the SAME parameter file the rest of the pipeline
+    # reads -- hardcoded [0, 1] would silently mis-normalize Delta_d when
+    # this script is adapted to a dataset with other ranges
+    from gpbayestools_hic_tpu import parse_model_parameter_file
+
+    pars = parse_model_parameter_file(DATA / "model_params.txt")
+    lo = np.array([v[1] for v in pars.values()])
+    hi = np.array([v[2] for v in pars.values()])
+    dd = delta_d(chain, truth, lo, hi, weights=weights)
     print(f"closure metric Delta_d = {dd:.4f} (small is good)")
 
     emus = [

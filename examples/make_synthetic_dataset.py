@@ -14,7 +14,6 @@ families per beam energy).
 
 from __future__ import annotations
 
-import pickle
 from pathlib import Path
 
 import numpy as np
@@ -33,10 +32,14 @@ def main(outdir="synthetic_data", seed=1):
     out.mkdir(exist_ok=True)
     rng = np.random.default_rng(seed)
 
-    parfile = out / "model_params.txt"
-    parfile.write_text(
-        "".join(f"p{i}: $p_{i}$, 0.0, 1.0\n" for i in range(NDIM))
+    # the on-disk contracts live in utils/synthetic (single source of
+    # truth shared with bench.py / tools); this example only composes them
+    from gpbayestools_hic_tpu.utils.synthetic import (
+        write_exp_pickle, write_parameter_file, write_training_pickle,
     )
+
+    parfile = out / "model_params.txt"
+    write_parameter_file(parfile, NDIM)
 
     design = rng.uniform(0, 1, size=(NPOINTS, NDIM))
     truth = rng.uniform(0.35, 0.65, size=NDIM)
@@ -49,18 +52,14 @@ def main(outdir="synthetic_data", seed=1):
         base = smooth_model(design, freqs, amps)
         err = 0.02 * np.abs(base) * rng.uniform(0.5, 1.0, size=base.shape)
         noisy = base + err * rng.normal(size=base.shape)
-        data = {
-            str(i): {"parameter": design[i], "obs": np.stack([noisy[i], err[i]])}
-            for i in range(NPOINTS)
-        }
-        with open(out / f"training_data_{group}.pkl", "wb") as f:
-            pickle.dump(data, f)
+        write_training_pickle(
+            out / f"training_data_{group}.pkl", design, noisy, err
+        )
         exp_blocks.append(smooth_model(truth[None], freqs, amps)[0])
 
     exp_mean = np.concatenate(exp_blocks)
     exp_err = 0.03 * np.abs(exp_mean)
-    with open(out / "exp_data.pkl", "wb") as f:
-        pickle.dump({"0": {"obs": np.stack([exp_mean, exp_err])}}, f)
+    write_exp_pickle(out / "exp_data.pkl", exp_mean, exp_err)
     print(f"synthetic dataset written to {out}/ "
           f"({len(GROUPS)} groups, truth at {np.round(truth, 3)})")
 

@@ -64,12 +64,19 @@ def main():
     truth = np.loadtxt(DATA / "truth_parameters.txt")
     ndim = truth.size
     labels = [f"$p_{d}$" for d in range(ndim)]
+    # prior bounds from the pipeline's own parameter file (hardcoded
+    # [0, 1] would silently mis-normalize Delta_d on other datasets)
+    from gpbayestools_hic_tpu import parse_model_parameter_file
+
+    pars = parse_model_parameter_file(DATA / "model_params.txt")
+    lo = np.array([v[1] for v in pars.values()])
+    hi = np.array([v[2] for v in pars.values()])
     chains = load_chains()
 
     # percentile extraction + closure metric per sampler (cells 7, 18-19)
     for name, (flat, w) in chains.items():
         pct = percentile_params(flat, weights=w)
-        dd = delta_d(flat, truth, np.zeros(ndim), np.ones(ndim), weights=w)
+        dd = delta_d(flat, truth, lo, hi, weights=w)
         print(f"[{name}] 16/50/84 percentiles:\n{np.round(pct, 3)}")
         print(f"[{name}] closure metric Delta_d = {dd:.4f} (small is good)")
 
@@ -94,7 +101,10 @@ def main():
     # workflow by mapping the first three parameters through the
     # eta/s(mu_B) parametrization -- with a real HIC chain, pass the actual
     # shear indices (the reference's [12, 13, 14]).
-    grid = np.linspace(0.0, 0.6, 100)
+    # start strictly above 0: the preserved reference quirk in
+    # eta_over_s_vs_mu_B returns eta_4 AT mu_B = 0 exactly (strict-bound
+    # branch), which would draw a spurious jump at the left plot edge
+    grid = np.linspace(1e-3, 0.6, 100)
     posterior_band_plot(
         eta_over_s_vs_mu_B,
         flat,

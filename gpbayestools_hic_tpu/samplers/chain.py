@@ -1028,6 +1028,11 @@ class Chain:
             "logp": np.asarray(result["logp"]),
             "logz": float(result["logz"]),
             "logz_err": float(result["logz_err"]),
+            # the persistent-sampling estimate/error are always reported
+            # alongside (logz/logz_err follow the IS refinement when
+            # n_evidence > 0, else they ARE the PS pair)
+            "logz_ps": float(result["logz_ps"]),
+            "logz_err_ps": float(result["logz_err_ps"]),
         }
         self.chain = chain_data["chain"]
         with open(self.mcmc_path, "wb") as f:
