@@ -44,7 +44,12 @@ def _kmeans_pp_init(key, x, k):
             + jnp.where(jnp.arange(k) >= i, jnp.inf, 0.0)[None, :],
             axis=1,
         )
-        probs = d2 / jnp.sum(d2)
+        # all-duplicate inputs give d2 == 0 everywhere; 0/0 probabilities
+        # would feed NaN into jax.random.choice silently under jit -- fall
+        # back to a uniform draw (sklearn's _kmeans_plusplus does the same)
+        total = jnp.sum(d2)
+        probs = jnp.where(total > 0, d2 / jnp.where(total > 0, total, 1.0),
+                          jnp.full((n,), 1.0 / n, x.dtype))
         idx = jax.random.choice(sub, n, p=probs)
         return centers.at[i].set(x[idx]), key
 

@@ -104,6 +104,19 @@ def test_kmeans_recovers_blobs(rng):
         assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.2
 
 
+def test_kmeans_all_duplicate_points_no_nan():
+    """All-duplicate inputs make every k-means++ distance zero; the seeding
+    must fall back to a uniform draw instead of feeding 0/0 = NaN
+    probabilities into jax.random.choice (silent garbage under jit)."""
+    x = jnp.ones((20, 3)) * 2.5
+    centers, labels, inertia = kmeans(
+        x, 2, key=jax.random.PRNGKey(1), n_init=2
+    )
+    assert np.isfinite(np.asarray(centers)).all()
+    np.testing.assert_allclose(np.asarray(centers), 2.5)
+    assert float(inertia) == 0.0
+
+
 def test_posterior_cluster_workflow(tmp_path, rng):
     chain = rng.normal(size=(500, 3))
     logl = -np.sum(chain**2, axis=1)
