@@ -819,6 +819,7 @@ class Chain:
         mesh=None,
         resume: bool = False,
         warm_start=None,
+        scheme: str = "mh",
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -859,6 +860,15 @@ class Chain:
         path, deleted file, or ``resume=False``), walkers start from
         ``warm_start.final_state`` rather than fresh prior draws, since no
         burn-in runs when adaptation is skipped.
+
+        ``scheme``: production transition kernel -- ``"mh"`` (classic
+        endpoint Metropolis), ``"windowed"`` (Neal 1994 windowed HMC:
+        window-sum accept/reject plus Boltzmann selection within the
+        chosen window -- same gradient cost, higher acceptance, and
+        rejections resample the start window instead of repeating the
+        current point), or ``"multinomial"`` (full-trajectory Boltzmann
+        baseline; its distance-agnostic selection measurably shortens
+        moves, prefer ``"windowed"``).  See :func:`.hmc.run_hmc`.
         """
         from .hmc import run_hmc
 
@@ -920,7 +930,7 @@ class Chain:
             state=like_state, lo=self.min, hi=self.max,
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
             target_accept=target_accept, traj_jitter=traj_jitter,
-            mesh=mesh, warm_start=warm_start,
+            mesh=mesh, warm_start=warm_start, scheme=scheme,
         )
         logger.info(
             "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",

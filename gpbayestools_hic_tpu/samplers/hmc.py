@@ -270,6 +270,220 @@ def _hmc_scan(
     return (*outs, uf, log_eps_bar)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "log_prob_fn", "nsteps", "n_leapfrog", "bounded", "window",
+    ),
+)
+def _hmc_scan_trajectory(
+    log_prob_fn,
+    state,
+    tf,
+    u0,
+    key,
+    log_eps,
+    *,
+    nsteps: int,
+    n_leapfrog: int,
+    bounded: bool,
+    window: int = 0,
+):
+    """Trajectory-sampling HMC production phase (multinomial / windowed).
+
+    Both schemes place the current point at a random offset inside an
+    ``L``-step leapfrog trajectory (``s`` steps BACKWARD, ``L - s`` forward
+    -- one gradient per iteration either way, so the cost equals classic
+    HMC) and pick the next state by Boltzmann weight
+    ``exp(lp_u - |p|^2 / 2)`` instead of accept/rejecting the endpoint:
+
+    - ``window == 0`` (multinomial): ``s ~ U{0..L}`` and the next state is
+      Boltzmann-sampled from ALL ``L + 1`` states (Stan's within-trajectory
+      scheme, Betancourt 2017 app. A.2).  Never rejects, but the selection
+      is distance-agnostic: measured on the flagship posterior the average
+      |move| halves and tau went 1.89 -> 4.7, so this exists as a
+      correctness baseline, not the production pick.
+    - ``window = W > 0`` (Neal 1994 windowed HMC): ``s ~ U{0..W-1}``, so
+      the current state sits in the W-state REJECT window at the
+      trajectory's start; the W-state ACCEPT window at the far end is
+      accepted with probability ``min(1, sum_A w / sum_R w)`` and the next
+      state is Boltzmann-sampled WITHIN the chosen window.  Accepted moves
+      stay ~L steps long (the multinomial failure mode is gone), window
+      *sums* fluctuate less than endpoint weights (higher acceptance than
+      classic HMC at the same step size), and a rejection resamples within
+      the start window instead of exactly repeating the current point.
+      Requires ``2 W <= L + 1`` (disjoint windows).
+
+    Detailed balance: the windowed kernel is Neal's scheme with the offset
+    drawn uniformly over the reject window; the multinomial kernel is its
+    degenerate full-trajectory limit.  Selection within a window uses the
+    Gumbel-max trick streamed over the scan (no trajectory buffer).
+
+    Adaptation still runs under the Metropolis scheme (:func:`_hmc_scan`)
+    -- dual averaging needs its acceptance statistic -- so this phase takes
+    the adapted ``tf``/``log_eps`` as fixed inputs.  The reported per-step
+    statistic is the mean window acceptance probability (windowed) or the
+    trajectory-averaged ``min(1, exp(dH))`` (multinomial).
+
+    Returns ``(chain_x (nsteps, m, d), lp_x (nsteps, m), accept_stats
+    (nsteps,), u_final)``.
+    """
+    if window < 0 or 2 * window > n_leapfrog + 1:
+        raise ValueError(
+            f"window must satisfy 0 <= 2*window <= n_leapfrog + 1 "
+            f"(got window={window}, n_leapfrog={n_leapfrog})"
+        )
+
+    def value_and_grad_u(u):
+        def f(uu):
+            x, logjac = _u_to_x(uu, tf, bounded)
+            lp_x = log_prob_fn(state, x)
+            total = lp_x + logjac
+            return jnp.sum(total), (total, lp_x)
+
+        (_, (lp_u, lp_x)), g = jax.value_and_grad(f, has_aux=True)(u)
+        g = jnp.where(jnp.isfinite(lp_u)[:, None], g, 0.0)
+        return lp_u, lp_x, g
+
+    eps = jnp.exp(log_eps)
+    m_walk = u0.shape[0]
+    L = n_leapfrog
+    neg_inf = -jnp.inf
+
+    def step(carry, key):
+        u, lp_u, lp_x, g = carry
+        k_p, k_j, k_s, k_g, k_acc = jax.random.split(key, 5)
+        e = eps * jax.random.uniform(k_j, (m_walk, 1), u.dtype, 0.9, 1.1)
+        p0 = jax.random.normal(k_p, u.shape, u.dtype)
+        s_hi = (L + 1) if window == 0 else window
+        s = jax.random.randint(k_s, (m_walk,), 0, s_hi)
+
+        def log_w(lp, p):
+            lw = lp - 0.5 * jnp.sum(p**2, axis=1)
+            return jnp.where(jnp.isnan(lw), neg_inf, lw)
+
+        def gumbel(i):
+            return -jnp.log(-jnp.log(
+                jax.random.uniform(
+                    jax.random.fold_in(k_g, i), (m_walk,), u.dtype,
+                    jnp.finfo(u.dtype).tiny, 1.0,
+                )
+            ))
+
+        def in_r(t):
+            # reject window = first W trajectory slots (all slots if W == 0)
+            if window == 0:
+                return jnp.ones_like(t, bool)
+            return t <= window - 1
+
+        def in_a(t):
+            # accept window = last W trajectory slots (all slots if W == 0)
+            if window == 0:
+                return jnp.ones_like(t, bool)
+            return t >= L - window + 1
+
+        def upd_best(best, member, lw, score, un, lpn_u, lpn_x, gn):
+            take = member & (score > best[0])
+            return (
+                jnp.where(take, score, best[0]),
+                jnp.where(take[:, None], un, best[1]),
+                jnp.where(take, lpn_u, best[2]),
+                jnp.where(take, lpn_x, best[3]),
+                jnp.where(take[:, None], gn, best[4]),
+            )
+
+        def add_lse(lse, member, lw):
+            return jnp.logaddexp(lse, jnp.where(member, lw, neg_inf))
+
+        # start state sits at trajectory slot t = s
+        lw0 = log_w(lp_u, p0)
+        g0_score = lw0 + gumbel(0)
+        t0 = s
+        start = (g0_score, u, lp_u, lp_x, g)
+        none_score = jnp.full((m_walk,), neg_inf, u.dtype)
+        empty = (none_score, u, lp_u, lp_x, g)
+        best_r = upd_best(empty, in_r(t0), lw0, g0_score, u, lp_u, lp_x, g)
+        best_a = upd_best(empty, in_a(t0), lw0, g0_score, u, lp_u, lp_x, g)
+        lse_r = jnp.where(in_r(t0), lw0, neg_inf)
+        lse_a = jnp.where(in_a(t0), lw0, neg_inf)
+
+        def leap_kdk(u_c, p_c, g_c, e_c):
+            ph = p_c + 0.5 * e_c * g_c
+            un = u_c + e_c * ph
+            lpn_u, lpn_x, gn = value_and_grad_u(un)
+            pn = ph + 0.5 * e_c * gn
+            return un, pn, lpn_u, lpn_x, gn
+
+        def body(inner, i):
+            back_st, fwd_st, best_r, best_a, lse_r, lse_a = inner
+            back1 = i < s          # (m,) walker integrates backward this iter
+            back2 = back1[:, None]
+
+            def sel(a, b):
+                return jnp.where(back2 if a.ndim == 2 else back1, a, b)
+
+            # one gradient per iteration: advance whichever side is active
+            u_c = sel(back_st[0], fwd_st[0])
+            p_c = sel(back_st[1], fwd_st[1])
+            g_c = sel(back_st[2], fwd_st[2])
+            un, pn, lpn_u, lpn_x, gn = leap_kdk(u_c, p_c, g_c, e)
+
+            new_vals = (un, pn, gn, lpn_u, lpn_x)
+            new_back = tuple(
+                sel(n, o) for n, o in zip(new_vals, back_st)
+            )
+            new_fwd = tuple(
+                jnp.where(back2 if n.ndim == 2 else back1, o, n)
+                for n, o in zip(new_vals, fwd_st)
+            )
+            # trajectory slot of the state just produced: backward step
+            # i+1 <= s lands at t = s - (i+1); forward step lands at t = i+1
+            t = jnp.where(back1, s - (i + 1), i + 1)
+            lw = log_w(lpn_u, pn)
+            score = lw + gumbel(i + 1)
+            best_r = upd_best(best_r, in_r(t), lw, score, un, lpn_u, lpn_x, gn)
+            best_a = upd_best(best_a, in_a(t), lw, score, un, lpn_u, lpn_x, gn)
+            lse_r = add_lse(lse_r, in_r(t), lw)
+            lse_a = add_lse(lse_a, in_a(t), lw)
+            return (new_back, new_fwd, best_r, best_a, lse_r, lse_a), None
+
+        back0 = (u, -p0, g, lp_u, lp_x)
+        fwd0 = (u, p0, g, lp_u, lp_x)
+        (_, _, best_r, best_a, lse_r, lse_a), _ = lax.scan(
+            body, (back0, fwd0, best_r, best_a, lse_r, lse_a),
+            jnp.arange(L),
+        )
+        if window == 0:
+            # multinomial: both windows are the full trajectory; best_a IS
+            # the Boltzmann draw over all L + 1 states
+            chosen = best_a
+            acc_stat = jnp.mean(
+                jnp.exp(jnp.minimum(lse_a - jnp.log(L + 1.0) - lw0, 0.0))
+            )
+        else:
+            log_acc = jnp.minimum(lse_a - lse_r, 0.0)
+            accept = (
+                jnp.log(jax.random.uniform(
+                    k_acc, (m_walk,), u.dtype, jnp.finfo(u.dtype).tiny, 1.0,
+                )) < log_acc
+            )
+            chosen = tuple(
+                jnp.where(accept[:, None] if a.ndim == 2 else accept, a, r)
+                for a, r in zip(best_a, best_r)
+            )
+            acc_stat = jnp.mean(jnp.exp(log_acc))
+        _, u, lp_u, lp_x, g = chosen
+        x, _ = _u_to_x(u, tf, bounded)
+        return (u, lp_u, lp_x, g), (x, lp_x, acc_stat)
+
+    lp0_u, lp0_x, g0 = value_and_grad_u(u0)
+    keys = jax.random.split(key, nsteps)
+    (uf, *_), (xs, lps, accs) = lax.scan(
+        step, (u0, lp0_u, lp0_x, g0), keys
+    )
+    return xs, lps, accs, uf
+
+
 def _select_leapfrog(us: np.ndarray, l_max: int) -> int:
     """Pick the trajectory length maximizing effective samples per gradient.
 
@@ -418,6 +632,8 @@ def run_hmc(
     probe_steps: int = 64,
     mesh=None,
     warm_start: HMCResult | None = None,
+    scheme: str = "mh",
+    window: int | None = None,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
     production steps from walker positions ``x0`` (nwalkers, ndim).
@@ -476,7 +692,40 @@ def run_hmc(
     ``result.final_state``).  Continuing a converged run this way costs
     zero warmup gradients.  An explicit integer ``n_leapfrog`` overrides
     the warm-started length; ``"auto"`` reuses it.
+
+    ``scheme``: the PRODUCTION transition kernel (see
+    :func:`_hmc_scan_trajectory`; warmup always adapts under ``"mh"``,
+    whose acceptance statistic dual averaging needs).  ``"mh"`` (default)
+    is classic HMC -- integrate ``n_leapfrog`` steps forward, Metropolis
+    accept/reject the endpoint.  ``"windowed"`` is Neal (1994) windowed
+    HMC: accept/reject the ``window``-state far END of the trajectory
+    against its start window by summed Boltzmann weight, then sample
+    within the chosen window -- same gradient cost, higher acceptance
+    (sums fluctuate less than endpoints), and rejections resample the
+    start window instead of exactly repeating the current point.
+    ``window`` defaults to ``min(3, (n_leapfrog + 1) // 2)`` and must
+    satisfy ``2 * window <= n_leapfrog + 1``.  ``"multinomial"``
+    Boltzmann-samples from ALL trajectory states (Stan's within-trajectory
+    scheme) -- kept as a baseline: its distance-agnostic selection
+    measurably halves the move length (flagship tau 1.89 -> 4.7), so
+    prefer ``"windowed"``.
     """
+    if scheme not in ("mh", "multinomial", "windowed"):
+        raise ValueError(
+            f"scheme must be 'mh', 'windowed', or 'multinomial', "
+            f"got {scheme!r}"
+        )
+    # resolve/validate the window BEFORE any warmup runs: a bad window must
+    # not cost the caller two adaptation phases before raising
+    if scheme == "windowed" and not isinstance(n_leapfrog, str):
+        w_eff = window if window is not None else min(
+            3, (int(n_leapfrog) + 1) // 2
+        )
+        if w_eff < 1 or 2 * w_eff > int(n_leapfrog) + 1:
+            raise ValueError(
+                f"window={w_eff} needs 1 <= window and 2*window <= "
+                f"n_leapfrog + 1 (n_leapfrog={n_leapfrog})"
+            )
     if state is None:
         # cached wrapper: a fresh lambda per call would be a new static-arg
         # hash for _hmc_scan's jit, recompiling all three phases every call
@@ -631,11 +880,32 @@ def run_hmc(
             n_leapfrog = _select_leapfrog(np.asarray(us), l_max)
 
     # ---- production: fixed eps
-    xs, lps, accs, _, _ = _hmc_scan(
-        log_prob_fn, state, tf, uf, k_run, log_eps,
-        nsteps=nsteps, n_leapfrog=n_leapfrog, adapt=False, bounded=bounded,
-        target_accept=target_accept, traj_jitter=traj_jitter,
-    )
+    if scheme in ("multinomial", "windowed"):
+        if scheme == "multinomial":
+            w_eff = 0
+        else:
+            # n_leapfrog may have been resolved by the "auto" probe above,
+            # so (re-)derive and validate against the final length
+            w_eff = window if window is not None else min(
+                3, (int(n_leapfrog) + 1) // 2
+            )
+            if w_eff < 1 or 2 * w_eff > int(n_leapfrog) + 1:
+                raise ValueError(
+                    f"window={w_eff} needs 1 <= window and 2*window <= "
+                    f"n_leapfrog + 1 (n_leapfrog={n_leapfrog})"
+                )
+        xs, lps, accs, _ = _hmc_scan_trajectory(
+            log_prob_fn, state, tf, uf, k_run, log_eps,
+            nsteps=nsteps, n_leapfrog=n_leapfrog, bounded=bounded,
+            window=w_eff,
+        )
+    else:
+        xs, lps, accs, _, _ = _hmc_scan(
+            log_prob_fn, state, tf, uf, k_run, log_eps,
+            nsteps=nsteps, n_leapfrog=n_leapfrog, adapt=False,
+            bounded=bounded, target_accept=target_accept,
+            traj_jitter=traj_jitter,
+        )
     return HMCResult(
         chain=jnp.transpose(xs, (1, 0, 2)),
         log_prob=lps.T,

@@ -455,3 +455,140 @@ def test_run_hmc_rejects_nonpositive_warmup():
             lambda s, x: -jnp.sum(x**2, axis=1), jnp.zeros((4, 2)), 8,
             jax.random.PRNGKey(0), warmup=0,
         )
+
+
+# ------------------------------------------------- multinomial trajectory
+
+
+def test_hmc_multinomial_matches_truncated_target():
+    """scheme="multinomial" (uniform-shift static trajectory, Boltzmann
+    state selection) must target the same distribution as the Metropolis
+    endpoint scheme: moments of a near-boundary truncated Gaussian."""
+    lo = np.zeros(2)
+    hi = np.ones(2)
+    mu, sd = 0.85, 0.15
+
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(((x - mu) / sd) ** 2, axis=-1)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(0.3, 0.7, (64, 2)), jnp.float64
+    )
+    res = run_hmc(log_prob, x0, 600, jax.random.PRNGKey(2), state=(),
+                  lo=lo, hi=hi, n_leapfrog=6, warmup=128,
+                  scheme="multinomial")
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert samples.min() >= 0.0 and samples.max() <= 1.0
+    from scipy import stats as sps
+    a, b = (0 - mu) / sd, (1 - mu) / sd
+    truth_mean = sps.truncnorm.mean(a, b, loc=mu, scale=sd)
+    truth_sd = sps.truncnorm.std(a, b, loc=mu, scale=sd)
+    assert np.allclose(samples.mean(0), truth_mean, atol=0.02), (
+        samples.mean(0), truth_mean)
+    assert np.allclose(samples.std(0), truth_sd, atol=0.02), (
+        samples.std(0), truth_sd)
+    # accept_stat is the trajectory-averaged min(1, exp(dH)): a healthy
+    # adapted run sits well above zero and at/below 1
+    acc = float(np.mean(np.asarray(res.acceptance)))
+    assert 0.3 < acc <= 1.0, acc
+
+
+def test_hmc_multinomial_ks_against_analytic_gaussian():
+    """Unbounded + correlated target under the multinomial scheme: KS test
+    per marginal (detects both bias and wrong variance, unlike moments)."""
+    from scipy import stats as sps
+
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float64)
+    mean = jnp.asarray([0.5, -1.0], jnp.float64)
+
+    def log_prob(state, x):
+        d = x - mean
+        return -0.5 * jnp.einsum("bi,ij,bj->b", d, prec, d)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 2), jnp.float64) * 0.2
+    res = run_hmc(log_prob, x0, 500, jax.random.PRNGKey(1), state=(),
+                  n_leapfrog=6, warmup=128, scheme="multinomial")
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    for d in range(2):
+        _, p = sps.kstest(
+            samples[::7, d], "norm",
+            args=(float(mean[d]), np.sqrt(cov[d, d])),
+        )
+        assert p > 1e-3, (d, p)
+
+
+def test_hmc_unknown_scheme_raises():
+    with pytest.raises(ValueError, match="scheme must be"):
+        run_hmc(
+            lambda s, x: -jnp.sum(x**2, axis=1), jnp.zeros((4, 2)), 8,
+            jax.random.PRNGKey(0), warmup=16, scheme="nuts",
+        )
+
+
+def test_hmc_windowed_matches_truncated_target():
+    """scheme="windowed" (Neal 1994): window-sum accept/reject + Boltzmann
+    selection within the chosen window must target the same truncated
+    Gaussian, with near-iid mixing (the CPU measurement that motivated it:
+    tau 1.0 vs 4.3 for the endpoint-Metropolis scheme on this target)."""
+    from scipy import stats as sps
+
+    lo = np.zeros(2)
+    hi = np.ones(2)
+    mu, sd = 0.85, 0.15
+
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(((x - mu) / sd) ** 2, axis=-1)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(0.3, 0.7, (64, 2)), jnp.float64
+    )
+    res = run_hmc(log_prob, x0, 800, jax.random.PRNGKey(2), state=(),
+                  lo=lo, hi=hi, n_leapfrog=6, warmup=128, scheme="windowed")
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert samples.min() >= 0.0 and samples.max() <= 1.0
+    a, b = (0 - mu) / sd, (1 - mu) / sd
+    truth_mean = sps.truncnorm.mean(a, b, loc=mu, scale=sd)
+    truth_sd = sps.truncnorm.std(a, b, loc=mu, scale=sd)
+    assert np.allclose(samples.mean(0), truth_mean, atol=0.01), (
+        samples.mean(0), truth_mean)
+    assert np.allclose(samples.std(0), truth_sd, atol=0.01), (
+        samples.std(0), truth_sd)
+    ess = effective_sample_size(np.asarray(res.chain))
+    # near-iid: wide margin below the measured tau ~ 1
+    assert ess > 0.5 * samples.shape[0], ess
+
+
+def test_hmc_windowed_ks_against_analytic_gaussian():
+    from scipy import stats as sps
+
+    cov = np.array([[1.0, 0.8], [0.8, 2.0]])
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float64)
+    mean = jnp.asarray([0.5, -1.0], jnp.float64)
+
+    def log_prob(state, x):
+        d = x - mean
+        return -0.5 * jnp.einsum("bi,ij,bj->b", d, prec, d)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (64, 2), jnp.float64) * 0.2
+    res = run_hmc(log_prob, x0, 500, jax.random.PRNGKey(1), state=(),
+                  n_leapfrog=6, warmup=128, scheme="windowed")
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    for d in range(2):
+        _, p = sps.kstest(
+            samples[::7, d], "norm",
+            args=(float(mean[d]), np.sqrt(cov[d, d])),
+        )
+        assert p > 1e-3, (d, p)
+
+
+def test_hmc_windowed_window_validation():
+    """2 * window must not exceed n_leapfrog + 1 (disjoint windows), and
+    the check fires BEFORE warmup runs (a bad window must not cost two
+    adaptation phases first)."""
+    with pytest.raises(ValueError, match="window"):
+        run_hmc(
+            lambda x: -jnp.sum(x**2, axis=1), jnp.zeros((4, 2)), 8,
+            jax.random.PRNGKey(0), warmup=16, n_leapfrog=4,
+            scheme="windowed", window=3,
+        )
