@@ -820,6 +820,7 @@ class Chain:
         resume: bool = False,
         warm_start=None,
         scheme: str = "mh",
+        window: int | None = None,
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -868,7 +869,9 @@ class Chain:
         rejections resample the start window instead of repeating the
         current point), or ``"multinomial"`` (full-trajectory Boltzmann
         baseline; its distance-agnostic selection measurably shortens
-        moves, prefer ``"windowed"``).  See :func:`.hmc.run_hmc`.
+        moves, prefer ``"windowed"``).  ``window`` sizes the windowed
+        scheme's accept/reject windows (default ``min(2, (L+1)//2)``, the
+        measured flagship optimum).  See :func:`.hmc.run_hmc`.
         """
         from .hmc import run_hmc
 
@@ -930,7 +933,7 @@ class Chain:
             state=like_state, lo=self.min, hi=self.max,
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
             target_accept=target_accept, traj_jitter=traj_jitter,
-            mesh=mesh, warm_start=warm_start, scheme=scheme,
+            mesh=mesh, warm_start=warm_start, scheme=scheme, window=window,
         )
         logger.info(
             "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",

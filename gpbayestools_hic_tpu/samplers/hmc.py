@@ -703,7 +703,10 @@ def run_hmc(
     within the chosen window -- same gradient cost, higher acceptance
     (sums fluctuate less than endpoints), and rejections resample the
     start window instead of exactly repeating the current point.
-    ``window`` defaults to ``min(3, (n_leapfrog + 1) // 2)`` and must
+    ``window`` defaults to ``min(2, (n_leapfrog + 1) // 2)`` -- on the
+    flagship posterior W=2 measured ~8% more ESS/s than both classic MH
+    and W=3 (selection inside a wider window drifts back from the
+    endpoint, shortening moves: W=3 tau 2.00 vs W=2 tau 1.78) -- and must
     satisfy ``2 * window <= n_leapfrog + 1``.  ``"multinomial"``
     Boltzmann-samples from ALL trajectory states (Stan's within-trajectory
     scheme) -- kept as a baseline: its distance-agnostic selection
@@ -719,7 +722,7 @@ def run_hmc(
     # not cost the caller two adaptation phases before raising
     if scheme == "windowed" and not isinstance(n_leapfrog, str):
         w_eff = window if window is not None else min(
-            3, (int(n_leapfrog) + 1) // 2
+            2, (int(n_leapfrog) + 1) // 2
         )
         if w_eff < 1 or 2 * w_eff > int(n_leapfrog) + 1:
             raise ValueError(
@@ -887,7 +890,7 @@ def run_hmc(
             # n_leapfrog may have been resolved by the "auto" probe above,
             # so (re-)derive and validate against the final length
             w_eff = window if window is not None else min(
-                3, (int(n_leapfrog) + 1) // 2
+                2, (int(n_leapfrog) + 1) // 2
             )
             if w_eff < 1 or 2 * w_eff > int(n_leapfrog) + 1:
                 raise ValueError(
