@@ -405,6 +405,19 @@ def test_chain_run_hmc_contract(tmp_path):
     # overriding it with the fresh-run default of 8
     assert res_w.n_leapfrog == res.n_leapfrog == 6
 
+    # scheme/window pass through the Chain front-end: an oversized window
+    # must raise BEFORE any warmup gradients are spent ...
+    cv = make_chain("win_bad.pkl")
+    with pytest.raises(ValueError, match="window"):
+        cv.run_MCMC_HMC(nsteps=10, nwalkers=8, nburnsteps=16, n_leapfrog=4,
+                        scheme="windowed", window=3)
+    # ... and a valid windowed run writes the same pickle contract
+    cwin = make_chain("win.pkl")
+    cwin.run_MCMC_HMC(nsteps=30, nwalkers=16, nburnsteps=32, n_leapfrog=6,
+                      seed=0, scheme="windowed", window=2)
+    with open(tmp_path / "mcmc" / "win.pkl", "rb") as f:
+        assert pickle.load(f)["chain"].shape == (16, 30, ndim)
+
     # resuming over a flat 2-D chain (run_pocoMC's contract) is a clean error
     cf = make_chain("flat.pkl")
     with open(tmp_path / "mcmc" / "flat.pkl", "wb") as f:
