@@ -214,6 +214,24 @@ def test_public_run_hmc_devices_matches_single(tiny_chain_factory):
 
 
 @pytest.mark.slow
+def test_public_run_hmc_windowed_devices_matches_single(tiny_chain_factory):
+    """The production bench scheme (windowed trajectory sampling) must give
+    sharded == unsharded through the public front-end too: its window
+    bookkeeping (Gumbel-max selection, window-sum accept) runs per walker,
+    so device placement must not perturb the stream."""
+    kw = dict(nsteps=6, nwalkers=16, nburnsteps=4, n_leapfrog=3, seed=5,
+              scheme="windowed", window=2)
+    c_plain = tiny_chain_factory("hmcw_plain")
+    c_plain.run_MCMC_HMC(**kw)
+    c_shard = tiny_chain_factory("hmcw_shard")
+    c_shard.run_MCMC_HMC(devices=8, **kw)
+    np.testing.assert_allclose(
+        np.asarray(c_shard.chain), np.asarray(c_plain.chain), rtol=1e-6,
+        atol=1e-9,
+    )
+
+
+@pytest.mark.slow
 def test_public_run_ptlmc_devices_matches_single(tiny_chain_factory):
     """Chain.run_MCMC_PTLMC(devices=8) == single-device, public API."""
     kw = dict(nsteps=4, nwalkers=8, ntemps=8, maxtemp=20.0,
