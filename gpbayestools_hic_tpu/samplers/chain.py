@@ -821,6 +821,7 @@ class Chain:
         warm_start=None,
         scheme: str = "mh",
         window: int | None = None,
+        persist: float = 0.0,
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -871,7 +872,9 @@ class Chain:
         baseline; its distance-agnostic selection measurably shortens
         moves, prefer ``"windowed"``).  ``window`` sizes the windowed
         scheme's accept/reject windows (default ``min(2, (L+1)//2)``, the
-        measured flagship optimum).  See :func:`.hmc.run_hmc`.
+        measured flagship optimum).  ``persist`` (windowed only) enables
+        partial momentum refresh between steps (Horowitz generalized HMC;
+        0.0 = classic full refresh).  See :func:`.hmc.run_hmc`.
         """
         from .hmc import run_hmc
 
@@ -934,6 +937,7 @@ class Chain:
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
             target_accept=target_accept, traj_jitter=traj_jitter,
             mesh=mesh, warm_start=warm_start, scheme=scheme, window=window,
+            persist=persist,
         )
         logger.info(
             "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",

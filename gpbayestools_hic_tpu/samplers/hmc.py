@@ -274,6 +274,7 @@ def _hmc_scan(
     jax.jit,
     static_argnames=(
         "log_prob_fn", "nsteps", "n_leapfrog", "bounded", "window",
+        "persist",
     ),
 )
 def _hmc_scan_trajectory(
@@ -288,6 +289,7 @@ def _hmc_scan_trajectory(
     n_leapfrog: int,
     bounded: bool,
     window: int = 0,
+    persist: float = 0.0,
 ):
     """Trajectory-sampling HMC production phase (multinomial / windowed).
 
@@ -319,6 +321,17 @@ def _hmc_scan_trajectory(
     degenerate full-trajectory limit.  Selection within a window uses the
     Gumbel-max trick streamed over the scan (no trajectory buffer).
 
+    ``persist`` (windowed only): partial momentum refresh
+    ``p <- persist * p + sqrt(1 - persist^2) * xi`` between steps (Horowitz
+    1991 generalized HMC; the acceptance-window construction was built for
+    exactly this pairing, Neal 1994 sec. 4).  The selected state carries
+    its trajectory momentum onward -- accept-window states keep the
+    forward momentum ``+P_t``, reject-window states the reversed ``-P_t``
+    (the flip modified detailed balance requires: backward-leg candidates
+    already store ``-P_t``; the start and any forward-leg reject
+    candidates are negated at update time).  ``persist=0`` is a full
+    refresh, i.e. exactly the non-persistent kernel.
+
     Adaptation still runs under the Metropolis scheme (:func:`_hmc_scan`)
     -- dual averaging needs its acceptance statistic -- so this phase takes
     the adapted ``tf``/``log_eps`` as fixed inputs.  The reported per-step
@@ -333,6 +346,13 @@ def _hmc_scan_trajectory(
             f"window must satisfy 0 <= 2*window <= n_leapfrog + 1 "
             f"(got window={window}, n_leapfrog={n_leapfrog})"
         )
+    if not 0.0 <= persist < 1.0:
+        raise ValueError(f"persist must be in [0, 1), got {persist}")
+    if persist > 0.0 and window == 0:
+        # the multinomial kernel's momentum bookkeeping under persistence
+        # differs (no disjoint accept/reject windows to key the flip on);
+        # it is a correctness baseline, so persistence is windowed-only
+        raise ValueError("persist > 0 requires the windowed scheme")
 
     def value_and_grad_u(u):
         def f(uu):
@@ -351,10 +371,17 @@ def _hmc_scan_trajectory(
     neg_inf = -jnp.inf
 
     def step(carry, key):
-        u, lp_u, lp_x, g = carry
+        u, p_prev, lp_u, lp_x, g = carry
         k_p, k_j, k_s, k_g, k_acc = jax.random.split(key, 5)
         e = eps * jax.random.uniform(k_j, (m_walk, 1), u.dtype, 0.9, 1.1)
-        p0 = jax.random.normal(k_p, u.shape, u.dtype)
+        xi = jax.random.normal(k_p, u.shape, u.dtype)
+        if persist > 0.0:
+            # AR(1) refresh keeps N(0, I) invariant and is self-adjoint
+            # under it, so composing it with the flip-balanced trajectory
+            # kernel below preserves the joint target
+            p0 = persist * p_prev + np.sqrt(1.0 - persist**2) * xi
+        else:
+            p0 = xi
         s_hi = (L + 1) if window == 0 else window
         s = jax.random.randint(k_s, (m_walk,), 0, s_hi)
 
@@ -382,7 +409,7 @@ def _hmc_scan_trajectory(
                 return jnp.ones_like(t, bool)
             return t >= L - window + 1
 
-        def upd_best(best, member, lw, score, un, lpn_u, lpn_x, gn):
+        def upd_best(best, member, lw, score, un, lpn_u, lpn_x, gn, pn):
             take = member & (score > best[0])
             return (
                 jnp.where(take, score, best[0]),
@@ -390,6 +417,7 @@ def _hmc_scan_trajectory(
                 jnp.where(take, lpn_u, best[2]),
                 jnp.where(take, lpn_x, best[3]),
                 jnp.where(take[:, None], gn, best[4]),
+                jnp.where(take[:, None], pn, best[5]),
             )
 
         def add_lse(lse, member, lw):
@@ -399,11 +427,17 @@ def _hmc_scan_trajectory(
         lw0 = log_w(lp_u, p0)
         g0_score = lw0 + gumbel(0)
         t0 = s
-        start = (g0_score, u, lp_u, lp_x, g)
         none_score = jnp.full((m_walk,), neg_inf, u.dtype)
-        empty = (none_score, u, lp_u, lp_x, g)
-        best_r = upd_best(empty, in_r(t0), lw0, g0_score, u, lp_u, lp_x, g)
-        best_a = upd_best(empty, in_a(t0), lw0, g0_score, u, lp_u, lp_x, g)
+        empty = (none_score, u, lp_u, lp_x, g, p0)
+        # reject-window candidates carry the REVERSED momentum (see the
+        # persistence note in the docstring): for the start state that is
+        # -p0; accept-window candidates keep the forward momentum
+        best_r = upd_best(
+            empty, in_r(t0), lw0, g0_score, u, lp_u, lp_x, g, -p0
+        )
+        best_a = upd_best(
+            empty, in_a(t0), lw0, g0_score, u, lp_u, lp_x, g, p0
+        )
         lse_r = jnp.where(in_r(t0), lw0, neg_inf)
         lse_a = jnp.where(in_a(t0), lw0, neg_inf)
 
@@ -441,8 +475,14 @@ def _hmc_scan_trajectory(
             t = jnp.where(back1, s - (i + 1), i + 1)
             lw = log_w(lpn_u, pn)
             score = lw + gumbel(i + 1)
-            best_r = upd_best(best_r, in_r(t), lw, score, un, lpn_u, lpn_x, gn)
-            best_a = upd_best(best_a, in_a(t), lw, score, un, lpn_u, lpn_x, gn)
+            # reject-window momentum is the reversed -P_t: backward-leg
+            # states already integrated with -p0 so their pn IS -P_t;
+            # forward-leg states (slot t in (s, W-1], possible when s < W-1)
+            # are negated here
+            best_r = upd_best(best_r, in_r(t), lw, score, un, lpn_u, lpn_x,
+                              gn, jnp.where(back2, pn, -pn))
+            best_a = upd_best(best_a, in_a(t), lw, score, un, lpn_u, lpn_x,
+                              gn, pn)
             lse_r = add_lse(lse_r, in_r(t), lw)
             lse_a = add_lse(lse_a, in_a(t), lw)
             return (new_back, new_fwd, best_r, best_a, lse_r, lse_a), None
@@ -472,14 +512,21 @@ def _hmc_scan_trajectory(
                 for a, r in zip(best_a, best_r)
             )
             acc_stat = jnp.mean(jnp.exp(log_acc))
-        _, u, lp_u, lp_x, g = chosen
+        _, u, lp_u, lp_x, g, p_next = chosen
         x, _ = _u_to_x(u, tf, bounded)
-        return (u, lp_u, lp_x, g), (x, lp_x, acc_stat)
+        return (u, p_next, lp_u, lp_x, g), (x, lp_x, acc_stat)
 
     lp0_u, lp0_x, g0 = value_and_grad_u(u0)
+    # fold_in (large constant, same trick as the auto-L probe) rather than
+    # a wider split keeps the persist=0 key stream byte-identical to the
+    # pre-persistence kernel; p_init is stationary N(0, I) so persistent
+    # chains start with no kinetic-energy transient
+    p_init = jax.random.normal(
+        jax.random.fold_in(key, 0x50455253), u0.shape, u0.dtype
+    )
     keys = jax.random.split(key, nsteps)
     (uf, *_), (xs, lps, accs) = lax.scan(
-        step, (u0, lp0_u, lp0_x, g0), keys
+        step, (u0, p_init, lp0_u, lp0_x, g0), keys
     )
     return xs, lps, accs, uf
 
@@ -634,6 +681,7 @@ def run_hmc(
     warm_start: HMCResult | None = None,
     scheme: str = "mh",
     window: int | None = None,
+    persist: float = 0.0,
 ) -> HMCResult:
     """Run preconditioned HMC: warmup (metric + step size), then ``nsteps``
     production steps from walker positions ``x0`` (nwalkers, ndim).
@@ -712,12 +760,26 @@ def run_hmc(
     scheme) -- kept as a baseline: its distance-agnostic selection
     measurably halves the move length (flagship tau 1.89 -> 4.7), so
     prefer ``"windowed"``.
+
+    ``persist`` (windowed scheme only): partial momentum refresh
+    ``p <- persist * p + sqrt(1 - persist^2) * xi`` between production
+    steps (Horowitz 1991 generalized HMC).  Successive trajectories keep
+    drifting the same way instead of taking a fresh random direction, so
+    exploration becomes ballistic over ~1/(1-persist) trajectories;
+    rejections reverse the momentum (the windowed scheme's low rejection
+    rate is what makes persistence pay -- Neal 1994 built acceptance
+    windows for exactly this pairing).  ``0.0`` (default) is the classic
+    full refresh.
     """
     if scheme not in ("mh", "multinomial", "windowed"):
         raise ValueError(
             f"scheme must be 'mh', 'windowed', or 'multinomial', "
             f"got {scheme!r}"
         )
+    if not 0.0 <= persist < 1.0:
+        raise ValueError(f"persist must be in [0, 1), got {persist}")
+    if persist > 0.0 and scheme != "windowed":
+        raise ValueError("persist > 0 requires scheme='windowed'")
     # resolve/validate the window BEFORE any warmup runs: a bad window must
     # not cost the caller two adaptation phases before raising
     if scheme == "windowed" and not isinstance(n_leapfrog, str):
@@ -900,7 +962,7 @@ def run_hmc(
         xs, lps, accs, _ = _hmc_scan_trajectory(
             log_prob_fn, state, tf, uf, k_run, log_eps,
             nsteps=nsteps, n_leapfrog=n_leapfrog, bounded=bounded,
-            window=w_eff,
+            window=w_eff, persist=float(persist),
         )
     else:
         xs, lps, accs, _, _ = _hmc_scan(

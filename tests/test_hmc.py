@@ -595,6 +595,50 @@ def test_hmc_windowed_ks_against_analytic_gaussian():
         assert p > 1e-3, (d, p)
 
 
+@pytest.mark.slow
+def test_hmc_windowed_persistent_matches_truncated_target():
+    """Partial momentum refresh (persist=0.9, Horowitz generalized HMC on
+    top of the windowed scheme) must leave the target invariant: the
+    reject-window momentum flip is what detailed balance hinges on, so a
+    sign error here shows up as biased moments, not a crash."""
+    from scipy import stats as sps
+
+    lo = np.zeros(2)
+    hi = np.ones(2)
+    mu, sd = 0.85, 0.15
+
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(((x - mu) / sd) ** 2, axis=-1)
+
+    x0 = jnp.asarray(
+        np.random.default_rng(0).uniform(0.3, 0.7, (64, 2)), jnp.float64
+    )
+    res = run_hmc(log_prob, x0, 1000, jax.random.PRNGKey(2), state=(),
+                  lo=lo, hi=hi, n_leapfrog=6, warmup=128,
+                  scheme="windowed", persist=0.9)
+    samples = np.asarray(res.chain)[:, 200:, :].reshape(-1, 2)
+    assert samples.min() >= 0.0 and samples.max() <= 1.0
+    a, b = (0 - mu) / sd, (1 - mu) / sd
+    truth_mean = sps.truncnorm.mean(a, b, loc=mu, scale=sd)
+    truth_sd = sps.truncnorm.std(a, b, loc=mu, scale=sd)
+    assert np.allclose(samples.mean(0), truth_mean, atol=0.01), (
+        samples.mean(0), truth_mean)
+    assert np.allclose(samples.std(0), truth_sd, atol=0.01), (
+        samples.std(0), truth_sd)
+
+
+def test_hmc_persist_validation():
+    """persist outside [0, 1) and persist on a non-windowed scheme both
+    raise before any gradients are spent."""
+    f = lambda x: -jnp.sum(x**2, axis=1)
+    with pytest.raises(ValueError, match="persist"):
+        run_hmc(f, jnp.zeros((4, 2)), 8, jax.random.PRNGKey(0),
+                warmup=16, scheme="windowed", persist=1.0)
+    with pytest.raises(ValueError, match="persist"):
+        run_hmc(f, jnp.zeros((4, 2)), 8, jax.random.PRNGKey(0),
+                warmup=16, scheme="mh", persist=0.5)
+
+
 def test_hmc_windowed_window_validation():
     """2 * window must not exceed n_leapfrog + 1 (disjoint windows), and
     the check fires BEFORE warmup runs (a bad window must not cost two
