@@ -214,16 +214,20 @@ def test_public_run_hmc_devices_matches_single(tiny_chain_factory):
 
 
 @pytest.mark.slow
-def test_public_run_hmc_windowed_devices_matches_single(tiny_chain_factory):
-    """The production bench scheme (windowed trajectory sampling) must give
-    sharded == unsharded through the public front-end too: its window
-    bookkeeping (Gumbel-max selection, window-sum accept) runs per walker,
+@pytest.mark.parametrize("persist", [0.0, 0.7])
+def test_public_run_hmc_windowed_devices_matches_single(
+    tiny_chain_factory, persist
+):
+    """The production bench scheme (windowed trajectory sampling, with and
+    without persistent momentum) must give sharded == unsharded through the
+    public front-end too: its window bookkeeping (Gumbel-max selection,
+    window-sum accept) and the persistent-momentum carry run per walker,
     so device placement must not perturb the stream."""
     kw = dict(nsteps=6, nwalkers=16, nburnsteps=4, n_leapfrog=3, seed=5,
-              scheme="windowed", window=2)
-    c_plain = tiny_chain_factory("hmcw_plain")
+              scheme="windowed", window=2, persist=persist)
+    c_plain = tiny_chain_factory(f"hmcw_plain{persist}")
     c_plain.run_MCMC_HMC(**kw)
-    c_shard = tiny_chain_factory("hmcw_shard")
+    c_shard = tiny_chain_factory(f"hmcw_shard{persist}")
     c_shard.run_MCMC_HMC(devices=8, **kw)
     np.testing.assert_allclose(
         np.asarray(c_shard.chain), np.asarray(c_plain.chain), rtol=1e-6,
