@@ -14,7 +14,9 @@ Measures and prints ONE JSON line on stdout (progress goes to stderr):
   ``Chain.posterior_with_state()`` -- the best of the stretch move, the
   differential-evolution move (``run_ensemble``), and the preconditioned
   HMC sampler (``run_hmc``, ``scheme="windowed"`` -- Neal-windowed
-  trajectory sampling, the measured-fastest production scheme).  ESS via
+  trajectory sampling with Horowitz persistent momentum, the
+  measured-fastest production configuration; see ``HMC_LEAPFROG`` /
+  ``HMC_PERSIST`` for the sweep evidence).  ESS via
   integrated autocorrelation time (emcee-style FFT estimator).  The
   ensemble moves' tau is measured on an 8192-step window (8 chunks of the
   compiled 1024-step program, state carried across) so the windowed
@@ -76,7 +78,15 @@ HMC_STEPS = 512      # >> 50 * tau (~1.9): the tau estimate is converged
 # sweep found 64/phase optimal here; the auto rule lands in the same
 # neighborhood and its cost is charged to the ESS/s wall clock.
 HMC_WARMUP = "auto"
-HMC_LEAPFROG = 8
+# L=7 with Horowitz persistent momentum (persist=0.7): the interleaved
+# same-session sweep over (L, persist) found persist 0.7 worth ~8-10% over
+# full refresh at both L=7 and L=8 (L8: 7477-8031 -> 8215-8918 ESS/s;
+# L7 P=0.7: 8794 vs L7 P=0: 8022), with L=7 matching L=8 at one fewer
+# gradient per step (tau 1.86 vs 1.61 -- the extra mixing doesn't pay for
+# the extra gradient).  persist>0 needs acceptance ~0.8+ (rejections flip
+# the persistent momentum), which the auto-adapted eps delivers here.
+HMC_LEAPFROG = 7
+HMC_PERSIST = 0.7
 CPU_BASELINE_WALKERS = 7
 # ensemble tau window: 8 x 1024 = 8192 steps >> 50 * tau (~90) so the
 # windowed FFT estimator converges (round-2 bench was window-limited)
@@ -256,7 +266,7 @@ def bench_hmc(chain, dtype):
     # 7347/7362 across repeat runs; W=3 loses, tau 2.00 vs 1.78).
     kwargs = dict(state=like_state, lo=chain.min, hi=chain.max,
                   n_leapfrog=HMC_LEAPFROG, warmup=HMC_WARMUP,
-                  scheme="windowed")
+                  scheme="windowed", persist=HMC_PERSIST)
 
     log("[hmc] compiling sampler ...")
     t0 = time.perf_counter()
