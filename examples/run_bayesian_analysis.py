@@ -56,9 +56,13 @@ def main(sampler: str = "pocoMC", devices: int | None = None, **overrides):
         # n_leapfrog="auto" calibrates the trajectory length per posterior;
         # scheme="windowed" (Neal-windowed trajectory sampling) is the
         # measured production pick: ~8% more ESS/s than endpoint
-        # Metropolis at the same gradient cost on the flagship posterior
+        # Metropolis at the same gradient cost on the flagship posterior.
+        # persist=0.7 (Horowitz partial momentum refresh) adds another
+        # ~8-10% WHEN acceptance adapts high (~0.85+); rejections reverse
+        # the persistent momentum, so drop it to 0.0 if acceptance is low.
         kwargs = dict(nsteps=500, nwalkers=64, nburnsteps=128,
-                      n_leapfrog="auto", scheme="windowed", devices=devices)
+                      n_leapfrog="auto", scheme="windowed", persist=0.7,
+                      devices=devices)
         chain.run_MCMC_HMC(**{**kwargs, **overrides})
     else:
         raise SystemExit(f"unknown sampler {sampler}")
