@@ -24,3 +24,17 @@ def test_parse_comment_only_lines_skipped(tmp_path):
 def test_working_dtype_x64():
     assert x64_enabled()
     assert working_dtype() == jnp.float64
+
+
+def test_version_matches_pyproject():
+    """pyproject.toml's static version must track the package version
+    (they drifted once: 0.3.2 vs 0.3.8)."""
+    import re
+    from pathlib import Path
+
+    import gpbayestools_hic_tpu as pkg
+
+    text = (Path(pkg.__file__).parents[1] / "pyproject.toml").read_text()
+    m = re.search(r'^version = "([^"]+)"', text, re.M)
+    assert m is not None
+    assert m.group(1) == pkg.__version__
