@@ -14,6 +14,8 @@ API (all pure functions over a parameter pytree):
 - :func:`flow_inverse`  -- latent -> data, with log |det du/dz|
 - :func:`flow_logprob`  -- log q(u) under the flow
 - :func:`fit_flow`      -- weighted maximum likelihood with Adam (jitted scan)
+- :func:`fit_flow_dynamic` -- same fit with a TRACED step budget, for
+  callers that fuse the fit into a larger jitted program (the SMC loop)
 
 Conventions: ``forward`` maps data ``u`` to latent ``z`` trained toward
 N(0, I); coupling scales are tanh-bounded for stability.
@@ -261,6 +263,112 @@ def flow_logprob(params, u, config: FlowConfig = FlowConfig()):
     return log_n + logdet
 
 
+def _whiten_and_normalize(params, u, weights):
+    """Normalized weights + params with the pre-layer set from the weighted
+    moments (the shared preamble of every flow fit)."""
+    w = weights / jnp.sum(weights)
+    mean = jnp.sum(w[:, None] * u, axis=0)
+    var = jnp.sum(w[:, None] * (u - mean) ** 2, axis=0)
+    params = dict(params)
+    params["pre_mean"] = mean
+    params["pre_log_scale"] = 0.5 * jnp.log(var + 1e-12)
+    return params, w
+
+
+def _make_adam_step(u, w, config: FlowConfig, lr: float):
+    """(opt, adam_step) for a weighted max-likelihood fit on ``u``."""
+    # weight decay must not touch the frozen pre-layer: adamw decays ALL
+    # parameters even when their gradients are zeroed
+    def decay_mask(p):
+        return {
+            "layers": jax.tree.map(lambda _: True, p["layers"]),
+            "pre_mean": False,
+            "pre_log_scale": False,
+        }
+
+    opt = optax.adamw(lr, weight_decay=config.weight_decay, mask=decay_mask)
+
+    def loss_fn(p):
+        return -jnp.sum(w * flow_logprob(p, u, config))
+
+    def adam_step(p, s):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        # Freeze the whitening pre-layer: it is set from the data moments
+        # above.  Letting the optimizer move pre_log_scale gives the model an
+        # unbounded logdet term -- the tanh-bounded couplings then overfit
+        # spikes onto the training points (observed: avg logprob blowing past
+        # the true entropy).  With it frozen the total logdet is bounded by
+        # n_layers * max_log_scale.
+        grads["pre_mean"] = jnp.zeros_like(grads["pre_mean"])
+        grads["pre_log_scale"] = jnp.zeros_like(grads["pre_log_scale"])
+        updates, s = opt.update(grads, s, p)
+        p = optax.apply_updates(p, updates)
+        return p, s, loss
+
+    return opt, adam_step
+
+
+def fit_flow_dynamic(
+    params,
+    u: jnp.ndarray,
+    weights: jnp.ndarray,
+    steps,
+    *,
+    config: FlowConfig = FlowConfig(),
+    lr: float = 1e-3,
+    patience: int = 0,
+):
+    """:func:`fit_flow` body with a TRACEABLE step budget.
+
+    ``steps`` may be a traced int32 scalar, so one compiled program serves
+    every budget -- the SMC loop fuses this into its per-iteration device
+    program and shares it between the cold first fit and the shorter
+    warm-started refits (a static ``steps`` would compile each budget
+    separately; a fresh-process SMC run paid one extra multi-second remote
+    compile exactly for that).  Early stopping runs with ``patience > 0``
+    as in :func:`fit_flow`; ``patience <= 0`` disables it (the loop always
+    runs ``steps`` iterations).  NOT jitted itself: call it inside a jitted
+    caller (or use :func:`fit_flow`, which wraps it).
+    """
+    params, w = _whiten_and_normalize(params, u, weights)
+    opt, adam_step = _make_adam_step(u, w, config, lr)
+    steps = jnp.asarray(steps, jnp.int32)
+    opt_state = opt.init(params)
+
+    # large FINITE sentinel: with +inf, `best - tol*|best|` is inf-inf = NaN
+    # and the first step would never count as an improvement
+    big = jnp.asarray(jnp.finfo(u.dtype).max / 8, u.dtype)
+
+    def cond(carry):
+        _, _, i, _, since, _ = carry
+        keep = i < steps
+        if patience > 0:
+            keep &= since < patience
+        return keep
+
+    def body(carry):
+        p, s, i, best, since, best_p = carry
+        # adam_step's loss is evaluated at the PRE-update p, so p (not the
+        # updated params) is the candidate best; returning the best-seen
+        # params rather than the last ones means the patience window's
+        # post-plateau drift is never shipped to the caller
+        p_new, s, loss = adam_step(p, s)
+        take = loss < best
+        best_p = jax.tree_util.tree_map(
+            lambda b, c: jnp.where(take, c, b), best_p, p
+        )
+        improved = loss < best - 1e-3 * jnp.abs(best)
+        best = jnp.minimum(best, loss)
+        since = jnp.where(improved, 0, since + 1)
+        return p_new, s, i + 1, best, since, best_p
+
+    _, _, _, best, _, best_params = lax.while_loop(
+        cond, body, (params, opt_state, jnp.asarray(0, jnp.int32), big,
+                     jnp.asarray(0, jnp.int32), params)
+    )
+    return best_params, best
+
+
 @partial(jax.jit, static_argnames=("config", "steps", "patience"))
 def fit_flow(
     params,
@@ -287,44 +395,14 @@ def fit_flow(
     gradients, no dropout/minibatching); the parameter is kept so callers
     don't churn if stochastic fitting (minibatch Adam) is ever added.
     """
-    w = weights / jnp.sum(weights)
-    mean = jnp.sum(w[:, None] * u, axis=0)
-    var = jnp.sum(w[:, None] * (u - mean) ** 2, axis=0)
-    params = dict(params)
-    params["pre_mean"] = mean
-    params["pre_log_scale"] = 0.5 * jnp.log(var + 1e-12)
-
-    # weight decay must not touch the frozen pre-layer: adamw decays ALL
-    # parameters even when their gradients are zeroed
-    def decay_mask(p):
-        return {
-            "layers": jax.tree.map(lambda _: True, p["layers"]),
-            "pre_mean": False,
-            "pre_log_scale": False,
-        }
-
-    opt = optax.adamw(lr, weight_decay=config.weight_decay, mask=decay_mask)
-
-    def loss_fn(p):
-        return -jnp.sum(w * flow_logprob(p, u, config))
-
-    opt_state = opt.init(params)
-
-    def adam_step(p, s):
-        loss, grads = jax.value_and_grad(loss_fn)(p)
-        # Freeze the whitening pre-layer: it is set from the data moments
-        # above.  Letting the optimizer move pre_log_scale gives the model an
-        # unbounded logdet term -- the tanh-bounded couplings then overfit
-        # spikes onto the training points (observed: avg logprob blowing past
-        # the true entropy).  With it frozen the total logdet is bounded by
-        # n_layers * max_log_scale.
-        grads["pre_mean"] = jnp.zeros_like(grads["pre_mean"])
-        grads["pre_log_scale"] = jnp.zeros_like(grads["pre_log_scale"])
-        updates, s = opt.update(grads, s, p)
-        p = optax.apply_updates(p, updates)
-        return p, s, loss
-
     if patience <= 0:
+        # exact fixed-length schedule: a scan keeps the historical
+        # "final_loss is the LAST step's loss" contract (the while_loop
+        # path returns the BEST loss instead)
+        params, w = _whiten_and_normalize(params, u, weights)
+        opt, adam_step = _make_adam_step(u, w, config, lr)
+        opt_state = opt.init(params)
+
         def step(carry, _):
             p, s = carry
             p, s, loss = adam_step(p, s)
@@ -335,32 +413,6 @@ def fit_flow(
         )
         return params, losses[-1]
 
-    # large FINITE sentinel: with +inf, `best - tol*|best|` is inf-inf = NaN
-    # and the first step would never count as an improvement
-    big = jnp.asarray(jnp.finfo(u.dtype).max / 8, u.dtype)
-
-    def cond(carry):
-        _, _, i, _, since, _ = carry
-        return (i < steps) & (since < patience)
-
-    def body(carry):
-        p, s, i, best, since, best_p = carry
-        # adam_step's loss is evaluated at the PRE-update p, so p (not the
-        # updated params) is the candidate best; returning the best-seen
-        # params rather than the last ones means the patience window's
-        # post-plateau drift is never shipped to the caller
-        p_new, s, loss = adam_step(p, s)
-        take = loss < best
-        best_p = jax.tree_util.tree_map(
-            lambda b, c: jnp.where(take, c, b), best_p, p
-        )
-        improved = loss < best - 1e-3 * jnp.abs(best)
-        best = jnp.minimum(best, loss)
-        since = jnp.where(improved, 0, since + 1)
-        return p_new, s, i + 1, best, since, best_p
-
-    _, _, _, best, _, best_params = lax.while_loop(
-        cond, body, (params, opt_state, jnp.asarray(0, jnp.int32), big,
-                     jnp.asarray(0, jnp.int32), params)
+    return fit_flow_dynamic(
+        params, u, weights, steps, config=config, lr=lr, patience=patience
     )
-    return best_params, best

@@ -72,7 +72,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .flows import FlowConfig, fit_flow, flow_forward, flow_inverse, init_flow
+from .flows import (
+    FlowConfig,
+    fit_flow,
+    fit_flow_dynamic,
+    flow_forward,
+    flow_inverse,
+    init_flow,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -297,6 +304,71 @@ def _mcmc_adaptive(
     logp_x = logp_u - logdet_xu
     steps_f = jnp.maximum(steps.astype(u.dtype), 1.0)
     return u, logl, logp_u, logp_x, rho, steps, acc_sum / steps_f
+
+
+@partial(
+    jax.jit,
+    static_argnums=(0, 1),
+    static_argnames=("kernel", "config", "patience"),
+)
+def _smc_iteration(
+    log_likelihood,
+    log_prior_fn,
+    state,
+    flow_params,
+    flow_weights,
+    u_act,
+    logl_act,
+    logp_u_act,
+    beta,
+    rho,
+    key,
+    lo,
+    hi,
+    log_prior_x,
+    n_max_steps,
+    steps_fit,
+    *,
+    kernel: str,
+    config: FlowConfig,
+    patience: int,
+):
+    """One fused SMC iteration: flow fit -> dof estimate -> adaptive MCMC.
+
+    The whole per-iteration device phase is ONE program so the annealing
+    loop pays one dispatch per iteration and one compile per run.  Profiled
+    on the flagship bench config (TPU v5e via the axon tunnel), the
+    unfused pipeline spent 41% of SMC wall time in fit_flow (three step-
+    budget/batch-shape compiles), 11% in the separate flow_forward dispatch
+    feeding the dof fit, and 11% in _mcmc_adaptive -- mostly per-call
+    latency, not compute.  ``steps_fit`` is TRACED (fit_flow_dynamic), so
+    the cold first fit and the shorter warm refits share this one program.
+
+    Returns ``(flow_params, u, logl, logp_x, rho, stats)`` with ``stats``
+    = ``[steps_taken, mean_accept, flow_loss, rho]`` stacked as one small
+    device vector (a single host pull covers every per-iteration log
+    figure).
+    """
+    k_fit, k_mcmc = jax.random.split(key)
+    del k_fit  # the flow fit is deterministic; split kept for key hygiene
+    flow_params, flow_loss = fit_flow_dynamic(
+        flow_params, u_act, flow_weights, steps_fit,
+        config=config, patience=patience,
+    )
+    if kernel == "tpcn":
+        z_act, _ = flow_forward(flow_params, u_act, config)
+        nu = _estimate_dof(z_act)
+    else:
+        nu = jnp.asarray(1e6, u_act.dtype)
+    u, logl, _, logp_x, rho, steps, acc = _mcmc_adaptive(
+        log_likelihood, log_prior_fn, state, flow_params, u_act, logl_act,
+        logp_u_act, beta, rho, nu, k_mcmc, lo, hi, log_prior_x, n_max_steps,
+        kernel=("rwm" if kernel == "rwm" else "tpcn"), config=config,
+    )
+    stats = jnp.stack([
+        steps.astype(u.dtype), acc, flow_loss.astype(u.dtype), rho,
+    ])
+    return flow_params, u, logl, logp_x, rho, stats
 
 
 # --------------------------------------------- persistent-sampling weights
@@ -557,7 +629,6 @@ def run_smc(
     flow_params = init_flow(k_flow, ndim, flow_config, dtype)
     flow_weights = _shard(jnp.asarray(np.ones(n_active, np_dtype)))
     rho = jnp.asarray(0.5, dtype)
-    nu_dev = jnp.asarray(1e6, dtype)
     cap = jnp.asarray(n_max_steps, jnp.int32)
 
     beta = 0.0
@@ -573,8 +644,11 @@ def run_smc(
 
     def run_iteration(beta_target, lw, hl, hu):
         """Resample n_active from the ``lw``-weighted history, precondition,
-        MCMC-move, append."""
-        nonlocal flow_params, rho, nu_dev, key, total_steps
+        MCMC-move, append -- ONE fused device program (see
+        :func:`_smc_iteration`): profiling on the flagship bench config
+        showed the unfused flow-fit / dof / MCMC dispatches and their
+        separate compiles dominating SMC wall time on this runtime."""
+        nonlocal flow_params, rho, key, total_steps
         idx = _systematic_resample(rng, lw, n_active)
         u_np = hu[idx]
         u_act = _shard(jnp.asarray(u_np, dtype=dtype))
@@ -584,38 +658,39 @@ def run_smc(
             (np.concatenate(logp_h)[idx] + logdet_xu).astype(np_dtype)
         ))
 
-        key, k_fit, k_mcmc = jax.random.split(key, 3)
+        key, k_it = jax.random.split(key)
         # first fit trains from the identity flow and needs the full budget;
         # subsequent fits warm-start from the previous iteration's flow on a
-        # slowly-shifting population (fit_flow re-whitens the pre-layer each
+        # slowly-shifting population (the fit re-whitens the pre-layer each
         # call), so a fraction of the steps suffices -- the fit was 40% of
-        # SMC wall time at full budget (profiled on TPU)
+        # SMC wall time at full budget (profiled on TPU).  steps_fit is a
+        # TRACED argument: both budgets run the one compiled program.
         warm = flow_fit_steps_warm
         if warm is None:
             # clamped so a small caller budget (e.g. flow_fit_steps=50)
             # never makes the warm-started fit LONGER than the cold one
             warm = min(flow_fit_steps, max(75, flow_fit_steps // 3))
         steps_fit = flow_fit_steps if iteration <= 1 else warm
-        flow_params, flow_loss = fit_flow(
-            flow_params, u_act, flow_weights, k_fit,
-            config=flow_config, steps=steps_fit, patience=flow_fit_patience,
-        )
-        if sample == "tpcn":
-            z_act, _ = flow_forward(flow_params, u_act, flow_config)
-            nu_dev = _estimate_dof(z_act)  # device scalar, no host pull
-        else:
-            nu_dev = jnp.asarray(1e6, dtype)
-        u_new, logl_new, _, logp_x_new, rho, steps, acc = _mcmc_adaptive(
-            ll_fn, log_prior_fn, state, flow_params, u_act, logl_act,
-            logp_u_act, jnp.asarray(beta_target, dtype), rho, nu_dev, k_mcmc,
+        flow_params, u_new, logl_new, logp_x_new, rho, stats = _smc_iteration(
+            ll_fn, log_prior_fn, state, flow_params, flow_weights, u_act,
+            logl_act, logp_u_act, jnp.asarray(beta_target, dtype), rho, k_it,
             prior_lo, prior_hi, log_prior_x, cap,
-            kernel=("rwm" if sample == "rwm" else "tpcn"), config=flow_config,
+            jnp.asarray(steps_fit, jnp.int32),
+            kernel=sample, config=flow_config, patience=flow_fit_patience,
         )
-        u_h.append(np.asarray(u_new, dtype=np.float64))
-        logl_h.append(np.asarray(logl_new, dtype=np.float64))
-        logp_h.append(np.asarray(logp_x_new, dtype=np.float64))
-        total_steps += int(steps)
-        return int(steps), float(acc), float(flow_loss)
+        # one bundled host pull for the history append + every log figure
+        u_np_new, logl_np_new, logp_np_new, stats_np = jax.device_get(
+            (u_new, logl_new, logp_x_new, stats)
+        )
+        u_h.append(np.asarray(u_np_new, dtype=np.float64))
+        logl_h.append(np.asarray(logl_np_new, dtype=np.float64))
+        logp_h.append(np.asarray(logp_np_new, dtype=np.float64))
+        steps, acc, flow_loss, rho_val = (
+            int(stats_np[0]), float(stats_np[1]), float(stats_np[2]),
+            float(stats_np[3]),
+        )
+        total_steps += steps
+        return steps, acc, flow_loss, rho_val
 
     # ----------------------------------------------------- annealing phase
     while beta < 1.0 and iteration < max_iterations:
@@ -625,7 +700,7 @@ def run_smc(
         beta_new = _next_beta(lc, lm, beta, n_effective)
         lw = _log_weights(lc, lm, beta_new)
         logz_new = logmeanexp(lw)
-        steps, acc, flow_loss = run_iteration(beta_new, lw, hl, hu)
+        steps, acc, flow_loss, rho_val = run_iteration(beta_new, lw, hl, hu)
         betas.append(beta_new)
         logzs.append(logz_new)
         counts.append(n_active)
@@ -633,7 +708,7 @@ def run_smc(
         logger.info(
             "SMC iter %d: beta=%.4f, steps=%d, accept=%.3f, rho=%.3f, "
             "flow loss=%.2f, logz=%.3f", iteration, beta, steps, acc,
-            float(rho), flow_loss, logz_new,
+            rho_val, flow_loss, logz_new,
         )
     if beta < 1.0:
         logger.warning(
@@ -653,7 +728,7 @@ def run_smc(
             break
         iteration += 1
         logz1 = logmeanexp(lw1)
-        steps, acc, _ = run_iteration(1.0, lw1, hl, hu)
+        steps, acc, _, _ = run_iteration(1.0, lw1, hl, hu)
         betas.append(1.0)
         logzs.append(logz1)
         counts.append(n_active)
