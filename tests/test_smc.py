@@ -69,6 +69,36 @@ def test_fit_flow_patience_returns_best_params():
     assert abs(fresh - float(loss)) < 1e-3 * max(1.0, abs(fresh)), (fresh, loss)
 
 
+def test_fit_flow_dynamic_one_program_for_all_budgets():
+    """The traced step budget must NOT recompile per budget -- the SMC loop
+    relies on the cold first fit and the warm refits sharing one compiled
+    program (a static budget cost one extra multi-second remote compile per
+    fresh-process SMC run)."""
+    from gpbayestools_hic_tpu.samplers.flows import fit_flow_dynamic
+
+    cfg = FlowConfig(n_layers=2, hidden=16, coupling="affine")
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(1.0, 0.5, size=(128, 2)))
+    w = jnp.ones(len(u), u.dtype)
+    p0 = init_flow(jax.random.PRNGKey(0), 2, cfg, u.dtype)
+
+    fit_j = jax.jit(
+        lambda p, uu, ww, s: fit_flow_dynamic(p, uu, ww, s, config=cfg)
+    )
+    p_a, loss_a = fit_j(p0, u, w, jnp.asarray(120, jnp.int32))
+    p_b, loss_b = fit_j(p0, u, w, jnp.asarray(40, jnp.int32))
+    assert fit_j._cache_size() == 1
+    assert np.isfinite(float(loss_a)) and np.isfinite(float(loss_b))
+    # the longer budget should fit at least as well (both return best-seen)
+    assert float(loss_a) <= float(loss_b) + 1e-6
+
+    # and the fit quality matches the static fit_flow at the same budget
+    p_s, _ = fit_flow(p0, u, w, jax.random.PRNGKey(1), config=cfg, steps=120)
+    ll_dyn = float(jnp.mean(flow_logprob(p_a, u, cfg)))
+    ll_sta = float(jnp.mean(flow_logprob(p_s, u, cfg)))
+    assert abs(ll_dyn - ll_sta) < 0.3, (ll_dyn, ll_sta)
+
+
 def test_mixture_terms_rejects_nan_likelihoods():
     """A NaN history log-likelihood must get ~zero posterior weight, not
     logl=0 (which would dominate every real strongly-negative particle)."""
