@@ -134,6 +134,66 @@ def tri_matmul_upper_t(
     return jnp.concatenate(rows, axis=0)
 
 
+def spd_qform_logdet(
+    s: jnp.ndarray, z: jnp.ndarray, *, max_unroll: int = 32
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """``(z^T S^-1 z, log det S)`` for batched SMALL SPD matrices, unrolled.
+
+    ``s`` (..., k, k), ``z`` (..., k) with k a static (trace-time) size;
+    returns two (...,) arrays.  XLA lowers batched Cholesky + triangular
+    solve to While-loop programs whose per-iteration latency dwarfs the
+    arithmetic when k is small: in the Woodbury likelihood (the #1 sampler
+    hot path, samplers/chain.py block_ll replacing the reference's
+    per-walker dpotrf/dpotrs at src/mcmc.py:23-65) the batched (1024, 4, 4)
+    ``cholesky`` + ``cho_solve`` measured 3.88 ms in-scan on TPU v5e --
+    65% of the ENTIRE flagship posterior evaluation -- while this static
+    Cholesky-Crout unroll is pure fused elementwise VPU work (< 0.01 ms).
+    Only forward substitution is needed (the quadratic form is
+    ``|L^-1 z|^2``) and no factor is materialized.
+
+    Numerics: identical operation sequence to an exact Cholesky, so values
+    match ``jnp.linalg.cholesky``-based evaluation to roundoff.  A non-PD
+    input hits ``sqrt`` of a negative pivot and propagates NaN exactly like
+    the XLA factorization, preserving callers' isfinite -> -inf guards.
+    Differentiable in both modes (plain smooth ops; no custom_vjp).
+    Matrices larger than ``max_unroll`` fall back to the XLA batched path
+    (the While-loop overhead amortizes once k^3 work dominates).
+    """
+    k = s.shape[-1]
+    if k > max_unroll:
+        chol = jnp.linalg.cholesky(s)
+        w = lax.linalg.triangular_solve(
+            chol, z[..., :, None], left_side=True, lower=True
+        )[..., 0]
+        logdet = 2.0 * jnp.sum(
+            jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+        )
+        return jnp.sum(w * w, axis=-1), logdet
+    lo = [[None] * k for _ in range(k)]  # strictly-lower + diagonal factors
+    w: list = [None] * k
+    logdet_half = None
+    for j in range(k):
+        d = s[..., j, j]
+        for p in range(j):
+            d = d - lo[j][p] * lo[j][p]
+        dj = jnp.sqrt(d)
+        wj = z[..., j]
+        for p in range(j):
+            wj = wj - lo[j][p] * w[p]
+        w[j] = wj / dj
+        lg = jnp.log(dj)
+        logdet_half = lg if logdet_half is None else logdet_half + lg
+        for i in range(j + 1, k):
+            off = s[..., i, j]
+            for p in range(j):
+                off = off - lo[i][p] * lo[j][p]
+            lo[i][j] = off / dj
+    q = w[0] * w[0]
+    for j in range(1, k):
+        q = q + w[j] * w[j]
+    return q, 2.0 * logdet_half
+
+
 def mvn_loglike(y: jnp.ndarray, cov: jnp.ndarray) -> jnp.ndarray:
     """Unnormalized MVN log-likelihood of difference vector ``y`` under ``cov``.
 

@@ -229,3 +229,61 @@ def test_tri_matmul_lower_exact():
             np.asarray(tri_matmul_upper_t(g, k, nb=nb)), np.asarray(g.T @ k),
             rtol=1e-12, atol=1e-12,
         )
+
+
+def test_spd_qform_logdet_matches_dense():
+    """Unrolled capacitance solve == dense Cholesky solve, values and
+    reverse gradients, across sizes and batch shapes (CPU x64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.ops.linalg import spd_qform_logdet
+
+    rng = np.random.default_rng(3)
+    for k, batch in ((1, (5,)), (2, (8,)), (4, (6,)), (7, (3, 4)), (12, (9,))):
+        a = rng.normal(size=batch + (k, k))
+        s = a @ np.swapaxes(a, -1, -2) + 3.0 * np.eye(k)  # SPD, well-cond
+        z = rng.normal(size=batch + (k,))
+        sj, zj = jnp.asarray(s), jnp.asarray(z)
+
+        q, logdet = spd_qform_logdet(sj, zj)
+        # dense reference
+        sol = np.linalg.solve(s, z[..., :, None])[..., 0]
+        q_ref = np.sum(z * sol, axis=-1)
+        _, logdet_ref = np.linalg.slogdet(s)
+        np.testing.assert_allclose(np.asarray(q), q_ref, rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(logdet), logdet_ref, rtol=1e-10)
+
+        # unrolled path == XLA fallback path, values AND reverse grads
+        def f_unroll(ss, zz):
+            qq, ld = spd_qform_logdet(ss, zz)
+            return jnp.sum(qq + 0.5 * ld)
+
+        def f_fallback(ss, zz):
+            qq, ld = spd_qform_logdet(ss, zz, max_unroll=0)
+            return jnp.sum(qq + 0.5 * ld)
+
+        np.testing.assert_allclose(
+            float(f_unroll(sj, zj)), float(f_fallback(sj, zj)), rtol=1e-12
+        )
+        gs_u, gz_u = jax.grad(f_unroll, argnums=(0, 1))(sj, zj)
+        gs_f, gz_f = jax.grad(f_fallback, argnums=(0, 1))(sj, zj)
+        # the fallback's cholesky grad is symmetrized differently; compare
+        # the symmetrized cotangent (S is used symmetrically by callers)
+        sym = lambda g: 0.5 * (np.asarray(g) + np.swapaxes(np.asarray(g), -1, -2))
+        np.testing.assert_allclose(sym(gs_u), sym(gs_f), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(gz_u), np.asarray(gz_f), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_spd_qform_logdet_nonpd_propagates_nan():
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.ops.linalg import spd_qform_logdet
+
+    s = jnp.asarray(np.array([[[1.0, 0.0], [0.0, -2.0]]]))  # non-PD
+    z = jnp.asarray(np.ones((1, 2)))
+    q, logdet = spd_qform_logdet(s, z)
+    assert not np.isfinite(np.asarray(q)).any()
+    assert not np.isfinite(np.asarray(logdet)).any()
