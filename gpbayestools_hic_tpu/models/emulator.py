@@ -318,6 +318,27 @@ class Emulator:
             alpha_vec=gs.alpha_vec, linv=gs.linv, lml=empty,
         )
         st = {"gp_state": slim, "scaler": self.scaler}
+        # fused Pallas predict state (TPU f32 RBF): kernel-ready padded
+        # layouts for ops.pallas_predict -- host-numpy prep, built once
+        from ..ops import pallas_predict as _pp
+
+        if _pp.fused_eligible(
+            self.gp_config.kernel.kind, gs.x.shape[1], self._dtype
+        ):
+            params_np = {
+                k: np.asarray(v, dtype=np.float64)
+                for k, v in gs.params.items()
+            }
+            fused = _pp.build_fused_state(params_np, np.asarray(gs.x))
+            fused = _pp.attach_fused_factors(
+                fused, np.asarray(gs.linv), np.asarray(gs.alpha_vec)
+            )
+            # predictive kdiag per PC (amp + noise; RBF diag is constant)
+            fused["kdiag"] = jnp.asarray(
+                (np.exp(params_np["log_amp"])
+                 + np.exp(params_np["log_noise"])).astype(np.float32)
+            )
+            st["gp_fused"] = fused
         if not self.perform_no_PCA_:
             st["trans_matrix"] = self._trans_matrix
             st["var_trans"] = self._var_trans
@@ -336,6 +357,12 @@ class Emulator:
 
         def _convert(a):
             if isinstance(a, jax.Array):
+                # the fused-predict state carries bf16 hi/lo operand splits
+                # (ops/pallas_predict.py): upcasting them to the working
+                # dtype would double their VMEM footprint and break the
+                # 3-pass matmul decomposition
+                if a.dtype == jnp.bfloat16:
+                    return a
                 return jnp.asarray(a, dtype=self._dtype)
             kind = np.dtype(getattr(a, "dtype", np.result_type(a))).kind
             return np.asarray(a, dtype=np_dtype if kind == "f" else None)
@@ -386,10 +413,22 @@ class Emulator:
         def make_pc_core(fast_grad):
             def pc_core(state, x):
                 x = transform_x(state, x)
-                gp_mean, gp_var = gp_predict(
-                    state["gp_state"], x, config=gp_config, fast_grad=fast_grad
-                )
-                gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
+                if fast_grad and "gp_fused" in state:
+                    # fused Pallas kernel (TPU f32 RBF): kstar build, mean
+                    # matvec and the variance quadratic form in one
+                    # VMEM-resident pass (ops/pallas_predict.py); same
+                    # validated maximum(kdiag - q, 0) epilogue as gp_predict
+                    from ..ops.pallas_predict import fused_pc_predict
+
+                    fs = state["gp_fused"]
+                    gp_mean, qform = fused_pc_predict(fs, x)  # (m, npc)
+                    gp_var = jnp.maximum(fs["kdiag"][None, :] - qform, 0.0)
+                else:
+                    gp_mean, gp_var = gp_predict(
+                        state["gp_state"], x, config=gp_config,
+                        fast_grad=fast_grad,
+                    )
+                    gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
                 scaler = state["scaler"]
                 if no_pca:
                     mean = gp_mean * scaler.scale + scaler.mean

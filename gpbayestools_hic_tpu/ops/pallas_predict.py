@@ -15,37 +15,39 @@ Under XLA this is three separate HBM-materialized stages -- the (n, m)
 fuses the whole pipeline in VMEM with two augmented MXU matmuls:
 
 - **z matmul**: the anisotropic squared distance is folded INTO the
-  contraction -- ``xs_aug`` carries extra columns ``[1, xn]`` and
-  ``qs_aug`` carries ``[-0.5 qn, -0.5]``, so one dot yields
-  ``z = qs.xs - 0.5 qn - 0.5 xn = -0.5 d2`` directly (no broadcast adds).
+  contraction -- ``xs_aug`` carries extra feature columns ``[1, xn]`` and
+  the query block carries ``[-0.5 qn, -0.5]``, so one dot yields
+  ``z = xs.qs - 0.5 xn - 0.5 qn = -0.5 d2`` directly (no broadcast adds).
   Training-side padding rows carry ``xn = 1e30`` so their kstar is exactly
   ``exp(-5e29) = 0``.
 - **v matmul**: ``alpha`` rides as an extra ROW of the G operand
-  (``g_aug = [G; alpha; 0]``), so ``v_aug = kstar^T g_aug^T`` produces the
+  (``g_aug = [G; alpha; 0]``), so ``v = g_aug @ kstar`` produces the
   variance product AND the mean in one MXU pass:
-  ``mean = v_aug[:, n]``, ``qform = sum_i v_aug[:, i<n]^2``.
+  ``mean = v[n_pad, :]``, ``qform = sum_i v[i, :]^2 - mean^2``.
 
-Precision: both matmuls run at 3-pass ``HIGH`` -- the quadratic form is the
-validated cancellation-free norm form (see models/gp.GPConfig); the z
-contraction's internal cancellation is ~1e-7 relative at 3-pass, i.e.
-kstar to ~1e-6.
+Everything is laid out (feature/train, walkers) so neither kernel contains
+a transpose and the SAME two state arrays (``xs_aug``, ``g_aug``) serve
+forward and backward.  Both matmuls run at 3-pass ``HIGH`` precision --
+the quadratic form is the validated cancellation-free norm form (see
+models/gp.GPConfig); the z contraction's internal cancellation is ~1e-7
+relative at 3-pass, i.e. kstar to ~1e-6.
 
 The op carries a custom VJP for the sampling gradient (HMC/Langevin/SMC):
-the forward saves ``v_aug`` as a residual (0.37 ms of HBM round-trip vs
-1.2 ms to recompute the big matmul), and the backward kernel recomputes
-``kstar`` from the cheap z matmul, forms ``ct_kstar`` via one big MXU pass
-and chains to ``ct_qs_aug`` in VMEM.  Gradients flow to the QUERY POINTS
-only -- the GP state receives zero cotangents (sampling differentiates
-w.r.t. walker positions; emulator training never routes through this op).
-Like gp._norm_mean_var it is reverse-mode only; jacfwd consumers use the
-vanilla path.
+the forward saves ``v`` as a residual (an HBM round-trip, ~3x cheaper than
+recomputing the big matmul), and the backward kernel recomputes ``kstar``
+from the cheap z matmul, forms ``ct_kstar`` via one big MXU pass and
+chains to the query-block cotangent in VMEM.  Gradients flow to the QUERY
+POINTS only -- the GP state receives zero cotangents (sampling
+differentiates w.r.t. walker positions; emulator training never routes
+through this op).  Like gp._norm_mean_var it is reverse-mode only; jacfwd
+consumers use the vanilla path.
 
 Sharding: the public entry points are wrapped in
-``jax.experimental.custom_partitioning`` declaring the walker axis (m)
-batch-parallel and the GP state replicated, so the op shards over the
-1-D walker mesh (parallel/mesh.py) under pjit exactly like the XLA path
--- without this, GSPMD would silently all-gather the walker shards around
-the opaque kernel.
+``jax.experimental.custom_partitioning`` with Shardy rules declaring the
+walker axis (m) batch-parallel and the GP state replicated, so the op
+shards over the 1-D walker mesh (parallel/mesh.py) under pjit exactly
+like the XLA path -- without this, GSPMD would treat the kernel as opaque
+and all-gather the walker shards around it.
 """
 
 from __future__ import annotations
@@ -64,7 +66,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 _LANE = 128
 _DP = 128        # padded feature width (d + 2 <= _DP)
 _TM = 256        # walker-tile width per kernel step
-_HIGH = lax.Precision.HIGH
 
 #: test hook: run the kernels in the Pallas interpreter (CPU-correct path)
 INTERPRET = False
@@ -74,6 +75,15 @@ FORCE = False
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _split_bf16_np(a: "np.ndarray"):
+    """f32 -> (hi, lo) bf16 pair with hi + lo == a to bf16x2 accuracy."""
+    import ml_dtypes
+
+    hi = a.astype(ml_dtypes.bfloat16)
+    lo = (a - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return hi, lo
 
 
 def fused_eligible(kind: str, d: int, dtype) -> bool:
@@ -106,9 +116,10 @@ def build_fused_state(params: dict, x: np.ndarray) -> dict:
     # padding rows: xn = 1e30 makes kstar exactly exp(-5e29) = 0
     xs[:, n:, d] = 1.0
     xs[:, n:, d + 1] = 1e30
+    xs_hi, xs_lo = _split_bf16_np(xs)
     return {
-        "xs": jnp.asarray(xs),                        # (b, np, DP) bwd layout
-        "xst": jnp.asarray(np.swapaxes(xs, 1, 2).copy()),  # (b, DP, np)
+        "xs_hi": jnp.asarray(xs_hi),                       # (b, np, DP) bf16
+        "xs_lo": jnp.asarray(xs_lo),
         "amp": jnp.asarray(amp[:, None].astype(np.float32)),  # (b, 1)
         "inv_ls": jnp.asarray((1.0 / ls).astype(np.float32)),  # (b, d)
     }
@@ -117,179 +128,221 @@ def build_fused_state(params: dict, x: np.ndarray) -> dict:
 def attach_fused_factors(
     fstate: dict, linv: np.ndarray, alpha_vec: np.ndarray
 ) -> dict:
-    """Add the augmented-G layouts ``[G; alpha; 0]`` to a fused state."""
+    """Add the augmented-G layout ``[G; alpha; 0]`` to a fused state."""
     linv = np.asarray(linv, dtype=np.float32)     # (b, n, n)
     alpha = np.asarray(alpha_vec, dtype=np.float32)  # (b, n)
     b, n, _ = linv.shape
-    np_pad = fstate["xs"].shape[1]
-    np8 = np_pad + 8  # alpha row + 7 zero rows keeps the sublane multiple
-    g = np.zeros((b, np8, np_pad), dtype=np.float32)
+    np_pad = fstate["xs_hi"].shape[1]
+    # alpha row + 15 zero rows: bf16 operands tile at (16, 128), so the
+    # augmented row count must stay a multiple of 16
+    npg = np_pad + 16
+    g = np.zeros((b, npg, np_pad), dtype=np.float32)
     g[:, :n, :n] = linv
     g[:, np_pad, :n] = alpha
+    g_hi, g_lo = _split_bf16_np(g)
     out = dict(fstate)
-    out["g"] = jnp.asarray(g)                      # (b, np8, np) bwd layout
-    out["gt"] = jnp.asarray(np.swapaxes(g, 1, 2).copy())  # (b, np, np8)
+    out["g_hi"] = jnp.asarray(g_hi)                # (b, npg, np) bf16
+    out["g_lo"] = jnp.asarray(g_lo)
     return out
 
 
 # --------------------------------------------------------------- kernels
 
 
-def _fwd_kernel(amp_ref, xst_ref, gt_ref, qs_ref, mean_ref, qf_ref,
-                *maybe_v_ref, np_pad: int, save_v: bool):
-    """One (PC k, walker tile j) step: qs (TM, DP) -> mean/qf (TM,)."""
-    qs = qs_ref[0]                                   # (TM, DP)
-    z = jax.lax.dot_general(
-        qs, xst_ref[0],                              # (DP, np)
-        dimension_numbers=(((1,), (0,)), ((), ())),
+def _split_bf16(a):
+    """In-kernel f32 -> bf16 (hi, lo) split (for operands computed in VMEM)."""
+    hi = a.astype(jnp.bfloat16)
+    lo = (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3(ah, al, bh, bl, dims):
+    """3-pass bf16 matmul with f32 accumulation == XLA's f32 HIGH.
+
+    Mosaic rejects ``precision=HIGH`` on f32 dots (only DEFAULT/HIGHEST
+    lower), so the 3-pass decomposition is spelled out: hi*hi + hi*lo +
+    lo*hi, each a native bf16 MXU pass.  The dropped lo*lo term is
+    O(2^-16) relative -- identical to XLA HIGH by construction.
+    """
+    dd = partial(
+        jax.lax.dot_general,
+        dimension_numbers=dims,
         preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )                                                # (TM, np) = -0.5 d2
-    kstar = amp_ref[0, 0] * jnp.exp(jnp.minimum(z, 0.0))
-    v = jax.lax.dot_general(
-        kstar, gt_ref[0],                            # (np, np8)
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )                                                # (TM, np8)
-    mean = v[:, np_pad]
-    qf = jnp.sum(v * v, axis=1) - mean * mean
-    mean_ref[0] = mean
-    qf_ref[0] = qf
+        # explicit: the package-global jax_default_matmul_precision=highest
+        # would otherwise request an fp32 contraction of bf16 operands,
+        # which Mosaic rejects ("Bad rhs type"); each pass IS a native
+        # single-pass bf16 MXU matmul by construction
+        precision=lax.Precision.DEFAULT,
+    )
+    return dd(ah, bh) + dd(ah, bl) + dd(al, bh)
+
+
+_CONTRACT_1_0 = (((1,), (0,)), ((), ()))
+_CONTRACT_0_0 = (((0,), (0,)), ((), ()))
+
+
+def _fwd_kernel(amp_ref, xsh_ref, xsl_ref, gh_ref, gl_ref, qs_ref,
+                mean_ref, qf_ref, *maybe_v_ref,
+                np_pad: int, tm: int, save_v: bool):
+    """One (PC k, walker tile j) step: qs (DP, tm) -> mean/qf (tm,)."""
+    qh, ql = _split_bf16(qs_ref[0])                  # (DP, tm)
+    z = _dot3(xsh_ref[0], xsl_ref[0], qh, ql, _CONTRACT_1_0)
+    k = pl.program_id(0)                             # (np, tm) = -0.5 d2
+    kstar = amp_ref[k, 0] * jnp.exp(jnp.minimum(z, 0.0))
+    kh, kl = _split_bf16(kstar)
+    v = _dot3(gh_ref[0], gl_ref[0], kh, kl, _CONTRACT_1_0)  # (npg, tm)
+    mean = v[np_pad, :]
+    qf = jnp.sum(v * v, axis=0) - mean * mean
+    j = pl.program_id(1)
+    mean_ref[k, pl.ds(j * tm, tm)] = mean
+    qf_ref[k, pl.ds(j * tm, tm)] = qf
     if save_v:
         maybe_v_ref[0][0] = v
 
 
-def _bwd_kernel(amp_ref, xst_ref, xs_ref, g_ref, qs_ref, v_ref,
-                ctm_ref, ctq_ref, ctqs_ref, *, np_pad: int):
-    """Cotangent w.r.t. qs_aug for one (PC, walker tile) step."""
-    qs = qs_ref[0]
-    z = jax.lax.dot_general(
-        qs, xst_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )
-    kstar = amp_ref[0, 0] * jnp.exp(jnp.minimum(z, 0.0))
-    v = v_ref[0]                                     # (TM, np8)
-    np8 = v.shape[1]
-    cols = lax.broadcasted_iota(jnp.int32, (1, np8), dimension=1)
-    # qf = sum_i v_i^2 - v_np^2: column np_pad cancels out of qf exactly
-    # (2 v_np - 2 mean = 0), so its only cotangent is the mean's; columns
+def _bwd_kernel(amp_ref, xsh_ref, xsl_ref, gh_ref, gl_ref, qs_ref, v_ref,
+                ctm_ref, ctq_ref, ctqs_ref, *, np_pad: int, tm: int):
+    """Cotangent w.r.t. the query block for one (PC, walker tile) step."""
+    qh, ql = _split_bf16(qs_ref[0])
+    z = _dot3(xsh_ref[0], xsl_ref[0], qh, ql, _CONTRACT_1_0)  # (np, tm)
+    k = pl.program_id(0)
+    j = pl.program_id(1)
+    kstar = amp_ref[k, 0] * jnp.exp(jnp.minimum(z, 0.0))
+    v = v_ref[0]                                     # (npg, tm)
+    npg = v.shape[0]
+    rows = lax.broadcasted_iota(jnp.int32, (npg, 1), dimension=0)
+    ctm = ctm_ref[k, pl.ds(j * tm, tm)]              # (tm,)
+    ctq = ctq_ref[k, pl.ds(j * tm, tm)]
+    # qf = sum_i v_i^2 - v_np^2: row np_pad cancels out of qf exactly
+    # (2 v_np - 2 mean = 0), so its only cotangent is the mean's; rows
     # > np_pad have v = 0 (zero G rows) so 2 v ct_qf vanishes there anyway
     ct_v = jnp.where(
-        cols == np_pad, ctm_ref[0][:, None], 2.0 * v * ctq_ref[0][:, None]
-    )
-    ct_kstar = jax.lax.dot_general(
-        ct_v, g_ref[0],                              # (np8, np)
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )                                                # (TM, np)
-    ct_z = jnp.where(z < 0.0, kstar * ct_kstar, 0.0)
-    ctqs_ref[0] = jax.lax.dot_general(
-        ct_z, xs_ref[0],                             # (np, DP)
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_HIGH,
-    )                                                # (TM, DP)
+        rows == np_pad, ctm[None, :], 2.0 * v * ctq[None, :]
+    )                                                # (npg, tm)
+    cth, ctl = _split_bf16(ct_v)
+    ct_kstar = _dot3(gh_ref[0], gl_ref[0], cth, ctl, _CONTRACT_0_0)
+    ct_z = jnp.where(z < 0.0, kstar * ct_kstar, 0.0)  # (np, tm)
+    zh, zl = _split_bf16(ct_z)
+    ctqs_ref[0] = _dot3(xsh_ref[0], xsl_ref[0], zh, zl, _CONTRACT_0_0)
 
 
 # ------------------------------------------------------ pallas_call wrappers
 
 
-def _fwd_call(amp, xst, gt, qs_aug, *, save_v: bool):
-    b, np_pad, np8 = gt.shape[0], gt.shape[1], gt.shape[2]
-    m_pad = qs_aug.shape[1]
+def _fwd_call(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, *, save_v: bool):
+    b, npg, np_pad = g_hi.shape
+    m_pad = qs_aug.shape[2]
     tm = min(_TM, m_pad)
     grid = (b, m_pad // tm)
     out_shape = [
         jax.ShapeDtypeStruct((b, m_pad), jnp.float32),  # mean
         jax.ShapeDtypeStruct((b, m_pad), jnp.float32),  # qf
     ]
+    # mean/qf use FULL-ARRAY blocks + dynamic stores: a (1, tm) block has
+    # a sub-8 sublane dim, which the Mosaic lowering rejects
     out_specs = [
-        pl.BlockSpec((1, tm), lambda k, j: (k, j), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tm), lambda k, j: (k, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, m_pad), lambda k, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((b, m_pad), lambda k, j: (0, 0),
+                     memory_space=pltpu.VMEM),
     ]
     if save_v:
-        out_shape.append(jax.ShapeDtypeStruct((b, m_pad, np8), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, npg, m_pad), jnp.float32))
         out_specs.append(
-            pl.BlockSpec((1, tm, np8), lambda k, j: (k, j, 0),
+            pl.BlockSpec((1, npg, tm), lambda k, j: (k, 0, j),
                          memory_space=pltpu.VMEM)
         )
-    res = pl.pallas_call(
-        partial(_fwd_kernel, np_pad=np_pad, save_v=save_v),
+    state_specs = [
+        pl.BlockSpec((b, 1), lambda k, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, np_pad, _DP), lambda k, j: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, np_pad, _DP), lambda k, j: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npg, np_pad), lambda k, j: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, npg, np_pad), lambda k, j: (k, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    return pl.pallas_call(
+        partial(_fwd_kernel, np_pad=np_pad, tm=tm, save_v=save_v),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda k, j: (k, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _DP, np_pad), lambda k, j: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_pad, np8), lambda k, j: (k, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, _DP), lambda k, j: (k, j, 0),
+        in_specs=state_specs + [
+            pl.BlockSpec((1, _DP, tm), lambda k, j: (k, 0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * m_pad * np_pad * (np8 + _DP),
-            bytes_accessed=4 * b * (np_pad * np8 + m_pad * (_DP + 2)),
+            flops=2 * 3 * b * m_pad * np_pad * (npg + _DP),
+            bytes_accessed=4 * b * (np_pad * npg + m_pad * (_DP + 2)),
             transcendentals=b * m_pad * np_pad,
         ),
+        # the double-buffered G blocks + f32 z/kstar/v temporaries brush
+        # the default 16 MiB scoped-VMEM limit at flagship shapes; v5e has
+        # 128 MiB of VMEM, so raise the scoped cap instead of shrinking tm
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=INTERPRET,
-    )(amp, xst, gt, qs_aug)
-    return res
+    )(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug)
 
 
-def _bwd_call(amp, xst, xs, g, qs_aug, v_aug, ct_mean, ct_qf):
-    b, np8, np_pad = g.shape
-    m_pad = qs_aug.shape[1]
+def _bwd_call(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, v_aug, ct_mean, ct_qf):
+    b, npg, np_pad = g_hi.shape
+    m_pad = qs_aug.shape[2]
     tm = min(_TM, m_pad)
     grid = (b, m_pad // tm)
     return pl.pallas_call(
-        partial(_bwd_kernel, np_pad=np_pad),
+        partial(_bwd_kernel, np_pad=np_pad, tm=tm),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda k, j: (k, 0),
+            pl.BlockSpec((b, 1), lambda k, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, _DP, np_pad), lambda k, j: (k, 0, 0),
+            pl.BlockSpec((1, np_pad, _DP), lambda k, j: (k, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_pad, _DP), lambda k, j: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np8, np_pad), lambda k, j: (k, 0, 0),
+            pl.BlockSpec((1, npg, np_pad), lambda k, j: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, _DP), lambda k, j: (k, j, 0),
+            pl.BlockSpec((1, npg, np_pad), lambda k, j: (k, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, np8), lambda k, j: (k, j, 0),
+            pl.BlockSpec((1, _DP, tm), lambda k, j: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm), lambda k, j: (k, j),
+            pl.BlockSpec((1, npg, tm), lambda k, j: (k, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm), lambda k, j: (k, j),
+            pl.BlockSpec((b, m_pad), lambda k, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, m_pad), lambda k, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tm, _DP), lambda k, j: (k, j, 0),
+        out_specs=pl.BlockSpec((1, _DP, tm), lambda k, j: (k, 0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, m_pad, _DP), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, _DP, m_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * m_pad * np_pad * (np8 + np8 + _DP),
-            bytes_accessed=4 * b * (np_pad * np8 + m_pad * np8),
+            flops=2 * 3 * b * m_pad * np_pad * (2 * npg + _DP),
+            bytes_accessed=4 * b * (np_pad * npg + 2 * m_pad * npg),
             transcendentals=b * m_pad * np_pad,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=INTERPRET,
-    )(amp, xst, xs, g, qs_aug, v_aug, ct_mean, ct_qf)
+    )(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, v_aug, ct_mean, ct_qf)
 
 
-def _fwd_values(amp, xst, gt, qs_aug):
-    return tuple(_fwd_call(amp, xst, gt, qs_aug, save_v=False)[:2])
+def _fwd_values(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug):
+    return tuple(
+        _fwd_call(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, save_v=False)[:2])
 
 
-def _fwd_with_v(amp, xst, gt, qs_aug):
-    return tuple(_fwd_call(amp, xst, gt, qs_aug, save_v=True))
+def _fwd_with_v(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug):
+    return tuple(
+        _fwd_call(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, save_v=True))
 
 
-def _bwd_cts(amp, xst, xs, g, qs_aug, v_aug, ct_mean, ct_qf):
-    return _bwd_call(amp, xst, xs, g, qs_aug, v_aug, ct_mean, ct_qf)
+def _bwd_cts(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, v_aug, ct_mean, ct_qf):
+    return _bwd_call(amp, xs_hi, xs_lo, g_hi, g_lo, qs_aug, v_aug,
+                     ct_mean, ct_qf)
 
 
 # ----------------------------------------------- custom partitioning layer
@@ -300,14 +353,13 @@ def _bwd_cts(amp, xst, xs, g, qs_aug, v_aug, ct_mean, ct_qf):
 # Without this GSPMD treats the kernel as opaque and all-gathers walkers.
 
 
-def _make_partitioned(inner, m_operands: dict, out_m_axes, sdy_rule: str):
+def _make_partitioned(inner, m_operands: dict, out_m_axes, sdy_rule: str,
+                      repl_factors: tuple):
     """``m_operands``: {operand index: m-axis}; ``out_m_axes``: m-axis per
-    output (the kernels put m at axis 1 everywhere, but keep it explicit).
-    ``sdy_rule``: the einsum-like Shardy rule -- the m factor shared
-    between the walker-carrying operands and every result is what lets the
-    partitioner split the walker axis; the state factors (np/np8/dp) are
-    contraction/replicated dimensions the kernel needs whole, so they are
-    declared need-replication."""
+    output.  ``sdy_rule``: the einsum-like Shardy rule -- the shared ``m``
+    factor is what lets the partitioner split the walker axis; the state
+    factors are declared need-replication (the kernel needs them whole).
+    ``repl_factors`` must be listed in first-appearance order."""
 
     cp = custom_partitioning(inner)
     ref_idx = min(m_operands)
@@ -325,10 +377,12 @@ def _make_partitioned(inner, m_operands: dict, out_m_axes, sdy_rule: str):
             parts[axis] = m
             return NamedSharding(mesh, P(*parts))
 
-        outs = [
-            spec_for(ax, len(r.shape))
-            for ax, r in zip(out_m_axes, result_infos)
-        ]
+        rs = (
+            result_infos
+            if isinstance(result_infos, (list, tuple))
+            else [result_infos]
+        )
+        outs = [spec_for(ax, len(r.shape)) for ax, r in zip(out_m_axes, rs)]
         return tuple(outs) if len(outs) > 1 else outs[0]
 
     def part(mesh, arg_infos, result_infos):
@@ -345,22 +399,27 @@ def _make_partitioned(inner, m_operands: dict, out_m_axes, sdy_rule: str):
         infer_sharding_from_operands=infer,
         partition=part,
         sharding_rule=sdy_rule,
-        need_replication_factors=("n", "g", "p", "s"),
+        need_replication_factors=repl_factors,
     )
     return cp
 
 
+# factor legend: b = PC batch, s = amp's singleton, n = padded training
+# rows, p = padded feature width, g = augmented-G rows, m = walkers
 _fwd_values_p = _make_partitioned(
-    _fwd_values, {3: 1}, (1, 1),
-    "b s, b p n, b n g, b m p -> b m, b m",
+    _fwd_values, {5: 2}, (1, 1),
+    "b s, b n p, b n p, b g n, b g n, b p m -> b m, b m",
+    ("s", "n", "p", "g"),
 )
 _fwd_with_v_p = _make_partitioned(
-    _fwd_with_v, {3: 1}, (1, 1, 1),
-    "b s, b p n, b n g, b m p -> b m, b m, b m g",
+    _fwd_with_v, {5: 2}, (1, 1, 2),
+    "b s, b n p, b n p, b g n, b g n, b p m -> b m, b m, b g m",
+    ("s", "n", "p", "g"),
 )
 _bwd_cts_p = _make_partitioned(
-    _bwd_cts, {4: 1, 5: 1, 6: 1, 7: 1}, (1,),
-    "b s, b p n, b n p, b g n, b m p, b m g, b m, b m -> b m p",
+    _bwd_cts, {5: 2, 6: 2, 7: 1, 8: 1}, (2,),
+    "b s, b n p, b n p, b g n, b g n, b p m, b g m, b m, b m -> b p m",
+    ("s", "n", "p", "g"),
 )
 
 
@@ -368,7 +427,7 @@ _bwd_cts_p = _make_partitioned(
 
 
 def _build_qs_aug(fstate: dict, xq: jnp.ndarray, m_pad: int) -> jnp.ndarray:
-    """(b, m_pad, DP) scaled+augmented query block from raw queries (m, d)."""
+    """(b, DP, m_pad) scaled+augmented query block from raw queries (m, d)."""
     inv_ls = fstate["inv_ls"]                       # (b, d)
     b, d = inv_ls.shape
     m = xq.shape[0]
@@ -383,32 +442,38 @@ def _build_qs_aug(fstate: dict, xq: jnp.ndarray, m_pad: int) -> jnp.ndarray:
         ],
         axis=-1,
     )
+    out = jnp.swapaxes(out, 1, 2)                   # (b, DP, m)
     if m_pad > m:
-        out = jnp.pad(out, ((0, 0), (0, m_pad - m), (0, 0)))
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, m_pad - m)))
     return out
+
+
+def _m_pad_of(m: int) -> int:
+    return _round_up(m, min(_TM, _round_up(m, _LANE)))
 
 
 @jax.custom_vjp
 def fused_pc_predict(fstate: dict, xq: jnp.ndarray):
     """Fused GP-batch predict: (m, d) queries -> (mean (m, b), qform (m, b)).
 
-    ``var = kdiag - qform`` is left to the caller (models/gp.py keeps the
-    validated ``maximum(kdiag - q, 0)`` epilogue).  Reverse-mode only; the
-    GP state receives zero cotangents (sampling-only gradient).
+    ``var = kdiag - qform`` is left to the caller (models/emulator.py keeps
+    the validated ``maximum(kdiag - q, 0)`` epilogue).  Reverse-mode only;
+    the GP state receives zero cotangents (sampling-only gradient).
     """
     m = xq.shape[0]
-    m_pad = _round_up(m, min(_TM, _round_up(m, _LANE)))
-    qs_aug = _build_qs_aug(fstate, xq, m_pad)
-    mean, qf = _fwd_values_p(fstate["amp"], fstate["xst"], fstate["gt"], qs_aug)
+    qs_aug = _build_qs_aug(fstate, xq, _m_pad_of(m))
+    mean, qf = _fwd_values_p(
+        fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
+        fstate["g_hi"], fstate["g_lo"], qs_aug)
     return mean[:, :m].T, qf[:, :m].T
 
 
 def _fused_fwd(fstate, xq):
     m = xq.shape[0]
-    m_pad = _round_up(m, min(_TM, _round_up(m, _LANE)))
-    qs_aug = _build_qs_aug(fstate, xq, m_pad)
+    qs_aug = _build_qs_aug(fstate, xq, _m_pad_of(m))
     mean, qf, v_aug = _fwd_with_v_p(
-        fstate["amp"], fstate["xst"], fstate["gt"], qs_aug)
+        fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
+        fstate["g_hi"], fstate["g_lo"], qs_aug)
     return (mean[:, :m].T, qf[:, :m].T), (fstate, xq, qs_aug, v_aug)
 
 
@@ -416,12 +481,13 @@ def _fused_bwd(res, cts):
     fstate, xq, qs_aug, v_aug = res
     ct_mean, ct_qf = cts                            # (m, b) each
     m = xq.shape[0]
-    m_pad = qs_aug.shape[1]
-    ctm = jnp.zeros(v_aug.shape[:2], ct_mean.dtype).at[:, :m].set(ct_mean.T)
-    ctq = jnp.zeros(v_aug.shape[:2], ct_qf.dtype).at[:, :m].set(ct_qf.T)
+    m_pad = qs_aug.shape[2]
+    b = qs_aug.shape[0]
+    ctm = jnp.zeros((b, m_pad), ct_mean.dtype).at[:, :m].set(ct_mean.T)
+    ctq = jnp.zeros((b, m_pad), ct_qf.dtype).at[:, :m].set(ct_qf.T)
     ct_qs_aug = _bwd_cts_p(
-        fstate["amp"], fstate["xst"], fstate["xs"], fstate["g"],
-        qs_aug, v_aug, ctm, ctq,
+        fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
+        fstate["g_hi"], fstate["g_lo"], qs_aug, v_aug, ctm, ctq,
     )
     # chain through the qs_aug construction with plain AD (small XLA ops)
     _, build_vjp = jax.vjp(lambda x: _build_qs_aug(fstate, x, m_pad), xq)

@@ -1,0 +1,203 @@
+"""Fused Pallas GP-predict correctness (interpreter mode; the compiled
+path is exercised on real TPU by bench/tpu_validation runs).
+
+Covers: forward parity vs the plain formulas, reverse-gradient parity vs
+autodiff through the XLA path, walker-axis sharding (custom_partitioning
+under an 8-virtual-device mesh), emulator wiring equality
+(predict_pc_pure_fastgrad vs predict_pc_pure), and eligibility gating.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+import gpbayestools_hic_tpu.ops.pallas_predict as pp
+
+
+@pytest.fixture(autouse=True)
+def interpret_force(monkeypatch):
+    monkeypatch.setattr(pp, "INTERPRET", True)
+    monkeypatch.setattr(pp, "FORCE", True)
+
+
+def _mk_problem(rng, b=3, n=50, d=5, m=37):
+    x = rng.uniform(0, 1, size=(n, d))
+    params = {
+        "log_ls": np.log(rng.uniform(0.5, 2.0, size=(b, d))),
+        "log_amp": np.log(rng.uniform(0.5, 2.0, size=b)),
+        "log_noise": np.log(np.full(b, 0.05)),
+    }
+    linv = np.tril(rng.normal(size=(b, n, n)) * 0.1) + np.eye(n)[None]
+    alpha = rng.normal(size=(b, n))
+    fs = pp.attach_fused_factors(
+        pp.build_fused_state(params, x), linv, alpha
+    )
+    xq = jnp.asarray(rng.uniform(0, 1, size=(m, d)).astype(np.float32))
+    return x, params, linv, alpha, fs, xq
+
+
+def _reference(x, params, linv, alpha, xq):
+    ls = np.exp(params["log_ls"])
+    amp = np.exp(params["log_amp"])
+    b = ls.shape[0]
+    m = xq.shape[0]
+    mean = np.zeros((m, b))
+    qf = np.zeros((m, b))
+    xq64 = np.asarray(xq, np.float64)
+    for k in range(b):
+        xs = x / ls[k]
+        qs = xq64 / ls[k]
+        d2 = ((xs[:, None, :] - qs[None, :, :]) ** 2).sum(-1)
+        kstar = amp[k] * np.exp(-0.5 * d2)
+        mean[:, k] = kstar.T @ alpha[k]
+        v = linv[k] @ kstar
+        qf[:, k] = (v * v).sum(0)
+    return mean, qf
+
+
+def test_fused_forward_matches_reference(rng):
+    x, params, linv, alpha, fs, xq = _mk_problem(rng)
+    mean, qf = pp.fused_pc_predict(fs, xq)
+    mean_ref, qf_ref = _reference(x, params, linv, alpha, xq)
+    # the kernels run the validated 3-pass bf16 (HIGH) decomposition even
+    # in interpret mode: expect ~1e-4-level agreement, not f32-dot exactness
+    np.testing.assert_allclose(np.asarray(mean), mean_ref, atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(qf), qf_ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_gradient_matches_xla_autodiff(rng):
+    x, params, linv, alpha, fs, xq = _mk_problem(rng, m=19)
+    ls = np.exp(params["log_ls"])
+    amp = np.exp(params["log_amp"])
+    b = ls.shape[0]
+
+    def vanilla(xqv):
+        tot = 0.0
+        for k in range(b):
+            xs = jnp.asarray((x / ls[k]).astype(np.float32))
+            qs = xqv / jnp.asarray(ls[k].astype(np.float32))
+            d2 = jnp.maximum(
+                (xs * xs).sum(-1)[:, None]
+                + (qs * qs).sum(-1)[None, :]
+                - 2.0 * xs @ qs.T,
+                0.0,
+            )
+            kstar = jnp.float32(amp[k]) * jnp.exp(-0.5 * d2)
+            mean_k = kstar.T @ jnp.asarray(alpha[k].astype(np.float32))
+            v = jnp.asarray(linv[k].astype(np.float32)) @ kstar
+            tot = tot + jnp.sum(jnp.sin(mean_k)) + jnp.sum(
+                jnp.cos((v * v).sum(0))
+            )
+        return tot
+
+    def fused(xqv):
+        mn, qf = pp.fused_pc_predict(fs, xqv)
+        return jnp.sum(jnp.sin(mn)) + jnp.sum(jnp.cos(qf))
+
+    g_ref = np.asarray(jax.grad(vanilla)(xq))
+    g_fus = np.asarray(jax.grad(fused)(xq))
+    scale = np.abs(g_ref).max()
+    np.testing.assert_allclose(g_fus, g_ref, atol=5e-4 * max(scale, 1.0))
+
+
+def test_fused_sharded_equals_single(rng):
+    """custom_partitioning shards the walker axis: identical values and
+    gradients with the inputs laid out over an 8-device mesh."""
+    x, params, linv, alpha, fs, _ = _mk_problem(rng, b=2, n=40, d=4)
+    m = 8 * 32
+    xq = jnp.asarray(rng.uniform(0, 1, size=(m, 4)).astype(np.float32))
+
+    def loss(fsv, xqv):
+        # linear in qf: a trig of the O(100) quadratic form would amplify
+        # benign f32 reassociation differences into chaotic gradient noise
+        mn, qf = pp.fused_pc_predict(fsv, xqv)
+        return jnp.sum(jnp.sin(mn)) + 1e-2 * jnp.sum(qf)
+
+    v_ref, g_ref = jax.jit(jax.value_and_grad(loss, argnums=1))(fs, xq)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("walkers",))
+    xq_sh = jax.device_put(xq, NamedSharding(mesh, P("walkers", None)))
+    fs_sh = jax.device_put(fs, NamedSharding(mesh, P()))
+    mean_s, _ = jax.jit(pp.fused_pc_predict)(fs_sh, xq_sh)
+    # outputs come back sharded over walkers, not all-gathered
+    assert mean_s.sharding.spec[0] == "walkers"
+    v_sh, g_sh = jax.jit(jax.value_and_grad(loss, argnums=1))(fs_sh, xq_sh)
+    np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-5)
+    # per-shard padding shifts f32 reduction tile boundaries: equality up
+    # to reassociation, not bitwise
+    scale = max(np.abs(np.asarray(g_ref)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), atol=3e-5 * scale
+    )
+
+
+def test_emulator_wiring_fastgrad_uses_fused(rng, monkeypatch):
+    """With the fused path forced, predict_pc_pure_fastgrad must equal the
+    vanilla predict_pc_pure (values) and its x-gradients must match."""
+    from gpbayestools_hic_tpu.models import Emulator
+    from gpbayestools_hic_tpu.utils.synthetic import (
+        write_parameter_file,
+        write_training_pickle,
+    )
+
+    # the fused path is f32-only; build the emulator in f32
+    jax.config.update("jax_enable_x64", False)
+    try:
+        tmp = tempfile.mkdtemp(prefix="fusedwire_")
+        ndim, nev, nobs = 4, 60, 9
+        parfile = write_parameter_file(os.path.join(tmp, "pars.txt"), ndim)
+        design = rng.uniform(0, 1, size=(nev, ndim))
+        freqs = rng.uniform(0.5, 2.0, size=(ndim, nobs))
+        base = 2.0 + np.sin(design @ freqs)
+        pkl = write_training_pickle(
+            os.path.join(tmp, "train.pkl"), design, base,
+            0.01 * np.abs(base),
+        )
+        emu = Emulator(pkl, parfile, npc=3, gp_maxiter=10)
+        emu.trainEmulatorAutoMask()
+        assert "gp_fused" in emu.predict_state  # FORCE + RBF + f32
+
+        xq = jnp.asarray(rng.uniform(0.2, 0.8, size=(13, ndim)).astype(np.float32))
+        m_f, v_f = emu.predict_pc_pure_fastgrad(emu.predict_state, xq)
+        m_v, v_v = emu.predict_pc_pure(emu.predict_state, xq)
+        np.testing.assert_allclose(np.asarray(m_f), np.asarray(m_v),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_v),
+                                   rtol=5e-3, atol=2e-4)
+
+        def s_fused(x):
+            m, v = emu.predict_pc_pure_fastgrad(emu.predict_state, x)
+            return jnp.sum(m) + jnp.sum(v)
+
+        def s_vanilla(x):
+            m, v = emu.predict_pc_pure(emu.predict_state, x)
+            return jnp.sum(m) + jnp.sum(v)
+
+        g_f = np.asarray(jax.grad(s_fused)(xq))
+        g_v = np.asarray(jax.grad(s_vanilla)(xq))
+        np.testing.assert_allclose(
+            g_f, g_v, atol=2e-3 * max(np.abs(g_v).max(), 1.0)
+        )
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_eligibility_gating():
+    # CPU backend without FORCE -> fused path off
+    import gpbayestools_hic_tpu.ops.pallas_predict as mod
+
+    old = mod.FORCE
+    mod.FORCE = False
+    try:
+        if jax.default_backend() != "tpu":
+            assert not mod.fused_eligible("RBF", 5, jnp.float32)
+    finally:
+        mod.FORCE = old
+    assert not pp.fused_eligible("Matern", 5, jnp.float32)  # family gate
+    assert not pp.fused_eligible("RBF", 5, jnp.float64)     # dtype gate
+    assert not pp.fused_eligible("RBF", 200, jnp.float32)   # width gate
