@@ -331,11 +331,17 @@ def bench_pallas_block_route(chain, dtype):
         lp = fn(st, x)
         lp.block_until_ready()
         lp_generic = np.asarray(lp)
-        # agreement between the Cholesky-block route and the Woodbury path
+        # agreement between the Cholesky-block route and the Woodbury path.
+        # Since v0.3.11 the auto path's kstar comes from the fused Pallas
+        # predict (f64-prepped operands; validated 0.145 log-units vs f64
+        # by tools/tpu_validation.py) while the generic route keeps the
+        # plain XLA predict (~0.34 log-units class), so a mutual diff at
+        # the ~1e-3 level is two valid f32 pipelines disagreeing with each
+        # other, not a wrong kernel; beyond 5e-3 IS a kernel bug.
         denom = np.maximum(np.abs(lp_auto), 1.0)
         max_rel = float(np.max(np.abs(lp_generic - lp_auto) / denom))
         log(f"[pallas] generic vs auto max rel diff: {max_rel:.2e}")
-        if max_rel > 1e-3:
+        if max_rel > 5e-3:
             log("[pallas] WARNING: generic route DISAGREES with the "
                 "Woodbury path beyond tolerance; its evals/s is the "
                 "throughput of a wrong kernel")

@@ -108,11 +108,10 @@ def build_fused_state(params: dict, x: np.ndarray) -> dict:
     np_pad = _round_up(n, _LANE)
     xs = np.zeros((b, np_pad, _DP), dtype=np.float32)
     x64 = np.asarray(x, dtype=np.float64)
-    for k in range(b):
-        xk = x64 / ls[k]
-        xs[k, :n, :d] = xk
-        xs[k, :n, d] = 1.0
-        xs[k, :n, d + 1] = np.sum(xk * xk, axis=1)
+    xk = x64[None, :, :] / ls[:, None, :]            # (b, n, d)
+    xs[:, :n, :d] = xk
+    xs[:, :n, d] = 1.0
+    xs[:, :n, d + 1] = np.sum(xk * xk, axis=2)
     # padding rows: xn = 1e30 makes kstar exactly exp(-5e29) = 0
     xs[:, n:, d] = 1.0
     xs[:, n:, d + 1] = 1e30
