@@ -227,6 +227,7 @@ class Emulator:
         self.gp_config = GPConfig(
             kernel=KernelConfig(kernel_type), alpha=self.gp_alpha,
             map_prior_strength=getattr(self, "gp_map_prior_strength", 0.0),
+            grad_precision=getattr(self, "gp_grad_precision", "default"),
         )
         noise_diag = self._pc_noise_diag(eventMask, npc_used)
         return design, jnp.asarray(np.asarray(z).T, dtype=dtype), ptp, noise_diag
@@ -417,11 +418,21 @@ class Emulator:
                     # fused Pallas kernel (TPU f32 RBF): kstar build, mean
                     # matvec and the variance quadratic form in one
                     # VMEM-resident pass (ops/pallas_predict.py); same
-                    # validated maximum(kdiag - q, 0) epilogue as gp_predict
-                    from ..ops.pallas_predict import fused_pc_predict
+                    # validated maximum(kdiag - q, 0) epilogue as gp_predict.
+                    # grad_precision="default" picks the 1-pass bf16
+                    # backward -- identical VALUES, cheap sampling gradients
+                    from ..ops.pallas_predict import (
+                        fused_pc_predict,
+                        fused_pc_predict_fastbwd,
+                    )
 
+                    fused_fn = (
+                        fused_pc_predict_fastbwd
+                        if gp_config.grad_precision == "default"
+                        else fused_pc_predict
+                    )
                     fs = state["gp_fused"]
-                    gp_mean, qform = fused_pc_predict(fs, x)  # (m, npc)
+                    gp_mean, qform = fused_fn(fs, x)  # (m, npc)
                     gp_var = jnp.maximum(fs["kdiag"][None, :] - qform, 0.0)
                 else:
                     gp_mean, gp_var = gp_predict(
@@ -803,6 +814,7 @@ class Emulator:
             "method": getattr(self, "method_", None),
             "pc_target_variance": getattr(self, "pc_target_variance", None),
             "map_prior_strength": getattr(self, "gp_map_prior_strength", 0.0),
+            "grad_precision": self.gp_config.grad_precision,
         }
         save_pytree(path, tree, meta)
 
@@ -887,9 +899,11 @@ class Emulator:
             linv=linv,
             lml=jnp.asarray(tree["gp_lml"]),
         )
+        self.gp_grad_precision = meta.get("grad_precision", "default")
         self.gp_config = GPConfig(
             kernel=KernelConfig(meta["kernel_kind"]), alpha=meta["alpha"],
             map_prior_strength=self.gp_map_prior_strength,
+            grad_precision=self.gp_grad_precision,
         )
         self.scaler = StandardScalerState(*as_jnp(tuple(tree["scaler"])))
         self.pca = (

@@ -66,6 +66,19 @@ class GPConfig(NamedTuple):
     kernel: KernelConfig = KernelConfig("RBF")
     alpha: float = 0.1  # fixed diagonal regularization (sklearn GPR alpha)
     var_precision: str = "high"
+    #: matmul precision of the REVERSE pass through the fast-gradient
+    #: predict (the sampling likelihood's HMC/Langevin gradients):
+    #: "default" (1-pass bf16, production) or "high"/"highest".  Unlike
+    #: ``var_precision`` this does NOT touch posterior VALUES -- only the
+    #: gradient that shapes the leapfrog/Langevin proposal map.  Any
+    #: deterministic force field keeps leapfrog reversible and
+    #: volume-preserving, and the accept step uses the full-precision
+    #: value, so the chain stays exactly invariant; cheap gradients trade
+    #: a little acceptance rate for ~2.2x fewer backward MXU passes
+    #: (measured: see ops/pallas_predict.fused_pc_predict_fastbwd).
+    #: Ignored on CPU and by jacfwd consumers (sensitivity analysis uses
+    #: the vanilla full-precision path).
+    grad_precision: str = "default"
     #: > 0 switches hyperparameter fitting from MLE to MAP: an isotropic
     #: Gaussian penalty of this precision in log-hyperparameter space,
     #: centered on the reference initialization (lengthscales = ptp,
@@ -287,7 +300,7 @@ def _chol_and_white(p, x, y, config, noise_diag=None):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _norm_mean_var(prec, kstar, linv, alpha_vec):
+def _norm_mean_var(precs, kstar, linv, alpha_vec):
     """(kstar^T alpha, |linv kstar|^2 per column) with a hand-written VJP.
 
     The quadratic form ``q = k_*^T K^-1 k_*`` is computed in factored form
@@ -302,23 +315,32 @@ def _norm_mean_var(prec, kstar, linv, alpha_vec):
     the sampling case.  Forward-mode (jacfwd) callers must use the vanilla
     path -- custom_vjp functions cannot be forward-differentiated (see
     gp_predict's ``fast_grad`` flag).
+
+    ``precs`` is the pair ``(value_precision, grad_precision)``: the
+    forward matmul (which sets posterior VALUES) runs at the first, the
+    reverse-pass matmul at the second -- GPConfig.grad_precision's
+    "default" (1-pass bf16) is legal there because gradient precision only
+    shapes the sampler's proposal map (see GPConfig).
     """
+    prec, _ = precs
     v = jnp.matmul(linv, kstar, precision=prec)
     return kstar.T @ alpha_vec, jnp.sum(v * v, axis=0)
 
 
-def _norm_fwd(prec, kstar, linv, alpha_vec):
+def _norm_fwd(precs, kstar, linv, alpha_vec):
+    prec, _ = precs
     v = jnp.matmul(linv, kstar, precision=prec)
     out = (kstar.T @ alpha_vec, jnp.sum(v * v, axis=0))
     return out, (v, alpha_vec, linv, kstar)
 
 
-def _norm_bwd(prec, res, cts):
+def _norm_bwd(precs, res, cts):
+    _, bwd_prec = precs
     v, alpha_vec, linv, kstar = res
     ct_mean, ct_q = cts
     vq = v * ct_q[None, :]
     ct_kstar = alpha_vec[:, None] * ct_mean[None, :] + 2.0 * jnp.matmul(
-        linv.T, vq, precision=prec
+        linv.T, vq, precision=bwd_prec
     )
     # exact cotangents toward the state arrays too (DCE'd when the caller
     # differentiates only w.r.t. the query points -- the sampling case)
@@ -362,7 +384,10 @@ def gp_predict(
             params, state.x, xq, config=config.kernel, include_noise=False
         )  # (n, m)
         if fast_grad and not full_cov:
-            mean, q = _norm_mean_var(prec, kstar, linv, alpha_vec)
+            mean, q = _norm_mean_var(
+                (prec, _PRECISIONS[config.grad_precision]),
+                kstar, linv, alpha_vec,
+            )
             kdiag = kernel_diag(params, xq, config=config.kernel, include_noise=True)
             return mean, jnp.maximum(kdiag - q, 0.0)
         mean = kstar.T @ alpha_vec

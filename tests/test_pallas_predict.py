@@ -105,6 +105,88 @@ def test_fused_gradient_matches_xla_autodiff(rng):
     np.testing.assert_allclose(g_fus, g_ref, atol=5e-4 * max(scale, 1.0))
 
 
+def test_fastbwd_values_identical_gradient_close(rng):
+    """fused_pc_predict_fastbwd: the forward is the SAME program (values
+    identical), and the 1-pass bf16 backward lands within bf16-noise of the
+    3-pass gradient -- the legality contract of GPConfig.grad_precision."""
+    x, params, linv, alpha, fs, xq = _mk_problem(rng, m=23)
+
+    def loss(fn, xqv):
+        mn, qf = fn(fs, xqv)
+        return jnp.sum(jnp.sin(mn)) + 1e-2 * jnp.sum(qf)
+
+    v_exact, g_exact = jax.value_and_grad(
+        lambda q: loss(pp.fused_pc_predict, q))(xq)
+    v_fast, g_fast = jax.value_and_grad(
+        lambda q: loss(pp.fused_pc_predict_fastbwd, q))(xq)
+    # identical forward: both entries run the exact same _fwd_with_v_p
+    np.testing.assert_array_equal(np.asarray(v_fast), np.asarray(v_exact))
+    scale = max(np.abs(np.asarray(g_exact)).max(), 1.0)
+    # 1-pass bf16 cotangent matmuls: ~2^-9-relative class noise
+    np.testing.assert_allclose(
+        np.asarray(g_fast), np.asarray(g_exact), atol=2e-2 * scale
+    )
+    # ... but NOT bitwise-equal gradients (the fast kernel must actually
+    # be a different program, or the knob is silently dead)
+    assert np.abs(np.asarray(g_fast) - np.asarray(g_exact)).max() > 0
+
+
+def test_fastbwd_sharded_equals_single(rng):
+    """The fast backward's custom_partitioning: identical value_and_grad
+    with inputs laid out over an 8-device walker mesh."""
+    x, params, linv, alpha, fs, _ = _mk_problem(rng, b=2, n=40, d=4)
+    m = 8 * 32
+    xq = jnp.asarray(rng.uniform(0, 1, size=(m, 4)).astype(np.float32))
+
+    def loss(fsv, xqv):
+        mn, qf = pp.fused_pc_predict_fastbwd(fsv, xqv)
+        return jnp.sum(jnp.sin(mn)) + 1e-2 * jnp.sum(qf)
+
+    v_ref, g_ref = jax.jit(jax.value_and_grad(loss, argnums=1))(fs, xq)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("walkers",))
+    xq_sh = jax.device_put(xq, NamedSharding(mesh, P("walkers", None)))
+    fs_sh = jax.device_put(fs, NamedSharding(mesh, P()))
+    v_sh, g_sh = jax.jit(jax.value_and_grad(loss, argnums=1))(fs_sh, xq_sh)
+    np.testing.assert_allclose(float(v_sh), float(v_ref), rtol=1e-5)
+    scale = max(np.abs(np.asarray(g_ref)).max(), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(g_sh), np.asarray(g_ref), atol=3e-5 * scale
+    )
+
+
+def test_grad_precision_wiring_and_roundtrip(rng):
+    """gp_grad_precision='high' reaches GPConfig (the escape hatch from the
+    bf16 backward) and survives an Emulator.save/load round-trip; the
+    default is 'default' (fast sampling gradients)."""
+    from gpbayestools_hic_tpu.models import Emulator
+    from gpbayestools_hic_tpu.models.gp import GPConfig
+    from gpbayestools_hic_tpu.utils.synthetic import (
+        write_parameter_file,
+        write_training_pickle,
+    )
+
+    assert GPConfig().grad_precision == "default"
+
+    tmp = tempfile.mkdtemp(prefix="gradprec_")
+    ndim, nev, nobs = 3, 40, 5
+    parfile = write_parameter_file(os.path.join(tmp, "pars.txt"), ndim)
+    design = rng.uniform(0, 1, size=(nev, ndim))
+    base = 2.0 + np.sin(design @ rng.uniform(0.5, 2.0, size=(ndim, nobs)))
+    pkl = write_training_pickle(
+        os.path.join(tmp, "train.pkl"), design, base, 0.01 * np.abs(base)
+    )
+    emu = Emulator(pkl, parfile, npc=2, gp_maxiter=5)
+    emu.gp_grad_precision = "high"
+    emu.trainEmulatorAutoMask()
+    assert emu.gp_config.grad_precision == "high"
+
+    path = os.path.join(tmp, "emu.npz")
+    emu.save(path)
+    emu2 = Emulator.load(path)
+    assert emu2.gp_config.grad_precision == "high"
+
+
 def test_fused_sharded_equals_single(rng):
     """custom_partitioning shards the walker axis: identical values and
     gradients with the inputs laid out over an 8-device mesh."""
@@ -180,8 +262,24 @@ def test_emulator_wiring_fastgrad_uses_fused(rng, monkeypatch):
 
         g_f = np.asarray(jax.grad(s_fused)(xq))
         g_v = np.asarray(jax.grad(s_vanilla)(xq))
+        # default grad_precision="default": 1-pass bf16 backward -> ~1%
+        # relative gradient noise is the contract (values above are tight)
         np.testing.assert_allclose(
-            g_f, g_v, atol=2e-3 * max(np.abs(g_v).max(), 1.0)
+            g_f, g_v, atol=3e-2 * max(np.abs(g_v).max(), 1.0)
+        )
+
+        # escape hatch: grad_precision="high" restores the 3-pass backward
+        # and the tight gradient parity
+        emu.gp_config = emu.gp_config._replace(grad_precision="high")
+        emu._build_predict_fn()
+
+        def s_fused_hi(x):
+            m, v = emu.predict_pc_pure_fastgrad(emu.predict_state, x)
+            return jnp.sum(m) + jnp.sum(v)
+
+        g_f_hi = np.asarray(jax.grad(s_fused_hi)(xq))
+        np.testing.assert_allclose(
+            g_f_hi, g_v, atol=2e-3 * max(np.abs(g_v).max(), 1.0)
         )
     finally:
         jax.config.update("jax_enable_x64", True)
