@@ -331,9 +331,17 @@ class Emulator:
                 for k, v in gs.params.items()
             }
             fused = _pp.build_fused_state(params_np, np.asarray(gs.x))
-            fused = _pp.attach_fused_factors(
-                fused, np.asarray(gs.linv), np.asarray(gs.alpha_vec)
-            )
+            if isinstance(gs.linv, jax.Array):
+                # gp_fit leaves the factor on the device: augment + bf16-split
+                # it there instead of round-tripping ~33 MB per emulator over
+                # the tunnel (the host path is for numpy callers, e.g. load)
+                fused = _pp.attach_fused_factors_device(
+                    fused, gs.linv, gs.alpha_vec
+                )
+            else:
+                fused = _pp.attach_fused_factors(
+                    fused, np.asarray(gs.linv), np.asarray(gs.alpha_vec)
+                )
             # predictive kdiag per PC (amp + noise; RBF diag is constant)
             fused["kdiag"] = jnp.asarray(
                 (np.exp(params_np["log_amp"])

@@ -145,6 +145,39 @@ def attach_fused_factors(
     return out
 
 
+@jax.jit
+def _attach_factors_jit(linv, alpha_vec):
+    """Pad/augment/split ``[G; alpha; 0]`` on the device (shapes static
+    under jit; one compile shared by every same-shape emulator)."""
+    b, n, _ = linv.shape
+    np_pad = _round_up(n, _LANE)
+    npg = np_pad + 16
+    g = jnp.zeros((b, npg, np_pad), dtype=jnp.float32)
+    g = g.at[:, :n, :n].set(linv.astype(jnp.float32))
+    g = g.at[:, np_pad, :n].set(alpha_vec.astype(jnp.float32))
+    hi = g.astype(jnp.bfloat16)
+    lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def attach_fused_factors_device(
+    fstate: dict, linv: jnp.ndarray, alpha_vec: jnp.ndarray
+) -> dict:
+    """:func:`attach_fused_factors` without the device->host->device trip.
+
+    gp_fit leaves ``linv``/``alpha_vec`` ON the device; pulling the
+    (b, n, n) factor to host to pad it and re-uploading the two bf16
+    splits moves ~33 MB per flagship emulator over the tunnel (measured
+    as most of the gp_train_s regression 5.7 -> 11.3 s).  The augmented
+    layout is pure pad/concat/cast work, so one tiny jitted program does
+    it in place; both builders round f32->bf16 with round-to-nearest-even
+    and agree bitwise (pinned by test_pallas_predict).
+    """
+    out = dict(fstate)
+    out["g_hi"], out["g_lo"] = _attach_factors_jit(linv, alpha_vec)
+    return out
+
+
 # --------------------------------------------------------------- kernels
 
 

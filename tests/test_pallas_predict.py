@@ -299,3 +299,20 @@ def test_eligibility_gating():
     assert not pp.fused_eligible("Matern", 5, jnp.float32)  # family gate
     assert not pp.fused_eligible("RBF", 5, jnp.float64)     # dtype gate
     assert not pp.fused_eligible("RBF", 200, jnp.float32)   # width gate
+
+
+def test_attach_factors_device_matches_host(rng):
+    # the device-side augment/split (used at fit time to avoid the linv
+    # round-trip over the tunnel) must agree BITWISE with the host builder
+    # (used by numpy callers, e.g. Emulator.load)
+    x, params, linv, alpha, fs_host, _ = _mk_problem(rng, b=2, n=150, d=4)
+    fs_dev = pp.attach_fused_factors_device(
+        {k: v for k, v in fs_host.items() if not k.startswith("g_")},
+        jnp.asarray(linv, jnp.float32),
+        jnp.asarray(alpha, jnp.float32),
+    )
+    for key in ("g_hi", "g_lo"):
+        a = np.asarray(fs_host[key], dtype=np.float32)
+        b_ = np.asarray(fs_dev[key], dtype=np.float32)
+        assert a.shape == b_.shape
+        np.testing.assert_array_equal(a, b_)
