@@ -148,15 +148,36 @@ def attach_fused_factors(
 @jax.jit
 def _attach_factors_jit(linv, alpha_vec):
     """Pad/augment/split ``[G; alpha; 0]`` on the device (shapes static
-    under jit; one compile shared by every same-shape emulator)."""
+    under jit; one compile shared by every same-shape emulator).
+
+    The hi half is carved out by INTEGER mantissa masking (round-half-to-
+    even into the top 16 bits), not ``astype(bfloat16)``: spelling the
+    split as f32->bf16->f32 converts lets XLA:TPU's algebraic simplifier
+    fold the convert chain and demote the subtraction, which silently
+    zeroes the lo half -- the fused matmuls then run at 1-pass-bf16
+    accuracy and the posterior moves by hundreds of log-units (caught by
+    bench.py's generic-vs-auto cross-check, max rel 0.392).  Bitcasts and
+    integer adds cannot be folded; the arithmetic is identical to the
+    numpy builder (both are RNE), pinned bitwise by
+    test_attach_factors_device_matches_host.
+    """
     b, n, _ = linv.shape
     np_pad = _round_up(n, _LANE)
     npg = np_pad + 16
     g = jnp.zeros((b, npg, np_pad), dtype=jnp.float32)
     g = g.at[:, :n, :n].set(linv.astype(jnp.float32))
     g = g.at[:, np_pad, :n].set(alpha_vec.astype(jnp.float32))
-    hi = g.astype(jnp.bfloat16)
-    lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    bits = lax.bitcast_convert_type(g, jnp.uint32)
+    # round-to-nearest-even into the upper 16 bits (finite inputs only:
+    # linv/alpha come from a Cholesky factor and are finite by construction)
+    lsb = (bits >> 16) & jnp.uint32(1)
+    hi_bits = (bits + jnp.uint32(0x7FFF) + lsb) & jnp.uint32(0xFFFF0000)
+    hi_f32 = lax.bitcast_convert_type(hi_bits, jnp.float32)
+    # bf16 <-> f32-with-zero-tail is a pure bit narrowing: exact both ways
+    hi = lax.bitcast_convert_type(
+        (hi_bits >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    lo = (g - hi_f32).astype(jnp.bfloat16)
     return hi, lo
 
 

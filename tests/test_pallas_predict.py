@@ -316,3 +316,26 @@ def test_attach_factors_device_matches_host(rng):
         b_ = np.asarray(fs_dev[key], dtype=np.float32)
         assert a.shape == b_.shape
         np.testing.assert_array_equal(a, b_)
+
+
+def test_device_split_rne_wide_range(rng):
+    # the integer-masked RNE split must equal ml_dtypes' f32->bf16 rounding
+    # across magnitudes, signs, and exact rounding ties
+    vals = np.concatenate([
+        rng.normal(size=200).astype(np.float32),
+        (rng.normal(size=200) * 10.0 ** rng.integers(-30, 30, 200)).astype(np.float32),
+        np.float32([0.0, -0.0, 1.0, -1.0, 1e-38, -1e-38, 3.0e38, -3.0e38]),
+        # exact halfway cases: mantissa ...1000... below the bf16 cut
+        np.frombuffer(np.uint32([0x3F808000, 0x3F818000, 0xBF808000,
+                                 0x7F7F8000, 0x00808000]).tobytes(),
+                      dtype=np.float32),
+    ])
+    n = 128  # one lane tile
+    a = np.zeros((1, n, n), dtype=np.float32)
+    a.flat[: vals.size] = vals
+    hi_np, lo_np = pp._split_bf16_np(a)
+    hi_d, lo_d = pp._attach_factors_jit(jnp.asarray(a), jnp.zeros((1, n), jnp.float32))
+    hi_d = np.asarray(hi_d, np.float32)[:, :n, :n]
+    lo_d = np.asarray(lo_d, np.float32)[:, :n, :n]
+    np.testing.assert_array_equal(hi_np.astype(np.float32), hi_d)
+    np.testing.assert_array_equal(lo_np.astype(np.float32), lo_d)
