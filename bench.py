@@ -8,7 +8,17 @@ nine trained :class:`Emulator` instances loaded into a :class:`Chain`, whose
 fused ``posterior_with_state()`` program is what the samplers consume
 (reference hot path: src/mcmc.py:217, 345-426).
 
-Measures and prints ONE JSON line on stdout (progress goes to stderr):
+Prints a CUMULATIVE JSON line on stdout after EVERY completed stage (same
+schema each time, unmeasured fields null; progress goes to stderr), so a
+timeout at any point still leaves the last complete measurement parseable —
+the final line is the full record.  Stages run headline-first (HMC right
+after the Chain is up; SMC and the CPU baseline last), and the nine trained
+flagship emulators are persisted via ``Emulator.save`` to
+``cache/flagship/`` and reused on re-run so a congested remote gp_fit
+compile is paid at most once per machine (``--fresh`` forces a retrain and
+re-measures the gp_train timings).
+
+Fields of the JSON record:
 
 - ``value``: effective samples per second through
   ``Chain.posterior_with_state()`` -- the best of the stretch move, the
@@ -44,12 +54,30 @@ Measures and prints ONE JSON line on stdout (progress goes to stderr):
   throughput an appended/long run converges to; the headline stays
   warmup-charged), and the winning ``move`` / ``tau``.
 
+- roofline fields: ``flops_per_eval`` (static count of the fused posterior
+  program's useful f32 FLOPs -- see ``FLOPS_PER_EVAL``) and
+  ``achieved_tflops`` (= flops_per_eval x ensemble evals/s / 1e12, the
+  delivered useful-FLOP rate).  At ``Precision.HIGH`` every f32 product is
+  3 bf16 MXU passes, so hardware utilization vs the v5e bf16 peak
+  (394 TFLOP/s) is ``3 x achieved_tflops / 394`` -- reported as
+  ``mxu_util_vs_bf16_peak``.  These make ARCHITECTURE.md's "eval path is
+  near its practical floor" a checkable number and surface perf
+  regressions independently of tau noise.
+
 ``--no-smc`` skips the SMC pipeline (field reported as null).
+``--fresh`` ignores the flagship cache and re-trains (re-measuring
+``gp_train_s`` / ``gp_train_compile_s``; otherwise cached timings from the
+training run are reported with ``gp_train_cached: true``).
+``--smc-production`` runs SMC at the reference's flagship scale
+(n_effective 8000, n_active 4000, n_prior 16000, n_total 30000,
+n_evidence 5000 -- RunBayesianAnalysis.ipynb cell 4 /
+src/mcmc.py:752-754 defaults) instead of the default bench scale.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import tempfile
 import time
@@ -57,6 +85,15 @@ import time
 import numpy as np
 
 from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
+
+# The package logs to stdout (the reference's environment contract,
+# runtime.py); the bench's stdout must carry ONLY the cumulative JSON
+# record lines, so repoint the root handler at stderr for this process.
+import logging
+
+for _h in logging.getLogger().handlers:
+    if getattr(_h, "stream", None) is sys.stdout:
+        _h.setStream(sys.stderr)
 
 
 def log(*a):
@@ -92,17 +129,111 @@ CPU_BASELINE_WALKERS = 7
 # windowed FFT estimator converges (round-2 bench was window-limited)
 ENS_TAU_CHUNKS = 8
 
+# Static useful-FLOP count of ONE fused posterior evaluation (f32 ops; a
+# fused multiply-add counts as 2).  Dominant term: the 36 predictive-
+# variance products G @ k* with G = L^-1 at (nev, nev) -- 2*npc*nev^2 per
+# emulator.  Plus, per emulator: the RBF k* build (squared scaled distance
+# 3*ndim ops + ~10 for the exp/scale epilogue per (pc, train) entry), the
+# k*@alpha mean and the |G k*|^2 norm reductions (2*npc*nev each), and the
+# PC->observable projections (4*npc*n_e).  The rank-36 Woodbury
+# capacitance in the likelihood adds 2*r^2*nobs + r^3 (<2%); O(nobs) and
+# O(r*nobs) epilogue terms are <0.1% and left uncounted.
+_R_WOOD = len(BLOCKS) * NPC
+FLOPS_PER_EVAL = int(
+    sum(
+        2 * NPC * NEV * NEV                # variance products  (dominant)
+        + NPC * NEV * (3 * NDIM + 10)      # kstar kernel build
+        + 2 * 2 * NPC * NEV                # mean + norm reductions
+        + 4 * NPC * n_e                    # PC -> observable projection
+        for n_e in BLOCKS
+    )
+    + 2 * _R_WOOD**2 * sum(BLOCKS)         # Woodbury capacitance build
+    + _R_WOOD**3                           # capacitance solve
+)
+V5E_BF16_PEAK_TFLOPS = 394.0  # one v5e chip
+# Precision.HIGH f32 products are 3 bf16 MXU passes (hi/lo split): the
+# hardware executes ~3x the useful FLOPs counted above.
+HIGH_PRECISION_PASSES = 3
 
-def build_chain():
-    """Train 9 real emulators on flagship-scale synthetic physics and load
-    them into a real Chain (the exact objects RunBayesianAnalysis.ipynb
-    drives in the reference)."""
+CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "cache", "flagship"
+)
+
+
+def build_or_load_chain(fresh: bool = False, cache_dir: str = CACHE_DIR):
+    """Flagship Chain: 9 real trained emulators (544 observables) loaded
+    into a real Chain (the exact objects RunBayesianAnalysis.ipynb drives
+    in the reference).
+
+    First (or ``--fresh``) run trains from scratch, measures the split
+    gp_train timings, and persists the emulators + parameter/exp files +
+    timings under ``cache_dir`` (``Emulator.save`` round-trips skip the
+    gp_fit compile entirely -- CLAUDE.md); later runs reconstruct the
+    identical Chain in seconds so a congested remote compile can never
+    starve the headline stages.
+
+    Returns ``(chain, gp_train_s, gp_train_compile_s, cached)``.
+    """
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    marker = os.path.join(cache_dir, "ok")
+    timings_path = os.path.join(cache_dir, "timings.json")
+    if not fresh and os.path.exists(marker):
+        log(f"loading flagship chain from cache ({cache_dir}) ...")
+        tmp = tempfile.mkdtemp(prefix="bench_flagship_cached_")
+        chain = Chain(
+            mcmc_path=os.path.join(tmp, "mcmc", "chain.pkl"),
+            expdata_path=os.path.join(cache_dir, "exp.pkl"),
+            model_parafile=os.path.join(cache_dir, "pars.txt"),
+        )
+        chain.loadEmulator(
+            [os.path.join(cache_dir, f"emu{i}.npz")
+             for i in range(len(BLOCKS))]
+        )
+        with open(timings_path) as f:
+            t = json.load(f)
+        return chain, t["gp_train_s"], t["gp_train_compile_s"], True
+
+    from gpbayestools_hic_tpu.models import train_emulators_jointly
     from gpbayestools_hic_tpu.utils.synthetic import build_synthetic_chain
 
-    return build_synthetic_chain(
+    src_dir = tempfile.mkdtemp(prefix="bench_flagship_")
+    t0 = time.perf_counter()
+    chain, gp_train_total_s = build_synthetic_chain(
         nev=NEV, ndim=NDIM, nobs_blocks=BLOCKS, npc=NPC, gp_maxiter=30,
-        seed=0, tmpdir=tempfile.mkdtemp(prefix="bench_flagship_"),
+        seed=0, tmpdir=src_dir,
     )
+    log(f"emulator training ({len(BLOCKS)} emulators x {NPC} GPs, nev={NEV}):"
+        f" {gp_train_total_s:.1f}s incl. compile "
+        f"(total build {time.perf_counter() - t0:.1f}s)")
+    # Separate compile from compute: retrain the identical joint fit (same
+    # shapes/statics -> the compiled program is reused), so the second wall
+    # time is pure compute.  Round-2's single number (194.8 s) was almost
+    # entirely remote-compile congestion on the shared tunnel and
+    # contradicted the documented ~20 s compute (VERDICT r2).
+    t0 = time.perf_counter()
+    train_emulators_jointly(chain.emuList)
+    gp_train_s = time.perf_counter() - t0
+    gp_train_compile_s = max(gp_train_total_s - gp_train_s, 0.0)
+    log(f"emulator training warm (compiled program reused): {gp_train_s:.1f}s"
+        f" compute + {gp_train_compile_s:.1f}s compile")
+
+    import shutil
+
+    os.makedirs(cache_dir, exist_ok=True)
+    for name in ("pars.txt", "exp.pkl"):
+        shutil.copy(os.path.join(src_dir, name), os.path.join(cache_dir, name))
+    for i, e in enumerate(chain.emuList):
+        e.save(os.path.join(cache_dir, f"emu{i}.npz"))
+    with open(timings_path, "w") as f:
+        json.dump({"gp_train_s": round(gp_train_s, 2),
+                   "gp_train_compile_s": round(gp_train_compile_s, 2),
+                   "measured_utc": time.strftime(
+                       "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+    with open(marker, "w") as f:
+        f.write("flagship cache complete\n")
+    log(f"flagship chain cached to {cache_dir}")
+    return chain, gp_train_s, gp_train_compile_s, False
 
 
 def cpu_reference_eval_rate(chain, walkers):
@@ -359,7 +490,16 @@ def bench_pallas_block_route(chain, dtype):
     return rate, max_rel
 
 
-def bench_smc(chain):
+# default bench scale vs the reference's flagship production scale
+# (/root/reference/src/mcmc.py:752-754 defaults as driven by
+# RunBayesianAnalysis.ipynb cell 4)
+SMC_BENCH = dict(n_effective=2000, n_active=1000, n_prior=4000,
+                 n_max_steps=50, n_total=8000, n_evidence=2000)
+SMC_PRODUCTION = dict(n_effective=8000, n_active=4000, n_prior=16000,
+                      n_max_steps=50, n_total=30000, n_evidence=5000)
+
+
+def bench_smc(chain, knobs=SMC_BENCH):
     """Full flow-preconditioned SMC pipeline (BASELINE config #5) through
     the production Chain.run_pocoMC + posterior k-means clustering."""
     import jax
@@ -368,10 +508,7 @@ def bench_smc(chain):
     from gpbayestools_hic_tpu.utils.cluster import kmeans
 
     t0 = time.perf_counter()
-    out = chain.run_pocoMC(
-        n_effective=2000, n_active=1000, n_prior=4000,
-        n_max_steps=50, n_total=8000, n_evidence=2000, random_state=0,
-    )
+    out = chain.run_pocoMC(random_state=0, **knobs)
     dt = time.perf_counter() - t0
     w = out["weights"]
     ess = 1.0 / np.sum(w**2)
@@ -385,7 +522,7 @@ def bench_smc(chain):
         jnp.asarray(samples), 3, key=jax.random.PRNGKey(0)
     )
     log(f"[smc] posterior k-means: inertia {float(inertia):.1f}")
-    return dt, float(out["logz"])
+    return dt, float(out["logz"]), float(out["logz_err"]), float(ess)
 
 
 def wait_for_device(max_wait_s: float | None = None, poll_s: float = 60.0):
@@ -431,6 +568,40 @@ def wait_for_device(max_wait_s: float | None = None, poll_s: float = 60.0):
         time.sleep(poll_s)
 
 
+# every field the final record carries, in emission order; unmeasured
+# stages stay null so every cumulative line has the SAME schema
+_RECORD_FIELDS = (
+    "metric", "value", "unit", "vs_baseline", "move", "tau", "stage",
+    "ensemble_ess_per_sec", "ensemble_move", "ensemble_tau",
+    "ensemble_tau_converged",
+    "hmc_ess_per_sec", "hmc_warm_ess_per_sec", "hmc_warm_tau_converged",
+    "hmc_tau_converged", "evals_per_sec",
+    "gp_train_s", "gp_train_compile_s", "gp_train_cached",
+    "flops_per_eval", "achieved_tflops", "mxu_util_vs_bf16_peak",
+    "pallas_evals_per_sec", "pallas_max_rel_diff",
+    "smc_wall_s", "smc_logz", "smc_logz_err", "smc_ess", "smc_scale",
+)
+
+
+class Emitter:
+    """Cumulative stdout record: one full-schema JSON line per completed
+    stage, so the driver parses the last complete measurement even if a
+    later stage is killed by a timeout (VERDICT r3 item 1 -- the round-3
+    driver artifact was empty because the single end-of-run line never
+    printed)."""
+
+    def __init__(self):
+        self.record = {k: None for k in _RECORD_FIELDS}
+        self.record.update(
+            metric="ess_per_sec_flagship_544obs_17param",
+            unit="effective samples/s",
+        )
+
+    def emit(self, stage: str, **fields):
+        self.record.update(fields, stage=stage)
+        print(json.dumps(self.record), flush=True)
+
+
 def main():
     import jax
 
@@ -438,6 +609,7 @@ def main():
 
     enable_compilation_cache()
     dtype = np.float32
+    em = Emitter()
     try:
         dev = wait_for_device()
     except RuntimeError as exc:
@@ -446,93 +618,84 @@ def main():
         # the infrastructure cause instead of a bare stack trace, then fail
         # loudly: value 0 is honest (nothing was measured this run).
         log(f"FATAL: {exc}")
-        print(json.dumps({
-            "metric": "ess_per_sec_flagship_544obs_17param",
-            "value": 0.0,
-            "unit": "effective samples/s",
-            "vs_baseline": 0.0,
-            "error": "axon TPU backend outage: no device came up within "
-                     "the wait budget (BENCH_MAX_WAIT_S); nothing measured "
-                     "this run -- see the last committed BENCH record for "
-                     "the most recent successful measurement",
-        }))
+        em.emit(
+            "outage", value=0.0, vs_baseline=0.0,
+            error="axon TPU backend outage: no device came up within "
+                  "the wait budget (BENCH_MAX_WAIT_S); nothing measured "
+                  "this run -- see the last committed BENCH record for "
+                  "the most recent successful measurement",
+        )
         raise SystemExit(1)
     log(f"device: {dev.platform} ({dev.device_kind})")
 
     log("building flagship problem (9 emulators, 544 observables) ...")
-    t0 = time.perf_counter()
-    chain, gp_train_total_s = build_chain()
-    log(f"emulator training ({len(BLOCKS)} emulators x {NPC} GPs, nev={NEV}): "
-        f"{gp_train_total_s:.1f}s incl. compile "
-        f"(total build {time.perf_counter() - t0:.1f}s)")
-    # Separate compile from compute: retrain the identical joint fit (same
-    # shapes/statics -> the compiled program is reused), so the second wall
-    # time is pure compute.  Round-2's single number (194.8 s) was almost
-    # entirely remote-compile congestion on the shared tunnel and
-    # contradicted the documented ~20 s compute (VERDICT r2).
-    from gpbayestools_hic_tpu.models import train_emulators_jointly
+    chain, gp_train_s, gp_train_compile_s, cached = build_or_load_chain(
+        fresh="--fresh" in sys.argv
+    )
+    em.emit("chain_ready",
+            gp_train_s=round(gp_train_s, 1),
+            gp_train_compile_s=round(gp_train_compile_s, 1),
+            gp_train_cached=bool(cached),
+            flops_per_eval=FLOPS_PER_EVAL)
 
-    t0 = time.perf_counter()
-    train_emulators_jointly(chain.emuList)
-    gp_train_s = time.perf_counter() - t0
-    gp_train_compile_s = max(gp_train_total_s - gp_train_s, 0.0)
-    log(f"emulator training warm (compiled program reused): {gp_train_s:.1f}s "
-        f"compute + {gp_train_compile_s:.1f}s compile")
+    # headline sampler FIRST: nothing after this point can starve it
+    (hmc_ess, hmc_tau, hmc_tau_converged,
+     hmc_warm_ess, hmc_warm_converged) = bench_hmc(chain, dtype)
+    em.emit("hmc",
+            value=round(hmc_ess, 2), move="hmc", tau=round(hmc_tau, 2),
+            hmc_ess_per_sec=round(hmc_ess, 1),
+            hmc_warm_ess_per_sec=round(hmc_warm_ess, 1),
+            hmc_warm_tau_converged=bool(hmc_warm_converged),
+            hmc_tau_converged=bool(hmc_tau_converged))
 
     results = {}
     for move in ("stretch", "de"):
         results[move] = bench_move(chain, move, dtype)
     best_ens = max(results, key=lambda m: results[m][0])
     ens_ess, evals_per_sec, ens_tau, ens_tau_converged = results[best_ens]
-
-    (hmc_ess, hmc_tau, hmc_tau_converged,
-     hmc_warm_ess, hmc_warm_converged) = bench_hmc(chain, dtype)
     if hmc_ess > ens_ess:
         best_move, ess_per_sec, tau = "hmc", hmc_ess, hmc_tau
     else:
         best_move, ess_per_sec, tau = best_ens, ens_ess, ens_tau
     log(f"best sampler: {best_move}")
-
-    pallas_rate, pallas_rel = bench_pallas_block_route(chain, dtype)
+    achieved_tflops = FLOPS_PER_EVAL * evals_per_sec / 1e12
+    em.emit("ensemble",
+            value=round(ess_per_sec, 2), move=best_move, tau=round(tau, 2),
+            ensemble_ess_per_sec=round(ens_ess, 1), ensemble_move=best_ens,
+            ensemble_tau=round(ens_tau, 1),
+            ensemble_tau_converged=bool(ens_tau_converged),
+            evals_per_sec=round(evals_per_sec, 0),
+            achieved_tflops=round(achieved_tflops, 2),
+            mxu_util_vs_bf16_peak=round(
+                HIGH_PRECISION_PASSES * achieved_tflops
+                / V5E_BF16_PEAK_TFLOPS, 3))
 
     log(f"measuring reference-style CPU baseline "
         f"({CPU_BASELINE_WALKERS} serial evals) ...")
     cpu_rate = cpu_reference_eval_rate(chain, CPU_BASELINE_WALKERS)
     log(f"reference-style CPU: {cpu_rate:.2f} evals/s")
     # ESS/eval is a sampler property -> ESS/sec ratio == eval-rate ratio
-    vs_baseline = evals_per_sec / cpu_rate
+    em.emit("cpu_baseline", vs_baseline=round(evals_per_sec / cpu_rate, 1))
 
-    smc_wall_s, smc_logz = None, None
+    pallas_rate, pallas_rel = bench_pallas_block_route(chain, dtype)
+    em.emit("pallas",
+            pallas_evals_per_sec=round(pallas_rate, 0),
+            # generic-route vs Woodbury agreement: the correctness check
+            # that gives the throughput number meaning (healthy ~1e-5 f32)
+            pallas_max_rel_diff=float(f"{pallas_rel:.2e}"))
+
     if "--no-smc" not in sys.argv:
-        smc_wall_s, smc_logz = bench_smc(chain)
-        smc_wall_s = round(smc_wall_s, 1)
-        smc_logz = round(smc_logz, 2)
-
-    print(json.dumps({
-        "metric": "ess_per_sec_flagship_544obs_17param",
-        "value": round(ess_per_sec, 2),
-        "unit": "effective samples/s",
-        "vs_baseline": round(vs_baseline, 1),
-        "move": best_move,
-        "tau": round(tau, 2),
-        "ensemble_ess_per_sec": round(ens_ess, 1),
-        "ensemble_move": best_ens,
-        "ensemble_tau": round(ens_tau, 1),
-        "ensemble_tau_converged": bool(ens_tau_converged),
-        "hmc_ess_per_sec": round(hmc_ess, 1),
-        "hmc_warm_ess_per_sec": round(hmc_warm_ess, 1),
-        "hmc_warm_tau_converged": bool(hmc_warm_converged),
-        "hmc_tau_converged": bool(hmc_tau_converged),
-        "evals_per_sec": round(evals_per_sec, 0),
-        "gp_train_s": round(gp_train_s, 1),
-        "gp_train_compile_s": round(gp_train_compile_s, 1),
-        "pallas_evals_per_sec": round(pallas_rate, 0),
-        # generic-route vs Woodbury agreement: the correctness check that
-        # gives the throughput number meaning (healthy: ~1e-5 in f32)
-        "pallas_max_rel_diff": float(f"{pallas_rel:.2e}"),
-        "smc_wall_s": smc_wall_s,
-        "smc_logz": smc_logz,
-    }))
+        production = "--smc-production" in sys.argv
+        knobs = SMC_PRODUCTION if production else SMC_BENCH
+        smc_wall_s, smc_logz, smc_logz_err, smc_ess = bench_smc(chain, knobs)
+        em.emit("smc",
+                smc_wall_s=round(smc_wall_s, 1),
+                smc_logz=round(smc_logz, 2),
+                smc_logz_err=round(smc_logz_err, 3),
+                smc_ess=round(smc_ess, 0),
+                smc_scale="production" if production else "bench")
+    else:
+        em.emit("smc", smc_scale="skipped")
 
 
 if __name__ == "__main__":
