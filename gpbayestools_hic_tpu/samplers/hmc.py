@@ -378,8 +378,10 @@ def _hmc_scan_trajectory(
         if persist > 0.0:
             # AR(1) refresh keeps N(0, I) invariant and is self-adjoint
             # under it, so composing it with the flip-balanced trajectory
-            # kernel below preserves the joint target
-            p0 = persist * p_prev + np.sqrt(1.0 - persist**2) * xi
+            # kernel below preserves the joint target.  float() keeps the
+            # coefficient weakly typed: a bare np.sqrt scalar is STRONG
+            # f64 and would silently promote f32 walkers under x64.
+            p0 = persist * p_prev + float(np.sqrt(1.0 - persist**2)) * xi
         else:
             p0 = xi
         s_hi = (L + 1) if window == 0 else window
