@@ -334,7 +334,12 @@ class Emulator:
             if isinstance(gs.linv, jax.Array):
                 # gp_fit leaves the factor on the device: augment + bf16-split
                 # it there instead of round-tripping ~33 MB per emulator over
-                # the tunnel (the host path is for numpy callers, e.g. load)
+                # the tunnel.  Emulator.load also lands here (it converts
+                # linv via jnp.asarray), so in practice EVERY in-package
+                # caller takes this path; the host branch below covers only
+                # externally constructed numpy GPStates and test callers.
+                # The two builders agree bitwise
+                # (test_attach_factors_device_matches_host).
                 fused = _pp.attach_fused_factors_device(
                     fused, gs.linv, gs.alpha_vec
                 )

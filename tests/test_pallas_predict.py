@@ -303,8 +303,16 @@ def test_eligibility_gating():
 
 def test_attach_factors_device_matches_host(rng):
     # the device-side augment/split (used at fit time to avoid the linv
-    # round-trip over the tunnel) must agree BITWISE with the host builder
-    # (used by numpy callers, e.g. Emulator.load)
+    # round-trip over the tunnel; Emulator.load also takes the device path
+    # since it converts linv to a jax.Array) must agree BITWISE with the
+    # host builder (externally constructed numpy GPStates).  CAVEAT: this
+    # CPU-tier pin cannot see the failure mode the integer masking defends
+    # against -- the XLA:TPU algebraic simplifier folding the
+    # f32->bf16->f32 convert chain and zeroing g_lo is TPU-compile
+    # -specific.  The on-hardware guard is
+    # tools/tpu_validation.check_device_factor_split (run with every TPU
+    # validation pass), which asserts g_lo is non-zero and host==device
+    # on the real compiled program.
     x, params, linv, alpha, fs_host, _ = _mk_problem(rng, b=2, n=150, d=4)
     fs_dev = pp.attach_fused_factors_device(
         {k: v for k, v in fs_host.items() if not k.startswith("g_")},

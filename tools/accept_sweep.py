@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import NDIM, NWALKERS, HMC_STEPS, HMC_WARMUP, build_chain, log
+from bench import NDIM, NWALKERS, HMC_STEPS, HMC_WARMUP, build_or_load_chain, log
 
 
 def run_config(chain, target_accept, n_leapfrog, window=0, persist=0.0,
@@ -89,7 +89,7 @@ def main():
     from bench import wait_for_device
 
     wait_for_device()  # ride out transient tunnel outages
-    chain, _ = build_chain()
+    chain, _, _, _ = build_or_load_chain()
     results = {}
     for acc, L, W, P in grid:
         results[(acc, L, W, P)] = run_config(chain, acc, L, W, P)

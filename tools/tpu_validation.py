@@ -2,7 +2,7 @@
 
 Run on a real TPU (no arguments).  Builds the flagship benchmark problem
 with the REAL production objects (nine trained Emulators in a Chain,
-bench.build_chain), evaluates the fused f32 Woodbury log-posterior
+bench.build_or_load_chain), evaluates the fused f32 Woodbury log-posterior
 on-device, recomputes the same quantity in float64 numpy from the identical
 GP state, and checks the worst-case disagreement.
 
@@ -76,6 +76,42 @@ def f64_log_posterior(chain, x: np.ndarray) -> np.ndarray:
     return lp64
 
 
+def check_device_factor_split(chain) -> None:
+    """TPU-compiled guard for the fused-kernel bf16 factor split.
+
+    The device-side builder's integer-masked round-to-nearest-even split
+    defends against an XLA:TPU algebraic-simplifier hazard (folding the
+    f32->bf16->f32 convert chain would zero ``g_lo`` and silently degrade
+    the 3-pass matmuls to 1-pass).  The CPU tier pins host==device bitwise
+    (test_attach_factors_device_matches_host) but cannot see a TPU-compile
+    -specific fold, so assert here -- on the real compiled program -- that
+    ``g_lo`` is non-zero and both halves match the host split exactly."""
+    import jax.numpy as jnp
+
+    import gpbayestools_hic_tpu.ops.pallas_predict as pp
+
+    gs = chain.emuList[0].gp_state
+    params_np = {k: np.asarray(v, np.float64) for k, v in gs.params.items()}
+    base = pp.build_fused_state(params_np, np.asarray(gs.x))
+    fs_dev = pp.attach_fused_factors_device(
+        dict(base), jnp.asarray(gs.linv, jnp.float32),
+        jnp.asarray(gs.alpha_vec, jnp.float32),
+    )
+    fs_host = pp.attach_fused_factors(
+        dict(base), np.asarray(gs.linv), np.asarray(gs.alpha_vec)
+    )
+    g_lo_dev = np.asarray(fs_dev["g_lo"], np.float32)
+    assert np.abs(g_lo_dev).max() > 0, (
+        "device-built g_lo is all-zero: the TPU compile folded the bf16 "
+        "split -- 3-pass precision silently lost"
+    )
+    for key in ("g_hi", "g_lo"):
+        a = np.asarray(fs_host[key], np.float32)
+        b = np.asarray(fs_dev[key], np.float32)
+        np.testing.assert_array_equal(a, b, err_msg=key)
+    print("device bf16 factor split: g_lo non-zero, host==device bitwise")
+
+
 def main(tol: float = 0.5) -> int:
     sys.path.insert(0, ".")
     import bench
@@ -83,7 +119,8 @@ def main(tol: float = 0.5) -> int:
 
     enable_compilation_cache()
     bench.wait_for_device()  # ride out transient tunnel outages
-    chain, _ = bench.build_chain()
+    chain, _, _, _ = bench.build_or_load_chain()
+    check_device_factor_split(chain)
     rng = np.random.default_rng(9)
     x = rng.uniform(0.3, 0.7, (64, chain.ndim))
 

@@ -96,7 +96,7 @@ def main() -> int:
 
     enable_compilation_cache()
     bench.wait_for_device()
-    chain, _ = bench.build_chain()
+    chain, _, _, _ = bench.build_or_load_chain()
 
     rng = np.random.default_rng(9)
     x_val = rng.uniform(0.3, 0.7, (64, chain.ndim))
