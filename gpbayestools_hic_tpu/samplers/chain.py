@@ -1050,6 +1050,9 @@ class Chain:
             # n_evidence > 0, else they ARE the PS pair)
             "logz_ps": float(result["logz_ps"]),
             "logz_err_ps": float(result["logz_err_ps"]),
+            "logz_source": result["logz_source"],
+            "logz_is": result["logz_is"],
+            "logz_err_is": result["logz_err_is"],
         }
         self.chain = chain_data["chain"]
         with open(self.mcmc_path, "wb") as f:

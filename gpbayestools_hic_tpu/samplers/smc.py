@@ -44,11 +44,15 @@ docstring at src/mcmc.py:755-780 documents the knobs):
     ``Z_beta = (1/N) sum_j w_j(beta)`` with a batch-bootstrap standard
     error (:func:`_ps_logz_err`), plus, when ``n_evidence > 0``, an
     importance-sampling refinement with flow draws (pocoMC's default)
-    whose error is the standard IS delta-method standard error of log Z;
-    both estimates/errors are returned (``logz``/``logz_err`` follow
-    whichever is final, ``logz_ps``/``logz_err_ps`` always report the
-    persistent-sampling pair).  A repeat-seed calibration test pins the
-    reported error against actual scatter (test_smc.py).
+    whose error is the standard IS delta-method standard error of log Z.
+    The primary ``logz``/``logz_err`` pair is chosen by
+    :func:`_select_evidence`: the tighter of the two when they agree, the
+    PS estimate with an inflated error (plus a warning) when they
+    disagree beyond 3 sigma -- the flow-tail failure mode where the IS
+    error cannot see its own bias (measured on the 17-dim flagship).
+    ``logz_source`` names the chosen estimator; ``logz_ps``/``logz_is``
+    (+errors) always report both.  A repeat-seed calibration test pins
+    the reported error against actual scatter (test_smc.py).
 
 Returns the reference's chain contract: ``samples (n, d), weights, logl,
 logp, logz, logz_err`` (src/mcmc.py:816-819) -- with REAL importance
@@ -470,6 +474,38 @@ def _ps_logz_err(lw1, counts, rng, n_boot: int = 256) -> float:
     return float(np.std(np.log(z_boot)))
 
 
+def _select_evidence(logz_ps, err_ps, logz_is, err_is):
+    """Robust primary-evidence selection between the persistent-sampling
+    and the flow-importance-sampling estimates.
+
+    The IS estimate is usually the tighter one (iid draws from a refit
+    flow), but when the flow's tails undercover a sharp high-dimensional
+    posterior its weight distribution is heavy-right-tailed: typical
+    realizations MISS the dominating region, biasing log Z-hat LOW while
+    the delta-method error -- computed from the same unrepresentative
+    weights -- stays small and cannot see its own failure (measured on the
+    17-dim flagship: IS 754.4 +- 0.7 vs PS 759.8 +- 0.3 in one run, with
+    the production-scale refit agreeing with PS at 761.4 +- 0.6).  The PS
+    estimate averages the FULL mixture-weighted history and measured
+    scale-consistent, so:
+
+    - if the two disagree beyond 3 sigma of their combined errors, the IS
+      estimate is declared unreliable: return the PS value with the error
+      inflated to at least half the disagreement (the claimed errors are
+      provably too small at that point);
+    - otherwise return whichever estimate claims the smaller error.
+
+    Returns ``(logz, logz_err, source)`` with source in {"ps", "is"}.
+    """
+    diff = abs(float(logz_is) - float(logz_ps))
+    tol = 3.0 * float(np.hypot(err_is, err_ps))
+    if diff > tol:
+        return float(logz_ps), max(float(err_ps), 0.5 * diff), "ps"
+    if err_is <= err_ps:
+        return float(logz_is), float(err_is), "is"
+    return float(logz_ps), float(err_ps), "ps"
+
+
 def _systematic_resample(rng, log_w, n):
     """Systematic resample from LOG-weights (shared core lives in
     utils.closure.systematic_resample_indices)."""
@@ -759,6 +795,8 @@ def run_smc(
     # ------------------------------------------------------------- evidence
     logz_err_ps = _ps_logz_err(lw1, counts, rng)
     logz, logz_err = logz_ps, logz_err_ps
+    logz_is = logz_err_is = None
+    logz_source = "ps"
     if n_evidence and n_evidence > 0:
         # refit the flow on a large weighted resample of the FULL history so
         # the IS proposal matches the posterior better than the last
@@ -796,13 +834,31 @@ def run_smc(
         else:
             m = log_w_ev.max()
             wv = np.exp(log_w_ev - m)
-            logz = m + np.log(np.mean(wv))
+            logz_is = float(m + np.log(np.mean(wv)))
             # the standard IS delta-method standard error of log Z-hat:
             # Var[log Zhat] ~ Var[w] / (n E[w]^2); draws are iid from the
             # flow, so this is a calibrated (conditional-on-proposal) error
-            logz_err = float(
+            # -- calibrated ONLY while the weight tail is represented; the
+            # cross-check against the PS estimate below catches the
+            # heavy-tail regime where it is not
+            logz_err_is = float(
                 np.std(wv) / (np.mean(wv) * np.sqrt(n_evidence))
             )
+            logz, logz_err, logz_source = _select_evidence(
+                logz_ps, logz_err_ps, logz_is, logz_err_is
+            )
+            if logz_source == "ps" and abs(logz_is - logz_ps) > 3.0 * float(
+                np.hypot(logz_err_is, logz_err_ps)
+            ):
+                logger.warning(
+                    "evidence: IS estimate %.3f +- %.3f disagrees with the "
+                    "persistent-sampling estimate %.3f +- %.3f beyond 3 "
+                    "sigma -- the flow proposal's tails undercover the "
+                    "posterior, so the IS estimate (and its error) is "
+                    "unreliable; reporting the PS estimate with the error "
+                    "inflated to %.3f",
+                    logz_is, logz_err_is, logz_ps, logz_err_ps, logz_err,
+                )
 
     return {
         "samples": x_all,
@@ -811,8 +867,11 @@ def run_smc(
         "logp": hp,
         "logz": float(logz),
         "logz_err": float(logz_err),
+        "logz_source": logz_source,
         "logz_ps": float(logz_ps),
         "logz_err_ps": float(logz_err_ps),
+        "logz_is": None if logz_is is None else float(logz_is),
+        "logz_err_is": None if logz_err_is is None else float(logz_err_is),
         "beta_iterations": iteration,
         "ess": float(ess_final),
         "total_mcmc_steps": total_steps,

@@ -490,3 +490,51 @@ def test_smc_custom_prior_mass_outside_box(caplog):
     np.testing.assert_allclose(
         np.average(samples[:, 0], weights=w), expected0, atol=0.03
     )
+
+
+def test_select_evidence_rule():
+    """_select_evidence: tighter estimator wins when they agree; a >3-sigma
+    disagreement declares the IS estimate unreliable (flow-tail failure,
+    measured on the flagship: IS 754.4+-0.7 vs PS 759.8+-0.3) and returns
+    the PS value with the error inflated to at least half the gap."""
+    from gpbayestools_hic_tpu.samplers.smc import _select_evidence
+
+    # agree, IS tighter -> IS
+    z, e, src = _select_evidence(10.0, 0.5, 10.2, 0.1)
+    assert (z, e, src) == (10.2, 0.1, "is")
+    # agree, PS tighter -> PS
+    z, e, src = _select_evidence(10.0, 0.1, 10.2, 0.5)
+    assert (z, e, src) == (10.0, 0.1, "ps")
+    # flagship-style failure: 5.4-unit gap at sub-unit errors -> PS, err
+    # inflated to half the gap
+    z, e, src = _select_evidence(759.8, 0.27, 754.4, 0.70)
+    assert src == "ps" and z == 759.8
+    assert e == pytest.approx(0.5 * 5.4, rel=1e-12)
+    # exactly at the 3-sigma boundary: not declared a failure
+    z, e, src = _select_evidence(0.0, 1.0, 2.9, 0.0)
+    assert src == "is"
+
+
+def test_run_smc_reports_both_evidence_estimators():
+    """The result dict carries both estimator pairs and names its source;
+    on this easy calibrated target the two agree (no forced PS fallback)."""
+    mu = jnp.asarray([0.4, 0.6])
+    s = 0.05
+
+    def logl(state, x, finite):
+        return (-0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2
+                - jnp.log(2 * jnp.pi * s**2))
+
+    result = run_smc(
+        logl, jnp.zeros(2), jnp.ones(2),
+        n_effective=400, n_active=200, n_prior=800,
+        n_max_steps=25, n_total=2000, n_evidence=1000, seed=3,
+        flow_config=CFG, flow_fit_steps=200,
+    )
+    assert result["logz_source"] in ("ps", "is")
+    assert result["logz_is"] is not None and result["logz_err_is"] is not None
+    # both estimators near the analytic logZ ~= 0 on this target
+    assert abs(result["logz_ps"]) < 0.5, result["logz_ps"]
+    assert abs(result["logz_is"]) < 0.5, result["logz_is"]
+    chosen = {"ps": result["logz_ps"], "is": result["logz_is"]}
+    assert result["logz"] == chosen[result["logz_source"]]
