@@ -822,6 +822,7 @@ class Chain:
         scheme: str = "mh",
         window: int | None = None,
         persist: float = 0.0,
+        warmup_walkers: int | None = None,
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -870,7 +871,10 @@ class Chain:
         rejections resample the start window instead of repeating the
         current point), or ``"multinomial"`` (full-trajectory Boltzmann
         baseline; its distance-agnostic selection measurably shortens
-        moves, prefer ``"windowed"``).  ``window`` sizes the windowed
+        moves, prefer ``"windowed"``).  ``warmup_walkers`` runs the
+        adaptation phases on a walker subset and tiles the warmed state
+        up for production -- cuts the warmup gradient bill
+        proportionally; see :func:`.hmc.run_hmc`.  ``window`` sizes the windowed
         scheme's accept/reject windows (default ``min(2, (L+1)//2)``, the
         measured flagship optimum).  ``persist`` (windowed only) enables
         partial momentum refresh between steps (Horowitz generalized HMC;
@@ -937,7 +941,7 @@ class Chain:
             n_leapfrog=n_leapfrog, warmup=nburnsteps,
             target_accept=target_accept, traj_jitter=traj_jitter,
             mesh=mesh, warm_start=warm_start, scheme=scheme, window=window,
-            persist=persist,
+            persist=persist, warmup_walkers=warmup_walkers,
         )
         logger.info(
             "HMC: step size %.4f, n_leapfrog %d, mean accept %.3f",

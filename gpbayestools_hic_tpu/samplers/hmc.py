@@ -674,6 +674,7 @@ def run_hmc(
     n_leapfrog: int | str = 8,
     warmup: int | str = 128,
     warmup_leapfrog: int | None = None,
+    warmup_walkers: int | None = None,
     eps0: float = 0.1,
     target_accept: float = 0.8,
     traj_jitter: int = 1,
@@ -725,6 +726,22 @@ def run_hmc(
 
     ``mesh``: optional 1-D device mesh; walkers are sharded over it and the
     likelihood state is replicated (see :mod:`..parallel.mesh`).
+
+    ``warmup_walkers``: run the adaptation phases (and the ``"auto"``
+    probe) on only the first ``warmup_walkers`` walkers instead of all of
+    them.  Adaptation needs cross-walker acceptance statistics and a
+    metric estimate, not the full production batch -- a few hundred
+    walkers x the phase lengths give thousands of samples for the
+    ndim x ndim metric -- so a subset cuts the warmup gradient bill
+    proportionally (the flagship headline charges ~10%% of its wall to
+    warmup at the full 1024).  Production starts from the warmed subset
+    tiled up to ``nwalkers`` (``uf[i mod warmup_walkers]``): duplicated
+    starts diverge on the first step (per-walker RNG streams) and
+    decorrelate within ~tau production steps, which the converged-window
+    tau estimator absorbs.  ``None`` (default) keeps the full batch;
+    ignored with ``warm_start`` (no warmup runs).  Requires
+    ``1 <= warmup_walkers <= nwalkers`` (and mesh divisibility when
+    sharded).
 
     ``warmup="auto"`` replaces the fixed per-phase step count with an
     automatic stopping rule: each adaptation phase runs in compiled
@@ -846,6 +863,19 @@ def run_hmc(
         l_warm = max(int(n_leapfrog) // 2, 1)
     dtype = x0.dtype
     nwalkers, ndim = x0.shape
+    if warmup_walkers is None:
+        n_warm_walk = nwalkers
+    else:
+        n_warm_walk = int(warmup_walkers)
+        if not 1 <= n_warm_walk <= nwalkers:
+            raise ValueError(
+                f"warmup_walkers must be in [1, nwalkers={nwalkers}], "
+                f"got {warmup_walkers}"
+            )
+        if mesh is not None:
+            from ..parallel.mesh import check_divisible
+
+            check_divisible(mesh, n_warm_walk, "warmup_walkers")
     bounded = lo is not None
     lo_np = np.asarray(lo, np.float64) if bounded else None
     width_np = (
@@ -883,10 +913,13 @@ def run_hmc(
             n_leapfrog = int(warm_start.n_leapfrog)
     else:
         # ---- phase A: identity metric, adapt eps, estimate the metric
+        # (phases run on the first n_warm_walk walkers -- see
+        # ``warmup_walkers``; the subset is tiled back up for production)
         mu0 = np.zeros(ndim)
         chol0 = np.eye(ndim)
         tf = tf_of(mu0, chol0)
-        u0 = shard(jnp.asarray(_x_to_u(x0, lo_np, width_np, mu0, chol0).astype(dtype)))
+        x0w = x0[:n_warm_walk]
+        u0 = shard(jnp.asarray(_x_to_u(x0w, lo_np, width_np, mu0, chol0).astype(dtype)))
         if auto_warmup:
             xs_np, _, log_eps, n_done = _adaptive_phase(
                 log_prob_fn, state, tf, u0, k_a, log_eps0,
@@ -945,6 +978,12 @@ def run_hmc(
                 bounded=bounded, target_accept=target_accept, probe=True,
             )
             n_leapfrog = _select_leapfrog(np.asarray(us), l_max)
+
+        if n_warm_walk < nwalkers:
+            # tile the warmed subset up to the production batch; exact
+            # duplicates split apart on the first production step (each
+            # walker owns its RNG lane) and decorrelate within ~tau steps
+            uf = shard(uf[jnp.arange(nwalkers) % n_warm_walk])
 
     # ---- production: fixed eps
     if scheme in ("multinomial", "windowed"):
