@@ -12,7 +12,9 @@ Prints a CUMULATIVE JSON line on stdout after EVERY completed stage (same
 schema each time, unmeasured fields null; progress goes to stderr), so a
 timeout at any point still leaves the last complete measurement parseable —
 the final line is the full record.  Stages run headline-first (HMC right
-after the Chain is up; SMC and the CPU baseline last), and the nine trained
+after the Chain is up, then the ensemble moves, the CPU baseline --
+which sets ``vs_baseline`` -- the Pallas generic route, and SMC last),
+and the nine trained
 flagship emulators are persisted via ``Emulator.save`` to
 ``cache/flagship/`` and reused on re-run so a congested remote gp_fit
 compile is paid at most once per machine (``--fresh`` forces a retrain and
@@ -59,7 +61,7 @@ Fields of the JSON record:
   ``achieved_tflops`` (= flops_per_eval x ensemble evals/s / 1e12, the
   delivered useful-FLOP rate).  At ``Precision.HIGH`` every f32 product is
   3 bf16 MXU passes, so hardware utilization vs the v5e bf16 peak
-  (394 TFLOP/s) is ``3 x achieved_tflops / 394`` -- reported as
+  (197 TFLOP/s) is ``3 x achieved_tflops / 197`` -- reported as
   ``mxu_util_vs_bf16_peak``.  These make ARCHITECTURE.md's "eval path is
   near its practical floor" a checkable number and surface perf
   regressions independently of tau noise.
@@ -86,14 +88,19 @@ import numpy as np
 
 from gpbayestools_hic_tpu.utils.metrics import integrated_autocorr_time
 
-# The package logs to stdout (the reference's environment contract,
-# runtime.py); the bench's stdout must carry ONLY the cumulative JSON
-# record lines, so repoint the root handler at stderr for this process.
-import logging
+def _logging_to_stderr():
+    """Repoint the package's stdout log handler at stderr.
 
-for _h in logging.getLogger().handlers:
-    if getattr(_h, "stream", None) is sys.stdout:
-        _h.setStream(sys.stderr)
+    The package logs to stdout (the reference's environment contract,
+    runtime.py), but the bench's stdout must carry ONLY the cumulative
+    JSON record lines.  Called from main() -- NOT at import -- so tools
+    that merely ``import bench`` (e.g. tools/flagship_cache.py) keep the
+    documented stdout logging."""
+    import logging
+
+    for h in logging.getLogger().handlers:
+        if getattr(h, "stream", None) is sys.stdout:
+            h.setStream(sys.stderr)
 
 
 def log(*a):
@@ -157,7 +164,9 @@ FLOPS_PER_EVAL = int(
     + 2 * _R_WOOD**2 * sum(BLOCKS)         # Woodbury capacitance build
     + _R_WOOD**3                           # capacitance solve
 )
-V5E_BF16_PEAK_TFLOPS = 394.0  # one v5e chip
+# one v5e chip: 197 TFLOP/s bf16 (394 is the INT8 TOPS figure -- an
+# earlier revision used it here and understated MXU occupancy by 2x)
+V5E_BF16_PEAK_TFLOPS = 197.0
 # Precision.HIGH f32 products are 3 bf16 MXU passes (hi/lo split): the
 # hardware executes ~3x the useful FLOPs counted above.
 HIGH_PRECISION_PASSES = 3
@@ -167,19 +176,23 @@ CACHE_DIR = os.path.join(
 )
 
 
-def build_or_load_chain(fresh: bool = False, cache_dir: str = CACHE_DIR):
+def build_or_load_chain(fresh: bool = False, cache_dir: str = CACHE_DIR,
+                        measure_timings: bool = True):
     """Flagship Chain: 9 real trained emulators (544 observables) loaded
     into a real Chain (the exact objects RunBayesianAnalysis.ipynb drives
     in the reference).
 
     First (or ``--fresh``) run trains from scratch, measures the split
-    gp_train timings, and persists the emulators + parameter/exp files +
-    timings under ``cache_dir`` (``Emulator.save`` round-trips skip the
-    gp_fit compile entirely -- CLAUDE.md); later runs reconstruct the
-    identical Chain in seconds so a congested remote compile can never
-    starve the headline stages.
+    gp_train timings (skipped -- reported as None -- when
+    ``measure_timings=False``: tools that only need the Chain should not
+    pay the second warm retrain the split requires), and persists the
+    emulators + parameter/exp files + timings under ``cache_dir``
+    (``Emulator.save`` round-trips skip the gp_fit compile entirely --
+    CLAUDE.md); later runs reconstruct the identical Chain in seconds so
+    a congested remote compile can never starve the headline stages.
 
-    Returns ``(chain, gp_train_s, gp_train_compile_s, cached)``.
+    Returns ``(chain, gp_train_s, gp_train_compile_s, cached)`` --
+    the timings are None when never measured for this cache.
     """
     from gpbayestools_hic_tpu.samplers import Chain
 
@@ -197,11 +210,16 @@ def build_or_load_chain(fresh: bool = False, cache_dir: str = CACHE_DIR):
             [os.path.join(cache_dir, f"emu{i}.npz")
              for i in range(len(BLOCKS))]
         )
-        with open(timings_path) as f:
-            t = json.load(f)
+        # caches written before timings were recorded (or with
+        # measure_timings=False) have no timings.json: the chain is still
+        # fully valid, only the timing fields are unknown
+        try:
+            with open(timings_path) as f:
+                t = json.load(f)
+        except FileNotFoundError:
+            t = {"gp_train_s": None, "gp_train_compile_s": None}
         return chain, t["gp_train_s"], t["gp_train_compile_s"], True
 
-    from gpbayestools_hic_tpu.models import train_emulators_jointly
     from gpbayestools_hic_tpu.utils.synthetic import build_synthetic_chain
 
     src_dir = tempfile.mkdtemp(prefix="bench_flagship_")
@@ -213,30 +231,45 @@ def build_or_load_chain(fresh: bool = False, cache_dir: str = CACHE_DIR):
     log(f"emulator training ({len(BLOCKS)} emulators x {NPC} GPs, nev={NEV}):"
         f" {gp_train_total_s:.1f}s incl. compile "
         f"(total build {time.perf_counter() - t0:.1f}s)")
-    # Separate compile from compute: retrain the identical joint fit (same
-    # shapes/statics -> the compiled program is reused), so the second wall
-    # time is pure compute.  Round-2's single number (194.8 s) was almost
-    # entirely remote-compile congestion on the shared tunnel and
-    # contradicted the documented ~20 s compute (VERDICT r2).
-    t0 = time.perf_counter()
-    train_emulators_jointly(chain.emuList)
-    gp_train_s = time.perf_counter() - t0
-    gp_train_compile_s = max(gp_train_total_s - gp_train_s, 0.0)
-    log(f"emulator training warm (compiled program reused): {gp_train_s:.1f}s"
-        f" compute + {gp_train_compile_s:.1f}s compile")
+    gp_train_s = gp_train_compile_s = None
+    if measure_timings:
+        # Separate compile from compute: retrain the identical joint fit
+        # (same shapes/statics -> the compiled program is reused), so the
+        # second wall time is pure compute.  Round-2's single number
+        # (194.8 s) was almost entirely remote-compile congestion on the
+        # shared tunnel and contradicted the documented ~20 s compute
+        # (VERDICT r2).
+        from gpbayestools_hic_tpu.models import train_emulators_jointly
+
+        t0 = time.perf_counter()
+        train_emulators_jointly(chain.emuList)
+        gp_train_s = time.perf_counter() - t0
+        gp_train_compile_s = max(gp_train_total_s - gp_train_s, 0.0)
+        log(f"emulator training warm (compiled program reused): "
+            f"{gp_train_s:.1f}s compute + {gp_train_compile_s:.1f}s compile")
 
     import shutil
 
     os.makedirs(cache_dir, exist_ok=True)
+    # a --fresh overwrite of a live cache must invalidate it FIRST: if this
+    # process is killed mid-save (the exact timeout scenario the staged
+    # bench emission defends against), a stale marker over a mixed
+    # old/new emulator set would validate an inconsistent cache
+    for stale in (marker, timings_path):
+        try:
+            os.remove(stale)
+        except FileNotFoundError:
+            pass
     for name in ("pars.txt", "exp.pkl"):
         shutil.copy(os.path.join(src_dir, name), os.path.join(cache_dir, name))
     for i, e in enumerate(chain.emuList):
         e.save(os.path.join(cache_dir, f"emu{i}.npz"))
-    with open(timings_path, "w") as f:
-        json.dump({"gp_train_s": round(gp_train_s, 2),
-                   "gp_train_compile_s": round(gp_train_compile_s, 2),
-                   "measured_utc": time.strftime(
-                       "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+    if measure_timings:
+        with open(timings_path, "w") as f:
+            json.dump({"gp_train_s": round(gp_train_s, 2),
+                       "gp_train_compile_s": round(gp_train_compile_s, 2),
+                       "measured_utc": time.strftime(
+                           "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
     with open(marker, "w") as f:
         f.write("flagship cache complete\n")
     log(f"flagship chain cached to {cache_dir}")
@@ -615,6 +648,7 @@ def main():
 
     from gpbayestools_hic_tpu.config import enable_compilation_cache
 
+    _logging_to_stderr()
     enable_compilation_cache()
     dtype = np.float32
     em = Emitter()
@@ -640,9 +674,10 @@ def main():
     chain, gp_train_s, gp_train_compile_s, cached = build_or_load_chain(
         fresh="--fresh" in sys.argv
     )
+    rnd = lambda v: None if v is None else round(v, 1)  # noqa: E731
     em.emit("chain_ready",
-            gp_train_s=round(gp_train_s, 1),
-            gp_train_compile_s=round(gp_train_compile_s, 1),
+            gp_train_s=rnd(gp_train_s),
+            gp_train_compile_s=rnd(gp_train_compile_s),
             gp_train_cached=bool(cached),
             flops_per_eval=FLOPS_PER_EVAL)
 

@@ -733,7 +733,7 @@ def run_hmc(
     metric estimate, not the full production batch -- a few hundred
     walkers x the phase lengths give thousands of samples for the
     ndim x ndim metric -- so a subset cuts the warmup gradient bill
-    proportionally (the flagship headline charges ~10%% of its wall to
+    proportionally (the flagship headline charges ~10% of its wall to
     warmup at the full 1024).  Production starts from the warmed subset
     tiled up to ``nwalkers`` (``uf[i mod warmup_walkers]``): duplicated
     starts diverge on the first step (per-walker RNG streams) and

@@ -495,15 +495,18 @@ def _select_evidence(logz_ps, err_ps, logz_is, err_is):
       provably too small at that point);
     - otherwise return whichever estimate claims the smaller error.
 
-    Returns ``(logz, logz_err, source)`` with source in {"ps", "is"}.
+    Returns ``(logz, logz_err, source, is_unreliable)`` with source in
+    {"ps", "is"}; ``is_unreliable`` is True exactly in the
+    beyond-3-sigma branch (the caller's warning keys off it so the
+    tolerance rule lives in one place).
     """
     diff = abs(float(logz_is) - float(logz_ps))
     tol = 3.0 * float(np.hypot(err_is, err_ps))
     if diff > tol:
-        return float(logz_ps), max(float(err_ps), 0.5 * diff), "ps"
+        return float(logz_ps), max(float(err_ps), 0.5 * diff), "ps", True
     if err_is <= err_ps:
-        return float(logz_is), float(err_is), "is"
-    return float(logz_ps), float(err_ps), "ps"
+        return float(logz_is), float(err_is), "is", False
+    return float(logz_ps), float(err_ps), "ps", False
 
 
 def _systematic_resample(rng, log_w, n):
@@ -844,12 +847,10 @@ def run_smc(
             logz_err_is = float(
                 np.std(wv) / (np.mean(wv) * np.sqrt(n_evidence))
             )
-            logz, logz_err, logz_source = _select_evidence(
+            logz, logz_err, logz_source, is_unreliable = _select_evidence(
                 logz_ps, logz_err_ps, logz_is, logz_err_is
             )
-            if logz_source == "ps" and abs(logz_is - logz_ps) > 3.0 * float(
-                np.hypot(logz_err_is, logz_err_ps)
-            ):
+            if is_unreliable:
                 logger.warning(
                     "evidence: IS estimate %.3f +- %.3f disagrees with the "
                     "persistent-sampling estimate %.3f +- %.3f beyond 3 "

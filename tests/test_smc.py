@@ -500,19 +500,19 @@ def test_select_evidence_rule():
     from gpbayestools_hic_tpu.samplers.smc import _select_evidence
 
     # agree, IS tighter -> IS
-    z, e, src = _select_evidence(10.0, 0.5, 10.2, 0.1)
-    assert (z, e, src) == (10.2, 0.1, "is")
+    z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1)
+    assert (z, e, src, bad) == (10.2, 0.1, "is", False)
     # agree, PS tighter -> PS
-    z, e, src = _select_evidence(10.0, 0.1, 10.2, 0.5)
-    assert (z, e, src) == (10.0, 0.1, "ps")
+    z, e, src, bad = _select_evidence(10.0, 0.1, 10.2, 0.5)
+    assert (z, e, src, bad) == (10.0, 0.1, "ps", False)
     # flagship-style failure: 5.4-unit gap at sub-unit errors -> PS, err
-    # inflated to half the gap
-    z, e, src = _select_evidence(759.8, 0.27, 754.4, 0.70)
-    assert src == "ps" and z == 759.8
+    # inflated to half the gap, flagged unreliable
+    z, e, src, bad = _select_evidence(759.8, 0.27, 754.4, 0.70)
+    assert src == "ps" and z == 759.8 and bad
     assert e == pytest.approx(0.5 * 5.4, rel=1e-12)
     # exactly at the 3-sigma boundary: not declared a failure
-    z, e, src = _select_evidence(0.0, 1.0, 2.9, 0.0)
-    assert src == "is"
+    z, e, src, bad = _select_evidence(0.0, 1.0, 2.9, 0.0)
+    assert src == "is" and not bad
 
 
 def test_run_smc_reports_both_evidence_estimators():

@@ -27,6 +27,12 @@ CACHE_DIR = bench.CACHE_DIR
 
 
 def get_flagship_chain(cache_dir: str = CACHE_DIR):
-    """Flagship Chain (bench.py shapes), from cache when available."""
-    chain, _, _, _ = bench.build_or_load_chain(cache_dir=cache_dir)
+    """Flagship Chain (bench.py shapes), from cache when available.
+
+    Skips the split-timing warm retrain on a cold cache (that second
+    joint fit exists only to separate compile from compute for the bench
+    record, which tools don't need)."""
+    chain, _, _, _ = bench.build_or_load_chain(
+        cache_dir=cache_dir, measure_timings=False
+    )
     return chain
