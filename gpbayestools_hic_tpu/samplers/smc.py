@@ -474,6 +474,13 @@ def _ps_logz_err(lw1, counts, rng, n_boot: int = 256) -> float:
     return float(np.std(np.log(z_boot)))
 
 
+# evidence-refit sample size: the IS proposal flow is refit on
+# min(history, max(MULT * n_active, MIN)) weighted-resampled history
+# particles before the n_evidence draws (see run_smc's evidence block)
+EVIDENCE_REFIT_MULT = 4
+EVIDENCE_REFIT_MIN = 1000
+
+
 def _select_evidence(logz_ps, err_ps, logz_is, err_is):
     """Robust primary-evidence selection between the persistent-sampling
     and the flow-importance-sampling estimates.
@@ -804,7 +811,8 @@ def run_smc(
         # refit the flow on a large weighted resample of the FULL history so
         # the IS proposal matches the posterior better than the last
         # n_active-particle fit (tighter weight variance -> tighter logz)
-        n_fit = min(len(hl), max(4 * n_active, 1000))
+        n_fit = min(len(hl), max(EVIDENCE_REFIT_MULT * n_active,
+                                 EVIDENCE_REFIT_MIN))
         if mesh is not None:
             # keep the refit batch shardable (and actually shard it below:
             # this is the LARGEST flow fit of the whole run)
