@@ -367,3 +367,21 @@ def test_sharded_fused_kernel_hlo_has_no_collectives(rng, monkeypatch):
         hlo = jitted.lower(fs, xq).compile().as_text()
         for op in _COLLECTIVES:
             assert op not in hlo, f"{fn.__name__} grad HLO contains {op}"
+
+
+@pytest.mark.slow
+def test_public_run_hmc_warmup_walkers_sharded(tiny_chain_factory):
+    """warmup_walkers under a device mesh: the warmup subset is itself
+    sharded (divisibility validated) and the tile-up re-shards cleanly;
+    the run must complete with a finite in-support chain."""
+    c = tiny_chain_factory("hmc_ww_shard")
+    c.run_MCMC_HMC(nsteps=6, nwalkers=16, nburnsteps=4, n_leapfrog=2,
+                   seed=5, devices=8, warmup_walkers=8)
+    arr = np.asarray(c.chain)
+    assert arr.shape[0] == 16
+    assert np.all(np.isfinite(arr))
+    # non-divisible subset is rejected up front
+    c2 = tiny_chain_factory("hmc_ww_bad")
+    with pytest.raises(ValueError, match="divisible"):
+        c2.run_MCMC_HMC(nsteps=4, nwalkers=16, nburnsteps=4, n_leapfrog=2,
+                        seed=5, devices=8, warmup_walkers=6)
