@@ -284,6 +284,12 @@ class Emulator:
             1e-4 * np.asarray(self.scaler.var, dtype=np.float64)
         )
         self._cov_trunc = cov_trunc.astype(np_dtype)
+        # the diagonal is consumed by the diag-predict state; keep a host
+        # copy so building that state never pulls the device-resident block
+        # back over the wire (the load path pays the same care below)
+        self._cov_trunc_diag = np.ascontiguousarray(
+            np.diagonal(cov_trunc)
+        ).astype(np_dtype)
 
     def _select_npc(self, pca) -> int:
         """Number of PCs to emulate; subclass hook (BAND heads use an
@@ -357,7 +363,10 @@ class Emulator:
             st["trans_matrix"] = self._trans_matrix
             st["var_trans"] = self._var_trans
             st["cov_trunc"] = self._cov_trunc
-            st["cov_trunc_diag"] = np.diagonal(np.asarray(self._cov_trunc))
+            # host-precomputed diagonal (set alongside _cov_trunc at fit and
+            # load time): np.diagonal(np.asarray(...)) here would transfer
+            # the whole (nobs, nobs) device block back to host per emulator
+            st["cov_trunc_diag"] = self._cov_trunc_diag
         if self.parameterTrafoPCA_:
             st["pp_packed"] = pack_param_pca(self.param_pca_state)
         # one device upload for everything (training prep is host numpy).
@@ -565,9 +574,13 @@ class Emulator:
         else:
             Xq = X
         # sklearn-parity random_state: int, None, Generator, or RandomState
-        # (the reference forwards it to GPR.sample_y, which accepts all)
+        # (the reference forwards it to GPR.sample_y, which accepts all).
+        # None means FRESH draws per call (sklearn's check_random_state(None)
+        # uses the global numpy RNG) -- mapping it to a fixed seed would
+        # silently return bit-identical ensembles on repeated calls and
+        # collapse a user's model-uncertainty band
         if random_state is None:
-            seed = 0
+            seed = int(np.random.randint(2**31))
         elif isinstance(random_state, (int, np.integer)):
             seed = int(random_state)
         elif isinstance(random_state, np.random.Generator):
@@ -717,19 +730,27 @@ class Emulator:
         def r2(y_true, y_pred):
             ss_res = np.sum((y_true - y_pred) ** 2)
             ss_tot = np.sum((y_true - np.mean(y_true)) ** 2)
+            if ss_tot == 0.0:
+                # single-element or constant test fold: R^2 is undefined
+                # (sklearn warns and returns nan rather than dividing by 0)
+                return np.nan
             return 1.0 - ss_res / ss_tot
 
         train_status = [[] for _ in range(npc_used)]
         for frac in train_sizes:
             tr_scores = np.zeros((npc_used, n_folds))
             te_scores = np.zeros((npc_used, n_folds))
-            n_used = 0
+            # folds differ by one event when nev % n_folds != 0: report the
+            # MEAN train size actually used so the curve's x-axis matches
+            # the averaged scores instead of whichever fold came last
+            n_used_folds = []
             for f in range(n_folds):
                 test_idx = folds[f]
                 train_idx = np.concatenate(
                     [folds[g] for g in range(n_folds) if g != f]
                 )
                 n_used = max(int(np.ceil(frac * len(train_idx))), 2)
+                n_used_folds.append(n_used)
                 train_idx = train_idx[:n_used]
                 # before any trainEmulator call gp_config doesn't exist yet:
                 # fall back to the emulator's CONFIGURED kernel family (an
@@ -754,13 +775,18 @@ class Emulator:
                 for i in range(npc_used):
                     tr_scores[i, f] = r2(z[train_idx, i], np.asarray(pred_tr[i]))
                     te_scores[i, f] = r2(z[test_idx, i], np.asarray(pred_te[i]))
+            n_used_mean = float(np.mean(n_used_folds))
             for i in range(npc_used):
                 train_status[i].append(
-                    [n_used, tr_scores[i].mean(), te_scores[i].mean()]
+                    [n_used_mean,
+                     float(np.nanmean(tr_scores[i])),
+                     float(np.nanmean(te_scores[i]))]
                 )
                 logger.info(
-                    "GP %d: %d samples, train R^2 %.2f, test R^2 %.2f",
-                    i, n_used, tr_scores[i].mean(), te_scores[i].mean(),
+                    "GP %d: %.1f samples, train R^2 %.2f, test R^2 %.2f",
+                    i, n_used_mean,
+                    float(np.nanmean(tr_scores[i])),
+                    float(np.nanmean(te_scores[i])),
                 )
         return [np.asarray(s) for s in train_status]
 
@@ -931,6 +957,12 @@ class Emulator:
         if not self.perform_no_PCA_:
             self._trans_matrix = jnp.asarray(tree["trans_matrix"])
             self._var_trans = jnp.asarray(tree["var_trans"])
+            # diagonal from the HOST copy before the device upload (see
+            # _set_transform_matrices)
+            cov_trunc_np = np.asarray(tree["cov_trunc"])
+            self._cov_trunc_diag = np.ascontiguousarray(
+                np.diagonal(cov_trunc_np)
+            )
             self._cov_trunc = jnp.asarray(tree["cov_trunc"])
         pp = tree["param_pca_state"]
         self.param_pca_state = (

@@ -83,6 +83,16 @@ class Chain:
         self.label = [v[0] for v in self.pardict.values()]
         self.min = np.array([v[1] for v in self.pardict.values()])
         self.max = np.array([v[2] for v in self.pardict.values()])
+        bad = [name for name, v in self.pardict.items() if v[2] <= v[1]]
+        if bad:
+            # a pinned or inverted range gives prior_volume <= 0 (inf/NaN
+            # log-prior) and every strict inside test false -> the failure
+            # would otherwise surface as a misleading "non-finite
+            # log-posterior at the starting state" much later
+            raise ValueError(
+                f"parameter range(s) with max <= min in {model_parafile}: "
+                f"{bad}"
+            )
         self.prior_volume_ = float(np.prod(self.max - self.min))
 
         logger.info("Loading the experiment data from %s ...", expdata_path)
@@ -92,6 +102,33 @@ class Chain:
         self.chain = False
         self._dtype = working_dtype()
         self._device_fns = None
+        self._likelihood_mode = "auto"
+
+    # ------------------------------------------------------------ mode knob
+
+    @property
+    def likelihood_mode(self):
+        """Likelihood assembly mode: ``"auto"`` (Woodbury/diagonal fast
+        paths), ``"generic"`` (per-block dense Cholesky), or ``"stitched"``
+        (full dense-covariance Cholesky, the reference's src/mcmc.py:214
+        shape).  Assigning a new mode invalidates the compiled device
+        programs (they bake the mode in at trace time) -- without this a
+        mode change after any posterior evaluation would be silently
+        ignored."""
+        return self._likelihood_mode
+
+    @likelihood_mode.setter
+    def likelihood_mode(self, value):
+        if value not in ("auto", "generic", "stitched"):
+            raise ValueError(
+                f"unknown likelihood_mode {value!r}: use 'auto' (Woodbury/"
+                "diagonal fast paths), 'generic' (per-block Cholesky), or "
+                "'stitched' (full dense-covariance Cholesky, the "
+                "reference's src/mcmc.py:214 shape)"
+            )
+        if value != self._likelihood_mode:
+            self._device_fns = None
+        self._likelihood_mode = value
 
     # ------------------------------------------------------------- emulators
 
@@ -121,9 +158,15 @@ class Chain:
                 continue
             try:
                 self.emuList.append(Emulator.load(emu))
-            except (KeyError, TypeError):
+            except (KeyError, TypeError, ModuleNotFoundError,
+                    pickle.UnpicklingError):
                 # not our pytree format: try a reference dill object
-                # (src/mcmc.py:145-150 loads those directly)
+                # (src/mcmc.py:145-150 loads those directly).  The tuple
+                # includes the unpickle failures a reference dill raises
+                # inside Emulator.load (ModuleNotFoundError for the 'src'
+                # package, UnpicklingError for by-value payloads) so those
+                # files still reach from_reference's curated error/guidance
+                # instead of dying on a raw traceback here
                 logger.info("converting reference dill emulator %s ...", emu)
                 self.emuList.append(Emulator.from_reference(emu))
         logger.info("Number of Emulators: %d", len(self.emuList))
@@ -303,14 +346,7 @@ class Chain:
                 return make_diag_block(e, i0, i1)
             return make_cholesky_block(e, i0, i1)
 
-        mode = getattr(self, "likelihood_mode", "auto")
-        if mode not in ("auto", "generic", "stitched"):
-            raise ValueError(
-                f"unknown likelihood_mode {mode!r}: use 'auto' (Woodbury/"
-                "diagonal fast paths), 'generic' (per-block Cholesky), or "
-                "'stitched' (full dense-covariance Cholesky, the reference's "
-                "src/mcmc.py:214 shape)"
-            )
+        mode = self.likelihood_mode  # validated by the property setter
         use_stitched = (not exp_cov_is_diagonal) or mode == "stitched"
         block_fns: list = []
         block_states: list = []
@@ -605,7 +641,17 @@ class Chain:
             log_post, like_state, x0, nsteps, prod_key, status, move
         )
 
-        thinned = np.asarray(res.chain[:, ::nthin, :])
+        self._append_and_write_chain(chain_data, res.chain, nthin)
+        return res
+
+    def _append_and_write_chain(self, chain_data, res_chain, nthin):
+        """Thin the sampler output, append under the resume contract, and
+        persist.  Thinning happens on the HOST copy (np.asarray first):
+        slicing the device array would launch an eager strided-gather
+        program whose remote compile costs seconds on this runtime
+        (CLAUDE.md) for work the host does for free.  Dumps the FULL dict
+        so extra keys written alongside the chain survive a resume."""
+        thinned = np.asarray(res_chain)[:, ::nthin, :]
         if "chain" in chain_data:
             chain_data["chain"] = np.concatenate(
                 (chain_data["chain"], thinned), axis=1
@@ -613,11 +659,9 @@ class Chain:
         else:
             chain_data["chain"] = thinned
         self.chain = chain_data["chain"]
-
         logger.info("writing chain to file")
         with open(self.mcmc_path, "wb") as f:
             pickle.dump(chain_data, f)
-        return res
 
     def _check_initial_state(self, like_state, x0):
         """emcee's initial-state check (skipped via
@@ -749,7 +793,19 @@ class Chain:
         if self.chain is False:
             with open(self.mcmc_path, "rb") as f:
                 self.chain = pickle.load(f)["chain"]
-        rep = convergence_diagnostics(self.chain, rhat_threshold=rhat_threshold)
+        arr = np.asarray(self.chain)
+        if arr.ndim != 3:
+            # a run_pocoMC chain is a flat (nsamples, ndim) weighted sample
+            # -- without this check it would die on a bare IndexError deep
+            # inside the metrics module
+            raise ValueError(
+                f"convergence_report needs a (nwalkers, nsteps, ndim) chain "
+                f"from run_mcmc/run_MCMC_HMC/run_MCMC_PTLMC, got shape "
+                f"{arr.shape}; run_pocoMC posteriors are weighted samples "
+                "with no walker-time structure (their ESS comes from the "
+                "importance weights -- see run_pocoMC's result dict)"
+            )
+        rep = convergence_diagnostics(arr, rhat_threshold=rhat_threshold)
         logger.info(
             "Convergence: max rhat %.4f, max tau %.1f, ESS %.0f, %s",
             float(np.max(rep["rhat"])), float(np.max(rep["tau"])), rep["ess"],
@@ -948,19 +1004,7 @@ class Chain:
             res.step_size, res.n_leapfrog,
             float(np.mean(np.asarray(res.acceptance))),
         )
-        thinned = np.asarray(res.chain[:, ::nthin, :])
-        if "chain" in chain_data:
-            chain_data["chain"] = np.concatenate(
-                (chain_data["chain"], thinned), axis=1
-            )
-        else:
-            chain_data["chain"] = thinned
-        self.chain = chain_data["chain"]
-        logger.info("Writing MCMC chains to file...")
-        with open(self.mcmc_path, "wb") as f:
-            # dump the full loaded dict so extra keys written alongside the
-            # chain survive a resume, matching run_mcmc's contract
-            pickle.dump(chain_data, f)
+        self._append_and_write_chain(chain_data, res.chain, nthin)
         return res
 
     # ----------------------------------------------------------------- SMC

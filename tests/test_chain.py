@@ -206,8 +206,9 @@ def test_chain_rescoring(chain_setup, tmp_path):
 
 
 def _rebuild_with_mode(chain, mode):
+    # assigning the mode invalidates the compiled programs by itself
+    # (likelihood_mode is a cache-clearing property since round 4)
     chain.likelihood_mode = mode
-    chain._device_fns = None
     return chain
 
 
@@ -270,9 +271,30 @@ def test_dense_expdata_cov_matches_manual(chain_setup, rng):
 
 
 def test_unknown_likelihood_mode_raises(chain_setup):
+    """The property setter rejects a bad mode at ASSIGNMENT (it used to be
+    caught only when the device programs were next rebuilt, which silently
+    skipped validation if they were already cached)."""
     chain, _, _ = chain_setup
     with pytest.raises(ValueError, match="likelihood_mode"):
-        _rebuild_with_mode(chain, "banana").log_posterior(np.full((1, 3), 0.5))
+        chain.likelihood_mode = "banana"
+
+
+def test_likelihood_mode_change_invalidates_compiled_programs(chain_setup, rng):
+    """Assigning likelihood_mode after a posterior evaluation must take
+    effect (round-4 review: the cached device programs made a later
+    assignment silently inert)."""
+    chain, _, _ = chain_setup
+    X = rng.uniform(0.2, 0.8, size=(4, 3))
+    chain.log_posterior(X)           # builds + caches the 'auto' programs
+    fns_auto = chain._device_fns
+    chain.likelihood_mode = "generic"
+    assert chain._device_fns is None  # invalidated by the setter
+    lp_generic = chain.log_posterior(X)
+    assert chain._device_fns is not fns_auto
+    chain.likelihood_mode = "auto"
+    np.testing.assert_allclose(
+        np.asarray(chain.log_posterior(X)), np.asarray(lp_generic), rtol=1e-8
+    )
 
 
 def test_initial_state_check(chain_setup):

@@ -413,10 +413,9 @@ def test_bad_likelihood_mode_raises(toy_emulator_files, tmp_path):
         expdata_path=str(exp_pkl),
         model_parafile=str(parfile),
     )
-    chain.likelihood_mode = "woodburry"  # typo
     chain.loadEmulator([emu])
     with pytest.raises(ValueError, match="likelihood_mode"):
-        chain.log_posterior(design[:2])
+        chain.likelihood_mode = "woodburry"  # typo -> rejected at assignment
 
 
 @pytest.mark.slow
