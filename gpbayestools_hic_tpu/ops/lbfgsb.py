@@ -176,10 +176,20 @@ def lbfgsb_minimize(
             t, _, _, _, n_ls = carry
             x_try = jnp.clip(state.x + t * p, lower, upper)
             f_try, g_try = vg(x_try)
-            # Armijo on the actual (projected) displacement.
+            # Armijo on the actual (projected) displacement, with the
+            # directional term clamped at 0: box clipping can leave dx
+            # NON-proportional to the descent direction p (e.g. near a
+            # corner only uphill free coordinates survive the clip), where
+            # g.dx > 0 would make the raw test accept an ASCENT step --
+            # the ftol stall rule could then stop on an iterate strictly
+            # worse than the previous one.  Clamping never accepts an
+            # increase; a zero-progress accept is caught by the dx == 0
+            # failure check below.
             dx = x_try - state.x
             ok = jnp.isfinite(f_try) & (
-                f_try <= state.f + armijo_c1 * jnp.dot(state.g, dx)
+                f_try
+                <= state.f
+                + armijo_c1 * jnp.minimum(jnp.dot(state.g, dx), 0.0)
             )
             return (t * 0.5, x_try, f_try, g_try, n_ls + 1), ok
 

@@ -57,14 +57,22 @@ def cholesky_jittered(a: jnp.ndarray, jitter_scale: float | None = None) -> jnp.
     """
     if jitter_scale is None:
         jitter_scale = chol_jitter(a.dtype)
-    chol = jnp.linalg.cholesky(a)
-    diag = jnp.diagonal(chol, axis1=-2, axis2=-1)
-    bad = ~jnp.all(jnp.isfinite(diag), axis=-1)          # (...,)
     eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    # Probe factorization on a gradient-stopped copy: it only decides WHICH
+    # branch is selected.  The differentiated factorizations below must both
+    # run on NaN-free inputs (double-where pattern): with a single where,
+    # the unselected plain branch's backward would turn its zero cotangent
+    # into 0 * NaN = NaN and poison the gradient even though the selected
+    # value is finite.
+    probe = jnp.linalg.cholesky(lax.stop_gradient(a))
+    diag = jnp.diagonal(probe, axis1=-2, axis2=-1)
+    bad = ~jnp.all(jnp.isfinite(diag), axis=-1)          # (...,)
+    badb = bad[..., None, None]
     mean_diag = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
     bump = jitter_scale * mean_diag[..., None, None] * eye
+    chol_plain = jnp.linalg.cholesky(jnp.where(badb, eye, a))
     chol_rescued = jnp.linalg.cholesky(a + bump)
-    return jnp.where(bad[..., None, None], chol_rescued, chol)
+    return jnp.where(badb, chol_rescued, chol_plain)
 
 
 def tri_matmul_lower(

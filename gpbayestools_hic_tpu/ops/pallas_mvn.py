@@ -243,6 +243,15 @@ def _bwd(res, g):
     #   d lp / dC   = 1/2 (alpha alpha^T - C^-1),  alpha = C^-1 y
     chol = jnp.linalg.cholesky(cov)
     eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    # Non-PD batch elements: the forward already mapped them to -inf
+    # (rejection), so their gradient must be ZERO, not the NaN an
+    # unguarded Cholesky would emit -- a NaN here rides through every
+    # subsequent leapfrog update and invalidates the whole HMC trajectory
+    # instead of just this rejected evaluation.
+    good = jnp.all(
+        jnp.isfinite(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1
+    )
+    chol = jnp.where(good[:, None, None], chol, eye)
 
     def one(c, yv):
         z = lax.linalg.triangular_solve(c, yv[:, None], left_side=True, lower=True)
@@ -254,6 +263,11 @@ def _bwd(res, g):
         return -alpha, 0.5 * (jnp.outer(alpha, alpha) - cinv)
 
     dy, dcov = jax.vmap(one)(chol, y)
+    dy = jnp.where(good[:, None], dy, 0.0)
+    dcov = jnp.where(good[:, None, None], dcov, 0.0)
+    # a -inf forward also makes the incoming cotangent ill-defined
+    # (0 * inf); sanitize it the same way
+    g = jnp.where(jnp.isfinite(g) & good, g, 0.0)
     return g[:, None] * dy, g[:, None, None] * dcov
 
 

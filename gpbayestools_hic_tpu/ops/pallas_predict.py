@@ -263,7 +263,14 @@ def _fwd_kernel(amp_ref, xsh_ref, xsl_ref, gh_ref, gl_ref, qs_ref,
     kh, kl = _split_bf16(kstar)
     v = _dot3(gh_ref[0], gl_ref[0], kh, kl, _CONTRACT_1_0)  # (npg, tm)
     mean = v[np_pad, :]
-    qf = jnp.sum(v * v, axis=0) - mean * mean
+    # masked sum over the G rows, NOT sum(v^2) - mean^2: the subtraction
+    # would reintroduce exactly the cancellation the factored norm form
+    # exists to avoid (absolute error ~ eps_f32 * mean^2 wherever the
+    # whitened PC mean is large, i.e. extrapolation queries).  Rows past
+    # np_pad are zero G rows (v = 0), so excluding only the mean row is
+    # exact; the backward already treats d qf / d v_np as 0.
+    rows = lax.broadcasted_iota(jnp.int32, (v.shape[0], 1), 0)
+    qf = jnp.sum(jnp.where(rows == np_pad, 0.0, v * v), axis=0)
     j = pl.program_id(1)
     mean_ref[k, pl.ds(j * tm, tm)] = mean
     qf_ref[k, pl.ds(j * tm, tm)] = qf

@@ -36,7 +36,13 @@ import numpy as np
 
 
 def _result_dtype(x) -> np.dtype:
-    return np.dtype(getattr(x, "dtype", np.float64))
+    dt = np.dtype(getattr(x, "dtype", np.float64))
+    if not np.issubdtype(dt, np.floating):
+        # integer/bool inputs must upcast (sklearn semantics): casting a
+        # fitted scale like 0.816 to int silently truncates to 0, and
+        # scaler_transform then divides by zero
+        return np.dtype(np.float64)
+    return dt
 
 
 class StandardScalerState(NamedTuple):

@@ -287,3 +287,78 @@ def test_spd_qform_logdet_nonpd_propagates_nan():
     q, logdet = spd_qform_logdet(s, z)
     assert not np.isfinite(np.asarray(q)).any()
     assert not np.isfinite(np.asarray(logdet)).any()
+
+
+def test_cholesky_jittered_gradient_finite_on_rescued_input(rng):
+    """The jitter rescue must not leak NaN into the gradient: with a single
+    where, the unselected plain factorization's backward turns its zero
+    cotangent into 0 * NaN = NaN even though the rescued VALUE is finite
+    (round-4 review finding; fixed with the double-where pattern)."""
+    import jax
+
+    from gpbayestools_hic_tpu.ops.linalg import cholesky_jittered
+
+    n = 6
+    a = rng.normal(size=(n, n))
+    spd = a @ a.T + n * np.eye(n)
+    # MARGINALLY non-PD (the roundoff-scale case the rescue is designed
+    # for): push the smallest eigenvalue to about -1e-13 of the diagonal
+    # scale, well inside the jitter bump's reach
+    w, v = np.linalg.eigh(spd)
+    deficit = w[0] + 1e-13 * np.mean(np.diag(spd))
+    nonpd = spd - deficit * np.outer(v[:, 0], v[:, 0])
+    assert np.linalg.eigvalsh(nonpd)[0] < 0  # genuinely non-PD
+    x = jnp.asarray(nonpd)
+
+    val = cholesky_jittered(x)
+    assert np.all(np.isfinite(np.asarray(val)))  # the rescue worked
+    g = jax.grad(lambda m: jnp.sum(cholesky_jittered(m) ** 2))(x)
+    assert np.all(np.isfinite(np.asarray(g))), g
+
+
+def test_scaler_pca_upcast_integer_inputs():
+    """Integer training arrays must upcast to float (sklearn semantics):
+    keeping the int dtype silently truncated a fitted scale of 0.8 to 0
+    and produced division-by-zero transforms (round-4 review finding)."""
+    from gpbayestools_hic_tpu.ops.scalers import (
+        fit_pca,
+        fit_standard_scaler,
+        scaler_transform,
+    )
+
+    x = np.array([[0, 1], [1, 2], [2, 4]])
+    st = fit_standard_scaler(x)
+    assert np.issubdtype(np.asarray(st.scale).dtype, np.floating)
+    assert np.all(np.asarray(st.scale) > 0)
+    z = np.asarray(scaler_transform(st, x))
+    assert np.all(np.isfinite(z))
+    np.testing.assert_allclose(z.mean(axis=0), 0.0, atol=1e-12)
+    pca = fit_pca(np.array([[0, 1, 1], [1, 2, 0], [2, 4, 3], [3, 5, 1]]))
+    assert np.issubdtype(np.asarray(pca.components).dtype, np.floating)
+
+
+def test_lbfgsb_never_returns_worse_than_start(rng):
+    """The projected Armijo test clamps its directional term at zero, so a
+    box-clipped uphill displacement can never be accepted as an 'Armijo
+    pass' (round-4 review finding): for any start, the returned objective
+    is <= the starting objective."""
+    from gpbayestools_hic_tpu.ops.lbfgsb import lbfgsb_minimize
+
+    d = 4
+    aq = rng.normal(size=(d, d))
+    q = aq @ aq.T + 0.1 * np.eye(d)
+    b = rng.normal(size=d) * 5.0
+
+    def fun(x):
+        return 0.5 * x @ jnp.asarray(q) @ x + jnp.asarray(b) @ x
+
+    lower = np.zeros(d)
+    upper = np.ones(d)
+    for seed in range(8):
+        x0 = np.random.default_rng(seed).uniform(0, 1, d)
+        res = lbfgsb_minimize(fun, jnp.asarray(x0), lower=lower, upper=upper,
+                              maxiter=25)
+        f0 = float(fun(jnp.asarray(x0)))
+        assert float(res.fun) <= f0 + 1e-10, (seed, float(res.fun), f0)
+        assert np.all(np.asarray(res.x) >= lower - 1e-12)
+        assert np.all(np.asarray(res.x) <= upper + 1e-12)

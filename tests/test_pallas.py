@@ -48,3 +48,30 @@ def test_pallas_mvn_gradients_match_xla(rng):
                                rtol=1e-3, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_pl[1]), np.asarray(g_xla[1]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_mvn_nonpd_gradient_is_zero_not_nan(rng):
+    """A non-PD batch element maps to -inf in the forward (rejection); its
+    gradient must be ZERO, not NaN -- a NaN would ride through every later
+    leapfrog update and invalidate the whole HMC trajectory (round-4
+    review finding).  Healthy elements in the same batch keep their
+    gradients."""
+    n = 8
+    a = rng.normal(size=(n, n)).astype(np.float32)
+    good_cov = a @ a.T + n * np.eye(n, dtype=np.float32)
+    bad_cov = -np.eye(n, dtype=np.float32)
+    cov = jnp.asarray(np.stack([good_cov, bad_cov]))
+    y = jnp.asarray(rng.normal(size=(2, n)).astype(np.float32))
+
+    gy, gc = jax.grad(
+        lambda y, c: jnp.sum(
+            jnp.where(jnp.isfinite(pm.mvn_loglike_pallas(y, c)),
+                      pm.mvn_loglike_pallas(y, c), 0.0)
+        ),
+        argnums=(0, 1),
+    )(y, cov)
+    assert np.all(np.isfinite(np.asarray(gy))), gy
+    assert np.all(np.isfinite(np.asarray(gc))), gc
+    np.testing.assert_array_equal(np.asarray(gy)[1], 0.0)
+    np.testing.assert_array_equal(np.asarray(gc)[1], 0.0)
+    assert np.abs(np.asarray(gy)[0]).max() > 0
