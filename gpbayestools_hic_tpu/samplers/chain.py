@@ -808,7 +808,7 @@ class Chain:
         rep = convergence_diagnostics(arr, rhat_threshold=rhat_threshold)
         logger.info(
             "Convergence: max rhat %.4f, max tau %.1f, ESS %.0f, %s",
-            float(np.max(rep["rhat"])), float(np.max(rep["tau"])), rep["ess"],
+            float(np.max(rep["rhat"])), float(np.nanmax(rep["tau"])), rep["ess"],
             "CONVERGED" if rep["converged"] else "NOT CONVERGED",
         )
         return rep

@@ -59,9 +59,13 @@ def _propose_stretch(key, active, passive, a):
 
 
 def _propose_de(key, active, passive):
-    # differential evolution (emcee DEMove semantics): x' = x + g (a - b)
-    # with g = 2.38 / sqrt(2 d), occasionally g = 1 for mode jumps, plus
-    # a tiny isotropic jitter; symmetric proposal -> no Hastings term
+    # differential evolution: x' = x + g (a - b) with g = 2.38 / sqrt(2 d)
+    # and a tiny isotropic jitter (emcee DEMove), PLUS a 10% g = 1
+    # mode-jump mixture -- ter Braak (2006)'s recommendation, which emcee's
+    # DEMove does NOT include (deliberate divergence: it helps multimodal
+    # targets and stays a symmetric proposal -> no Hastings term either
+    # way, but acceptance/tau comparisons against emcee's DEMove will
+    # differ slightly)
     n_active, ndim = active.shape
     key_pick, k_pick2, k_jump, k_eps = jax.random.split(key, 4)
     n_pass = passive.shape[0]
@@ -193,6 +197,14 @@ def run_ensemble(
             f"move={move!r} needs at least {need} walkers (got {nwalkers}): "
             "smaller ensembles make the partner draws collide and freeze "
             "the chain"
+        )
+    if nwalkers % 2:
+        # the red-black update splits the ensemble in halves; emcee raises
+        # for odd counts too -- silently running 2-vs-3 halves would be a
+        # quiet divergence from the documented (and emcee-parity) contract
+        raise ValueError(
+            f"nwalkers must be even (got {nwalkers}): the ensemble updates "
+            "half against half"
         )
     half = nwalkers // 2
     lp0 = log_prob_fn(x0)

@@ -332,7 +332,10 @@ def fit_flow_dynamic(
     """
     params, w = _whiten_and_normalize(params, u, weights)
     opt, adam_step = _make_adam_step(u, w, config, lr)
-    steps = jnp.asarray(steps, jnp.int32)
+    # clamp a zero/negative traced budget to one step: a 0-step loop would
+    # return the large-finite sentinel as the "loss" (polluting the SMC
+    # per-iteration stats) and, in the static wrapper, crash on losses[-1]
+    steps = jnp.maximum(jnp.asarray(steps, jnp.int32), 1)
     opt_state = opt.init(params)
 
     # large FINITE sentinel: with +inf, `best - tol*|best|` is inf-inf = NaN
@@ -395,6 +398,10 @@ def fit_flow(
     gradients, no dropout/minibatching); the parameter is kept so callers
     don't churn if stochastic fitting (minibatch Adam) is ever added.
     """
+    if steps < 1:
+        # a 0-step scan would crash on losses[-1]; a fit that runs no
+        # steps is a caller bug, so fail loudly at the API boundary
+        raise ValueError(f"steps must be >= 1, got {steps}")
     if patience <= 0:
         # exact fixed-length schedule: a scan keeps the historical
         # "final_loss is the LAST step's loss" contract (the while_loop

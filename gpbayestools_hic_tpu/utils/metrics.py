@@ -150,7 +150,18 @@ def effective_sample_size(chain: np.ndarray) -> float:
     stuck walkers' draws as independent would overreport ESS for exactly
     the pathological ensembles this diagnostic exists to flag."""
     chain = np.asarray(chain)
-    taus = [integrated_autocorr_time(chain[:, :, d]) for d in range(chain.shape[-1])]
+    # a CONSTANT dimension (pinned/degenerate parameter, identical across
+    # walkers and time) has no autocorrelation structure to diagnose: its
+    # inf tau would collapse the whole-chain ESS to 0 and flag healthy
+    # runs as stuck.  Diagnose over the varying dims; only a chain with NO
+    # varying dim keeps the stuck-chain signal (ESS 0).
+    # ptp, not var: a pinned dim holds LITERALLY identical values, but
+    # np.var of 3200 copies of 0.77 accumulates to ~1e-32, not exactly 0
+    varying = np.where(
+        chain.max(axis=(0, 1)) > chain.min(axis=(0, 1))
+    )[0]
+    dims = varying if varying.size else range(chain.shape[-1])
+    taus = [integrated_autocorr_time(chain[:, :, d]) for d in dims]
     alive = int((np.var(chain, axis=1).max(axis=-1) > 0).sum())
     return alive * chain.shape[1] / max(taus)
 
@@ -267,19 +278,27 @@ def convergence_diagnostics(chain: np.ndarray, rhat_threshold: float = 1.01) -> 
 
     x = np.asarray(chain, dtype=np.float64)
     rhat = split_rhat(x)
-    taus, convs = [], []
+    # constant dims (pinned parameters) carry tau = NaN / converged = True:
+    # they have nothing to diagnose, and their inf tau would otherwise
+    # zero the ESS and mark healthy runs unconverged (see
+    # effective_sample_size).  A chain where NO dim varies keeps the
+    # stuck-chain behavior.
+    varying = x.max(axis=(0, 1)) > x.min(axis=(0, 1))  # ptp: see
+    # effective_sample_size on why var > 0 is the wrong test here
+    if not varying.any():
+        varying = np.ones(x.shape[-1], dtype=bool)
+    taus = np.full(x.shape[-1], np.nan)
+    convs = np.ones(x.shape[-1], dtype=bool)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)
-        for d in range(x.shape[-1]):
+        for d in np.where(varying)[0]:
             t, c = integrated_autocorr_time(x[:, :, d], return_converged=True)
-            taus.append(t)
-            convs.append(c)
-    taus = np.asarray(taus)
-    convs = np.asarray(convs)
+            taus[d] = t
+            convs[d] = c
     # frozen walkers don't contribute independent draws (tau is computed
     # over moving walkers only; see effective_sample_size)
     n_alive = int((np.var(x, axis=1).max(axis=-1) > 0).sum())
-    ess = n_alive * x.shape[1] / taus.max()
+    ess = n_alive * x.shape[1] / np.nanmax(taus)
     return {
         "rhat": rhat,
         "tau": taus,

@@ -413,3 +413,17 @@ def test_log_likelihood_point_by_point_alias(chain_setup, rng):
     np.testing.assert_array_equal(
         chain.log_likelihood_point_by_point(X), chain.log_likelihood(X)
     )
+
+
+def test_run_ensemble_rejects_odd_walkers():
+    """The red-black ensemble update needs even halves; emcee raises for
+    odd counts and so do we (round-4 review: odd ensembles used to run
+    silently with 2-vs-3 halves)."""
+    from gpbayestools_hic_tpu.samplers.ensemble import run_ensemble
+
+    def lp(state, x):
+        return -0.5 * np.sum(x**2, axis=-1)
+
+    x0 = jnp.zeros((5, 2))
+    with pytest.raises(ValueError, match="even"):
+        run_ensemble(lp, x0, 2, jax.random.PRNGKey(0), state=())

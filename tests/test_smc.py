@@ -538,3 +538,22 @@ def test_run_smc_reports_both_evidence_estimators():
     assert abs(result["logz_is"]) < 0.5, result["logz_is"]
     chosen = {"ps": result["logz_ps"], "is": result["logz_is"]}
     assert result["logz"] == chosen[result["logz_source"]]
+
+
+def test_fit_flow_rejects_zero_steps_and_dynamic_clamps():
+    """fit_flow(steps=0) used to crash on an empty scan and
+    fit_flow_dynamic(0) returned the large-finite sentinel as the 'loss'
+    (round-4 review finding): the static API now rejects it loudly and
+    the traced budget clamps to one step."""
+    from gpbayestools_hic_tpu.samplers.flows import (
+        FlowConfig, fit_flow, fit_flow_dynamic, init_flow,
+    )
+
+    cfg = FlowConfig(n_layers=2, hidden=8)
+    u = jnp.asarray(np.random.default_rng(0).normal(size=(32, 2)))
+    w = jnp.ones(32)
+    params = init_flow(jax.random.PRNGKey(0), 2, cfg, u.dtype)
+    with pytest.raises(ValueError, match="steps"):
+        fit_flow(params, u, w, jax.random.PRNGKey(1), config=cfg, steps=0)
+    _, loss = fit_flow_dynamic(params, u, w, 0, config=cfg)
+    assert np.isfinite(float(loss)) and abs(float(loss)) < 1e30, loss

@@ -89,3 +89,32 @@ def test_tau_convergence_flag():
         rng.normal(size=(8, 256)), return_converged=True
     )
     assert ok and tau < 3.0, (tau, ok)
+
+
+def test_ess_ignores_constant_parameter_dimension():
+    """A pinned (constant) parameter dimension must not collapse the
+    whole-chain ESS to zero or flag a healthy run unconverged (round-4
+    review finding): its tau is reported as NaN and excluded from the
+    aggregation; a chain where NOTHING varies keeps the stuck signal."""
+    import warnings
+
+    from gpbayestools_hic_tpu.utils.metrics import (
+        convergence_diagnostics,
+        effective_sample_size,
+    )
+
+    rng = np.random.default_rng(0)
+    healthy = rng.normal(size=(8, 400, 3))
+    healthy[:, :, 2] = 0.77  # pinned dimension
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no stuck warning
+        ess = effective_sample_size(healthy)
+    assert ess > 100, ess
+    rep = convergence_diagnostics(healthy)
+    assert np.isnan(rep["tau"][2]) and np.isfinite(rep["tau"][:2]).all()
+    assert rep["ess"] > 100 and rep["converged"]
+
+    stuck = np.full((4, 100, 2), 1.23)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        assert effective_sample_size(stuck) == 0.0
