@@ -163,11 +163,16 @@ def generate_lhs(
     x, energy = _anneal(k_anneal, x0, niters=niters, criterion=method)
     x = np.asarray(x)
     # the annealer optimizes a smooth surrogate (softmin / log-product);
-    # report the EXACT criterion value users care about alongside it
-    logger.debug(
-        "annealed %s surrogate energy: %.4f (exact min pairwise distance "
-        "%.5f)", method, float(energy), min_pairwise_distance(x),
-    )
+    # report the EXACT criterion value users care about alongside it.
+    # Gate on the log level: min_pairwise_distance materializes an
+    # (n, n, d) temporary (~4 GB at n=5000, d=20) that must not be built
+    # just to feed a discarded debug line.
+    if logger.isEnabledFor(logging.DEBUG):
+        logger.debug(
+            "annealed %s surrogate energy: %.4f (exact min pairwise "
+            "distance %.5f)", method, float(energy),
+            min_pairwise_distance(x),
+        )
 
     if cache:
         cachefile.parent.mkdir(parents=True, exist_ok=True)

@@ -167,6 +167,13 @@ class Emulator:
     def trainEmulatorAutoMask(self):
         self.trainEmulator(np.ones(self.nev, dtype=bool))
 
+    def _training_data(self, eventMask):
+        """Masked training matrix; subclass hook.  The BAND impute heads
+        fill NaNs PER FIT on exactly this subset -- imputing once over all
+        events would leak testEmulatorErrors' holdout rows into the SVD
+        fill of the training values."""
+        return self.model_data[np.asarray(eventMask, dtype=bool), :]
+
     def _prepare_training(self, eventMask, kernel_type: str):
         """Stage 1 of training: fit scaler/PCA, build GP targets.
 
@@ -182,7 +189,7 @@ class Emulator:
         # op pays a multi-second remote compile -- only gp_fit and the fused
         # predict programs belong on the device.
         np_dtype = np.dtype(dtype)
-        data = self.model_data[eventMask, :].astype(np_dtype)
+        data = np.asarray(self._training_data(eventMask), dtype=np_dtype)
 
         self.scaler = fit_standard_scaler(data)
         standardized = scaler_transform(self.scaler, data)
@@ -675,10 +682,17 @@ class Emulator:
         diagnostics cannot silently drift from each other.  Host numpy
         throughout: eager device ops pay a remote compile on this
         runtime."""
-        data = np.asarray(self.model_data, dtype=np.float64)
+        data = np.asarray(
+            self._training_data(np.ones(len(self.model_data), dtype=bool)),
+            dtype=np.float64,
+        )
         scaler = fit_standard_scaler(data)
         pca = fit_pca(scaler_transform(scaler, data), whiten=True)
-        npc_used = min(self.npc, pca.components.shape[0])
+        # the subclass hook, NOT min(self.npc, ...): BAND heads carry an
+        # npc = 10**9 sentinel and select by variance threshold -- the raw
+        # min would run diagnostics (learning curves, PCA-vs-param) over
+        # ALL min(nev, nobs) PCs the head never emulates
+        npc_used = self._select_npc(pca)
         z = np.asarray(
             pca_transform(pca, scaler_transform(scaler, data), npc=npc_used)
         )
@@ -987,14 +1001,20 @@ class Emulator:
         self.model_data_err = np.asarray(tree["model_data_err"])
         self.design_points = np.asarray(tree["design_points"])
         self.design_points_org_ = np.asarray(tree["design_points_org"])
-        if meta.get("method") is not None:  # EmulatorBAND API parity field
-            self.nparameters = self.design_points.shape[1]
         if self.parameterTrafoPCA_:
             pnd = tree.get("pca_new_design_points")
             if pnd is not None:
                 self.PCA_new_design_points = np.asarray(pnd)
             else:  # legacy save files: masked training design (best effort)
                 self.PCA_new_design_points = np.asarray(self.gp_state.x)
+        if meta.get("method") is not None:  # EmulatorBAND API parity field
+            # reference parity (src/emulator_BAND.py:46, 70): the
+            # TRANSFORMED dimension under parameter-space PCA
+            self.nparameters = (
+                self.PCA_new_design_points.shape[1]
+                if self.parameterTrafoPCA_
+                else self.design_points.shape[1]
+            )
         self._trained = True
         self._build_predict_fn()
         return self

@@ -147,10 +147,21 @@ class EmulatorBAND(Emulator):
         # training_set_path=None (the base class's data-less shell mode,
         # used by load()) leaves design_points/model_data unset
         if training_set_path is not None:
-            self.nparameters = self.design_points.shape[1]
+            # reference parity (src/emulator_BAND.py:46, 70): under
+            # parameter-space PCA this is the TRANSFORMED dimension
+            self.nparameters = (
+                self.PCA_new_design_points.shape[1]
+                if self.parameterTrafoPCA_
+                else self.design_points.shape[1]
+            )
             if method in ("PCGPwImpute", "PCGPwM"):
-                self.model_data, self._impute_mask, self._impute_col_var = (
-                    _impute_iterative_svd(self.model_data)
+                # record WHERE data is missing but keep the NaNs in
+                # model_data: imputation runs PER FIT on the masked subset
+                # (_training_data below), so testEmulatorErrors' holdout
+                # rows can never leak into the SVD fill of the training
+                # values (the reference imputes inside surmise per fit too)
+                self._impute_mask = np.isnan(
+                    np.asarray(self.model_data, dtype=np.float64)
                 )
 
     # ---------------------------------------------------------------- hooks
@@ -172,7 +183,14 @@ class EmulatorBAND(Emulator):
             # var_z[k, i] = sum_j (W_kj sigma_std_ij)^2,
             # W_kj = components_kj / sqrt(ev_k) (whitened projection weights)
             err_var = np.asarray(self.model_data_err[mask, :], np.float64) ** 2
-        elif self.method_ == "PCGPwM" and self._impute_mask is not None:
+        elif (
+            self.method_ == "PCGPwM"
+            and self._impute_mask is not None
+            and self._impute_col_var is not None
+        ):
+            # col_var is set by the per-fit imputation in _training_data;
+            # a dataset with no missing entries never sets it (and has
+            # nothing to inflate)
             # missingness-aware: imputed entries carry the per-column SVD
             # reconstruction residual variance as known noise
             err_var = np.where(
@@ -188,6 +206,20 @@ class EmulatorBAND(Emulator):
         return jnp.asarray(out, dtype=self._dtype)
 
     # ---------------------------------------------------------------- train
+
+    def _training_data(self, eventMask):
+        """Per-fit SVD imputation on exactly the masked subset (see the
+        __init__ note).  A loaded legacy save whose model_data was already
+        imputed has no NaNs left, so the fill is skipped and the loaded
+        ``_impute_col_var`` keeps serving the wM noise diag."""
+        if self.method_ in ("PCGPwImpute", "PCGPwM"):
+            raw = np.asarray(self.model_data, dtype=np.float64)[
+                np.asarray(eventMask, dtype=bool)
+            ]
+            if np.isnan(raw).any():
+                filled, _, self._impute_col_var = _impute_iterative_svd(raw)
+                return filled
+        return super()._training_data(eventMask)
 
     def trainEmulator(self, event_mask, kernel_type: str | None = None):
         super().trainEmulator(

@@ -245,6 +245,19 @@ def band_from_reference(source, *, gp_maxiter: int = 200, seed: int = 0):
             "method_/model_data attributes)"
         )
     method = str(ref.method_)
+    # validate BEFORE building: __new__ bypasses EmulatorBAND.__init__'s
+    # check, and an unknown method_ (the reference constructor never
+    # validates it -- the forgotten-raise bug emulator_band.py fixes)
+    # would otherwise fall through _pc_noise_diag to a plain homoskedastic
+    # PCGP head with silently wrong posterior widths
+    from .emulator_band import _METHODS
+
+    if method not in _METHODS:
+        raise ValueError(
+            f"reference emulator has unknown method_ {method!r} "
+            f"(expected one of {sorted(_METHODS)}); refusing to convert "
+            "it as a plain PCGP"
+        )
     dtype = working_dtype()
     self = EmulatorBAND.__new__(EmulatorBAND)
     self.method_ = method
@@ -272,14 +285,18 @@ def band_from_reference(source, *, gp_maxiter: int = 200, seed: int = 0):
         getattr(ref, "design_points_org_", ref.design_points), dtype=np.float64
     )
     self.nev, self.nobs = self.model_data.shape
-    self.nparameters = self.design_points.shape[1]
-
     self.param_pca_groups = default_groups()
     self.param_pca_state = None
     if self.parameterTrafoPCA_:
         self.targetVariance = float(getattr(ref, "targetVariance", 0.99))
         # ref.design_min/max are already the PC ranges (splice semantics)
         _convert_param_pca(self, ref, dtype)
+    # reference parity (src/emulator_BAND.py:46, 70): under parameter-space
+    # PCA, nparameters is the TRANSFORMED dimension
+    self.nparameters = (
+        self.PCA_new_design_points.shape[1] if self.parameterTrafoPCA_
+        else self.design_points.shape[1]
+    )
 
     self._impute_mask = None
     self._impute_col_var = None

@@ -152,11 +152,24 @@ def generate_posterior_clusters(
     mean = top.mean(axis=0)
     scale = top.std(axis=0)
     scale[scale == 0] = 1.0
-    z = jnp.asarray((top - mean) / scale)
 
-    centers_std, labels, inertia = kmeans(
-        z, n_clusters, key=jax.random.PRNGKey(random_state), n_init=n_init
-    )
+    # pin this one-off tiny job to the local CPU backend: on the default
+    # device (a remote TPU tunnel here) the kmeans jit + eager transfers
+    # pay a multi-second remote compile for sub-second host work -- the
+    # same policy as models/param_pca.fit_param_pca
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    ctx = jax.default_device(cpu) if cpu is not None else contextlib.nullcontext()
+    with ctx:
+        z = jnp.asarray((top - mean) / scale)
+        centers_std, labels, inertia = kmeans(
+            z, n_clusters, key=jax.random.PRNGKey(random_state),
+            n_init=n_init,
+        )
     centers = np.asarray(centers_std) * scale + mean
     logger.info("k-means inertia: %.4f", float(inertia))
     used = np.unique(np.asarray(labels)).size

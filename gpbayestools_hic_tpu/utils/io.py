@@ -99,6 +99,18 @@ def load_exp_data_pickle(path) -> tuple[np.ndarray, np.ndarray]:
     """
     with open(path, "rb") as fp:
         data_dict = pickle.load(fp)
+    if len(data_dict) != 1:
+        # the (reference-inherited) covariance assembly is only meaningful
+        # for ONE event: with several, fill_diagonal would silently truncate
+        # the flattened errors to the first event's and the returned mean
+        # would violate the (1, nobs) contract -- fail loudly instead of
+        # computing garbage likelihoods (the reference has the same flaw
+        # silently, src/mcmc.py:302-324)
+        raise ValueError(
+            f"experimental-data pickle {path} has {len(data_dict)} event "
+            "entries; exactly one is supported (concatenate observables "
+            "into a single event's 'obs' array instead)"
+        )
     means, errs = [], []
     for event_id in data_dict.keys():
         obs = np.asarray(data_dict[event_id]["obs"]).transpose()

@@ -232,8 +232,6 @@ def summary(
     reference prints MAP + percentiles ad hoc in PlotMCMC.ipynb cell 10;
     this is the one-call equivalent with convergence columns added.
     """
-    import warnings
-
     x = np.asarray(chain, dtype=np.float64)
     if x.ndim != 3:
         raise ValueError(f"expected (nwalkers, nsteps, ndim), got {x.shape}")
@@ -242,19 +240,20 @@ def summary(
         names = [f"p{d}" for d in range(ndim)]
     if len(names) != ndim:
         raise ValueError(f"{len(names)} names for {ndim} parameters")
-    rhat = split_rhat(x)
+    # ONE diagnostics pass shared with convergence_diagnostics (rhat, per
+    # -dim tau with constant-dim NaN handling) rather than re-deriving the
+    # same loop here -- the two outputs can no longer drift apart
+    rep = convergence_diagnostics(x)
+    rhat, taus = rep["rhat"], rep["tau"]
     lo_q, hi_q = 100 * (1 - ci) / 2, 100 * (1 + ci) / 2
     flat = x.reshape(-1, ndim)
     rows = []
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)
-        for d in range(ndim):
-            tau = integrated_autocorr_time(x[:, :, d])
-            rows.append((
-                names[d], flat[:, d].mean(), flat[:, d].std(),
-                np.median(flat[:, d]), np.percentile(flat[:, d], lo_q),
-                np.percentile(flat[:, d], hi_q), rhat[d], tau,
-            ))
+    for d in range(ndim):
+        rows.append((
+            names[d], flat[:, d].mean(), flat[:, d].std(),
+            np.median(flat[:, d]), np.percentile(flat[:, d], lo_q),
+            np.percentile(flat[:, d], hi_q), rhat[d], taus[d],
+        ))
     w = max(len("param"), *(len(n) for n in names))
     head = (f"{'param':<{w}}  {'mean':>10}  {'sd':>10}  {'median':>10}  "
             f"{f'{lo_q:g}%':>10}  {f'{hi_q:g}%':>10}  {'rhat':>6}  {'tau':>7}")

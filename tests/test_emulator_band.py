@@ -84,13 +84,19 @@ def test_pcgp_wimpute_fills_nans(tmp_path, rng, training_pickle_factory):
     parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
     emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwImpute",
                        max_rel_uncertainty_data=10.0)
-    assert not np.isnan(emu.model_data).any()
+    # model_data keeps its NaNs: imputation runs PER FIT on the masked
+    # subset (round-4 review: a one-shot init-time fill leaked
+    # testEmulatorErrors' holdout rows into the training values)
+    assert np.isnan(emu.model_data).any()
+    assert emu._impute_mask[5, 2] and emu._impute_mask[17, 6]
     assert emu.method_ == "PCGPwImpute"
     emu.trainEmulatorAutoMask()
     mean, _ = emu.predict(design[:3])
     assert np.isfinite(mean).all()
-    # imputed entries should be near the uncorrupted truth
-    assert abs(emu.model_data[5, 2] - base[5, 2]) < 0.5
+    # the per-fit fill puts imputed entries near the uncorrupted truth
+    filled = emu._training_data(np.ones(emu.nev, dtype=bool))
+    assert not np.isnan(filled).any()
+    assert abs(filled[5, 2] - base[5, 2]) < 0.5
 
 
 def test_pcgpwm_missingness_aware(tmp_path, rng, training_pickle_factory):
@@ -105,10 +111,9 @@ def test_pcgpwm_missingness_aware(tmp_path, rng, training_pickle_factory):
     emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwM",
                        max_rel_uncertainty_data=10.0)
     assert emu.method_ == "PCGPwM"
-    assert not np.isnan(emu.model_data).any()
     assert emu._impute_mask[3, 1] and emu._impute_mask[11, 5]
-    assert emu._impute_col_var[1] > 0
     emu.trainEmulatorAutoMask()
+    assert emu._impute_col_var[1] > 0  # set by the per-fit imputation
     # the noise diag hook returns per-(PC, event) inflation only at imputed rows
     nd = np.asarray(emu._pc_noise_diag(np.ones(emu.nev, dtype=bool), emu._npc_used))
     assert nd.shape[1] == emu.nev
@@ -429,9 +434,11 @@ def test_band_heads_match_golden_fixtures(tmp_path):
 def test_pcgpwm_impute_state_survives_save_load(
     tmp_path, rng, training_pickle_factory
 ):
-    """A loaded PCGPwM emulator must keep its imputation mask: without it a
-    retrain silently degrades to plain PCGP (zero imputation-noise
-    inflation) because the saved model_data is already imputed."""
+    """A loaded PCGPwM emulator must keep its imputation mask and
+    retrain with imputation-noise inflation intact (model_data keeps its
+    raw NaNs since the round-4 per-fit imputation change, so a retrain
+    re-imputes; legacy saves with pre-filled model_data skip the fill and
+    reuse the loaded column variances)."""
     design, base, err = _make_dataset(rng)
     holed = base.copy()
     holed[3, 1] = np.nan
@@ -482,3 +489,29 @@ def test_imputed_entries_excluded_from_validation_truth(
     e = rms_relative_error(pred, truth)
     h = honesty(pred, pred_err, truth)
     assert np.isfinite(e).all() and np.isfinite(h).all()
+
+
+def test_impute_does_not_leak_holdout_rows(tmp_path, rng,
+                                           training_pickle_factory):
+    """The SVD fill of training NaNs must not see holdout rows: perturbing
+    the held-out events' values must leave the trained GP state bitwise
+    identical (with the old init-time whole-matrix imputation it did not)."""
+    design, base, err = _make_dataset(rng)
+    holed = base.copy()
+    holed[5, 2] = np.nan  # a NaN in a TRAINING row
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("".join(f"p{i}: l, 0, 1\n" for i in range(3)))
+
+    states = []
+    for tag, bump in (("a", 0.0), ("b", 3.0)):
+        data = holed.copy()
+        data[-3:, :] += bump  # perturb only the holdout rows
+        pkl = training_pickle_factory(tmp_path / f"t{tag}.pkl", design, data,
+                                      err)
+        emu = EmulatorBAND(str(pkl), str(parfile), method="PCGPwImpute",
+                           max_rel_uncertainty_data=100.0)
+        emu.testEmulatorErrors(number_test_points=3)
+        states.append({k: np.asarray(v)
+                       for k, v in emu.gp_state.params.items()})
+    for k in states[0]:
+        np.testing.assert_array_equal(states[0][k], states[1][k], err_msg=k)
