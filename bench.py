@@ -45,6 +45,17 @@ Fields of the JSON record:
   sampler the ESS/sec ratio equals this evaluation-throughput ratio; the
   HMC headline (no reference counterpart: the reference posterior has no
   gradients) makes the TRUE end-to-end ratio even larger.
+- ``hmc_auto_ess_per_sec`` (+tau/scheme): the NO-KNOB default path --
+  ``run_MCMC_HMC``'s promoted defaults (scheme="auto", warmup="auto",
+  256-walker adaptation subset) -- measured so the tuned headline's
+  reachability is a number, not a claim.
+- ``ptlmc_ess_per_sec`` (+tau/converged/wall): PTLMC at the reference's
+  flagship knobs (30 temps / 16 chains / maxtemp 100 / 1000 steps,
+  src/mcmc.py:696-726) through ``Chain.run_MCMC_PTLMC``.
+- ``smc_logz_ps``/``smc_logz_is`` (+errors), ``smc_logz_khat``,
+  ``smc_logz_source``: both SMC evidence estimators plus the PSIS tail
+  diagnostic of the defensive IS proposal, so the artifact itself shows
+  whether they agree.
 - secondary fields: ``gp_train_s`` (9-emulator GP training),
   ``evals_per_sec`` (posterior evaluations/s of the best ENSEMBLE run --
   HMC evaluates gradients, so its eval rate is not comparable),
@@ -139,6 +150,16 @@ HMC_PERSIST = 0.7
 # 8%).  128 walkers saves little more and costs tau 2.29.
 HMC_WARMUP_WALKERS = 256
 CPU_BASELINE_WALKERS = 7
+# PTLMC at the reference's flagship knobs (RunBayesianAnalysis.ipynb cell 6
+# / src/mcmc.py:696-726): 30 temperatures, 16 chains, maxtemp 100, 1000
+# production steps (the sampler runs 2x tuning steps internally), 1000
+# pre-optimization starts.  The wall clock charges the WHOLE run: pre-opt
+# L-BFGS, tuning, production -- the honest one-shot cost.
+PTLMC_TEMPS = 30
+PTLMC_CHAINS = 16
+PTLMC_MAXTEMP = 100.0
+PTLMC_STEPS = 1000
+PTLMC_NSTART = 1000
 # ensemble tau window: 8 x 1024 = 8192 steps >> 50 * tau (~90) so the
 # windowed FFT estimator converges (round-2 bench was window-limited)
 ENS_TAU_CHUNKS = 8
@@ -147,22 +168,20 @@ ENS_TAU_CHUNKS = 8
 # fused multiply-add counts as 2).  Dominant term: the 36 predictive-
 # variance products G @ k* with G = L^-1 at (nev, nev) -- 2*npc*nev^2 per
 # emulator.  Plus, per emulator: the RBF k* build (squared scaled distance
-# 3*ndim ops + ~10 for the exp/scale epilogue per (pc, train) entry), the
-# k*@alpha mean and the |G k*|^2 norm reductions (2*npc*nev each), and the
-# PC->observable projections (4*npc*n_e).  The rank-36 Woodbury
-# capacitance in the likelihood adds 2*r^2*nobs + r^3 (<2%); O(nobs) and
-# O(r*nobs) epilogue terms are <0.1% and left uncounted.
-_R_WOOD = len(BLOCKS) * NPC
+# 3*ndim ops + ~10 for the exp/scale epilogue per (pc, train) entry) and
+# the k*@alpha mean and |G k*|^2 norm reductions (2*npc*nev each).  Since
+# the round-5 PC-space Woodbury reduction (samplers/chain.py
+# make_lowrank_block) the likelihood epilogue beyond the GP predict is
+# O(npc^2) per block (< 0.01% -- the PC->observable projection, exp
+# subtraction, and per-walker O(n_e^2) c0_inv matvec all collapsed into
+# precomputed (npc, npc) constants) and is left uncounted, as are the
+# other O(nobs)-class terms.
 FLOPS_PER_EVAL = int(
-    sum(
+    len(BLOCKS) * (
         2 * NPC * NEV * NEV                # variance products  (dominant)
         + NPC * NEV * (3 * NDIM + 10)      # kstar kernel build
         + 2 * 2 * NPC * NEV                # mean + norm reductions
-        + 4 * NPC * n_e                    # PC -> observable projection
-        for n_e in BLOCKS
     )
-    + 2 * _R_WOOD**2 * sum(BLOCKS)         # Woodbury capacitance build
-    + _R_WOOD**3                           # capacitance solve
 )
 # one v5e chip: 197 TFLOP/s bf16 (394 is the INT8 TOPS figure -- an
 # earlier revision used it here and understated MXU occupancy by 2x)
@@ -480,6 +499,76 @@ def bench_hmc(chain, dtype):
     return ess_per_sec, tau, hmc_conv, warm_ess_per_sec, warm_conv
 
 
+def bench_hmc_default(chain, dtype):
+    """The NO-KNOB HMC path: exactly what ``run_MCMC_HMC(nsteps=...)`` now
+    resolves its defaults to (scheme="auto" -> windowed+persist at high
+    adapted acceptance, warmup="auto", L=8, 256-walker adaptation subset).
+    Recorded so the headline config's reachability is a measured number:
+    the default path must land within a few % of the tuned headline."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpbayestools_hic_tpu.samplers.hmc import run_hmc
+
+    log_post, like_state = chain.posterior_with_state()
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.uniform(0.3, 0.7, size=(NWALKERS, NDIM)).astype(dtype))
+    kwargs = dict(state=like_state, lo=chain.min, hi=chain.max,
+                  n_leapfrog=8, warmup="auto", scheme="auto",
+                  warmup_walkers=min(256, NWALKERS))
+
+    log("[hmc-auto] compiling default-path sampler ...")
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, x0, HMC_STEPS, jax.random.PRNGKey(0), **kwargs)
+    np.asarray(res.final_state)
+    log(f"[hmc-auto] compile+first adaptive run: "
+        f"{time.perf_counter() - t0:.1f}s (resolved scheme {res.scheme}, "
+        f"persist {res.persist})")
+
+    t0 = time.perf_counter()
+    res = run_hmc(log_post, res.final_state, HMC_STEPS,
+                  jax.random.PRNGKey(1), **kwargs)
+    chain_arr = np.asarray(res.chain)
+    dt = time.perf_counter() - t0
+    tau, conv = _max_tau(chain_arr)
+    ess_per_sec = (NWALKERS * HMC_STEPS / tau) / dt
+    conv_note = "converged" if conv else "WINDOW-LIMITED"
+    log(f"[hmc-auto] {dt:.2f}s for {res.warmup_steps}+{HMC_STEPS} steps, "
+        f"max tau {tau:.2f} ({conv_note}), ESS/sec {ess_per_sec:.1f}, "
+        f"scheme {res.scheme} persist {res.persist}")
+    return ess_per_sec, tau, res.scheme
+
+
+def bench_ptlmc(chain):
+    """PTLMC at the reference's flagship knobs through the public
+    ``Chain.run_MCMC_PTLMC`` front-end (the only reference sampler family
+    without a TPU perf record before round 5).  Two runs: the first
+    carries the XLA compiles, the second is the timed measurement."""
+    kwargs = dict(nsteps=PTLMC_STEPS, nwalkers=PTLMC_CHAINS,
+                  ntemps=PTLMC_TEMPS, maxtemp=PTLMC_MAXTEMP,
+                  nstartparameters=PTLMC_NSTART)
+
+    log("[ptlmc] compiling sampler (pre-opt + tuning + production) ...")
+    t0 = time.perf_counter()
+    chain.run_MCMC_PTLMC(seed=0, **kwargs)
+    log(f"[ptlmc] compile+first run: {time.perf_counter() - t0:.1f}s")
+
+    t0 = time.perf_counter()
+    chain.run_MCMC_PTLMC(seed=1, **kwargs)
+    dt = time.perf_counter() - t0
+    arr = np.asarray(chain.chain)  # (nwalkers, nsteps, ndim), T=1 chains
+    tau, conv = _max_tau(arr)
+    ess_per_sec = (PTLMC_CHAINS * PTLMC_STEPS / tau) / dt
+    conv_note = (
+        f"(converged: window {PTLMC_STEPS} >= 50 tau)" if conv
+        else "(WINDOW-LIMITED: tau is a lower bound, ESS/s an upper bound)"
+    )
+    log(f"[ptlmc] {dt:.2f}s for {PTLMC_TEMPS}t x {PTLMC_CHAINS}c x "
+        f"{PTLMC_STEPS} steps (+2x tuning, {PTLMC_NSTART} pre-opt starts), "
+        f"max tau {tau:.1f} {conv_note}, ESS/sec {ess_per_sec:.1f}")
+    return ess_per_sec, tau, conv, dt
+
+
 def bench_pallas_block_route(chain, dtype):
     """likelihood_mode='generic': per-block dense Cholesky through
     ops.pallas_mvn.mvn_loglike_best (the Pallas TPU kernel), checked against
@@ -553,8 +642,12 @@ def bench_smc(chain, knobs=SMC_BENCH):
     dt = time.perf_counter() - t0
     w = out["weights"]
     ess = 1.0 / np.sum(w**2)
+    khat = out.get("logz_khat")
     log(f"[smc] {dt:.1f}s, {len(w)} weighted samples, ESS {ess:.0f}, "
-        f"logz={out['logz']:.2f}+-{out['logz_err']:.3f}")
+        f"logz={out['logz']:.2f}+-{out['logz_err']:.3f} "
+        f"(source {out['logz_source']}, "
+        f"PS {out['logz_ps']:.2f}+-{out['logz_err_ps']:.3f}, "
+        f"IS {out['logz_is']}+-{out['logz_err_is']}, khat {khat})")
     # posterior clustering on an unweighted resample (C18 parity)
     from gpbayestools_hic_tpu.utils import resample_weighted
 
@@ -563,7 +656,7 @@ def bench_smc(chain, knobs=SMC_BENCH):
         jnp.asarray(samples), 3, key=jax.random.PRNGKey(0)
     )
     log(f"[smc] posterior k-means: inertia {float(inertia):.1f}")
-    return dt, float(out["logz"]), float(out["logz_err"]), float(ess)
+    return dt, float(ess), out
 
 
 def wait_for_device(max_wait_s: float | None = None, poll_s: float = 60.0):
@@ -617,10 +710,14 @@ _RECORD_FIELDS = (
     "ensemble_tau_converged",
     "hmc_ess_per_sec", "hmc_warm_ess_per_sec", "hmc_warm_tau_converged",
     "hmc_tau_converged", "evals_per_sec",
+    "hmc_auto_ess_per_sec", "hmc_auto_tau", "hmc_auto_scheme",
+    "ptlmc_ess_per_sec", "ptlmc_tau", "ptlmc_tau_converged", "ptlmc_wall_s",
     "gp_train_s", "gp_train_compile_s", "gp_train_cached",
     "flops_per_eval", "achieved_tflops", "mxu_util_vs_bf16_peak",
     "pallas_evals_per_sec", "pallas_max_rel_diff",
     "smc_wall_s", "smc_logz", "smc_logz_err", "smc_ess", "smc_scale",
+    "smc_logz_source", "smc_logz_ps", "smc_logz_err_ps",
+    "smc_logz_is", "smc_logz_err_is", "smc_logz_khat",
 )
 
 
@@ -691,6 +788,15 @@ def main():
             hmc_warm_tau_converged=bool(hmc_warm_converged),
             hmc_tau_converged=bool(hmc_tau_converged))
 
+    # the no-knob default path (run_MCMC_HMC defaults): must track the
+    # tuned headline -- the measured evidence that scheme="auto" works
+    auto_ess, auto_tau, auto_scheme = bench_hmc_default(chain, dtype)
+    log(f"default-path vs tuned headline: {auto_ess / hmc_ess:.3f}")
+    em.emit("hmc_auto",
+            hmc_auto_ess_per_sec=round(auto_ess, 1),
+            hmc_auto_tau=round(auto_tau, 2),
+            hmc_auto_scheme=auto_scheme)
+
     results = {}
     for move in ("stretch", "de"):
         results[move] = bench_move(chain, move, dtype)
@@ -727,16 +833,35 @@ def main():
             # that gives the throughput number meaning (healthy ~1e-5 f32)
             pallas_max_rel_diff=float(f"{pallas_rel:.2e}"))
 
+    # PTLMC at the reference flagship knobs (the last sampler family to
+    # get a TPU perf record)
+    ptlmc_ess, ptlmc_tau, ptlmc_conv, ptlmc_dt = bench_ptlmc(chain)
+    em.emit("ptlmc",
+            ptlmc_ess_per_sec=round(ptlmc_ess, 1),
+            ptlmc_tau=round(ptlmc_tau, 1),
+            ptlmc_tau_converged=bool(ptlmc_conv),
+            ptlmc_wall_s=round(ptlmc_dt, 1))
+
     if "--no-smc" not in sys.argv:
         production = "--smc-production" in sys.argv
         knobs = SMC_PRODUCTION if production else SMC_BENCH
-        smc_wall_s, smc_logz, smc_logz_err, smc_ess = bench_smc(chain, knobs)
+        smc_wall_s, smc_ess, out = bench_smc(chain, knobs)
+        rnd3 = lambda v: None if v is None else round(v, 3)  # noqa: E731
         em.emit("smc",
                 smc_wall_s=round(smc_wall_s, 1),
-                smc_logz=round(smc_logz, 2),
-                smc_logz_err=round(smc_logz_err, 3),
+                smc_logz=round(float(out["logz"]), 2),
+                smc_logz_err=round(float(out["logz_err"]), 3),
                 smc_ess=round(smc_ess, 0),
-                smc_scale="production" if production else "bench")
+                smc_scale="production" if production else "bench",
+                # both evidence estimators + the PSIS tail diagnostic: the
+                # artifact itself shows whether IS and PS agree (VERDICT r4
+                # item 1's acceptance criterion)
+                smc_logz_source=out["logz_source"],
+                smc_logz_ps=rnd3(out["logz_ps"]),
+                smc_logz_err_ps=rnd3(out["logz_err_ps"]),
+                smc_logz_is=rnd3(out["logz_is"]),
+                smc_logz_err_is=rnd3(out["logz_err_is"]),
+                smc_logz_khat=rnd3(out.get("logz_khat")))
     else:
         em.emit("smc", smc_scale="skipped")
 

@@ -40,4 +40,4 @@ from .runtime import (  # noqa: F401
     parse_model_parameter_file,
 )
 
-__version__ = "0.4.4"
+__version__ = "0.5.0"

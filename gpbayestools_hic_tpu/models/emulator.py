@@ -440,7 +440,15 @@ class Emulator:
                 cov = jax.vmap(jnp.diag)((fstd * mean) ** 2)
             return mean, cov
 
-        def make_pc_core(fast_grad):
+        def make_pc_core(fast_grad, raw: bool = False):
+            """``raw=True`` returns the WHITENED PC-space GP outputs
+            (gp_mean (m, npc), gp_var (m, npc)) without the
+            PC -> observable projection: the calibration layer's
+            PC-space Woodbury likelihood consumes these directly (the
+            projection, exp-data subtraction and c0_inv matvec collapse
+            into precomputed (npc, npc)/(npc,) constants -- see
+            samplers/chain.make_lowrank_block), so the (m, nobs) mean
+            never materializes on the sampling hot path."""
             def pc_core(state, x):
                 x = transform_x(state, x)
                 if fast_grad and "gp_fused" in state:
@@ -469,6 +477,8 @@ class Emulator:
                         fast_grad=fast_grad,
                     )
                     gp_mean, gp_var = gp_mean.T, gp_var.T  # (m, npc)
+                if raw:
+                    return gp_mean, gp_var
                 scaler = state["scaler"]
                 if no_pca:
                     mean = gp_mean * scaler.scale + scaler.mean
@@ -483,6 +493,8 @@ class Emulator:
         # Langevin gradients); NOT jacfwd-compatible -- sensitivity analysis
         # keeps the vanilla pc_core (see gp._norm_mean_var)
         pc_core_fastgrad = make_pc_core(True)
+        pc_raw = make_pc_core(False, raw=True)
+        pc_raw_fastgrad = make_pc_core(True, raw=True)
 
         def predict_diag(state, x):
             mean, gp_var = pc_core(state, x)
@@ -500,6 +512,8 @@ class Emulator:
         self.predict_fn_pure = predict_fn
         self.predict_pc_pure = pc_core
         self.predict_pc_pure_fastgrad = pc_core_fastgrad
+        self.predict_pc_raw_pure = pc_raw
+        self.predict_pc_raw_pure_fastgrad = pc_raw_fastgrad
         self.predict_diag_pure = predict_diag
         self._predict_jit = jax.jit(predict_fn)
         self._predict_pc_jit = jax.jit(pc_core)

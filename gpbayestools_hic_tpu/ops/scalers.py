@@ -37,7 +37,10 @@ import numpy as np
 
 def _result_dtype(x) -> np.dtype:
     dt = np.dtype(getattr(x, "dtype", np.float64))
-    if not np.issubdtype(dt, np.floating):
+    # dt.kind == "f" also covers ml_dtypes floats (bfloat16, float8_*):
+    # np.issubdtype(bfloat16, np.floating) is False, so the subdtype test
+    # alone would silently upcast a bf16 input to float64 (ADVICE r4)
+    if dt.kind != "f":
         # integer/bool inputs must upcast (sklearn semantics): casting a
         # fitted scale like 0.816 to int silently truncates to 0, and
         # scaler_transform then divides by zero

@@ -251,6 +251,29 @@ class Chain:
         # device arrays pay a ~25 ms per-call re-upload penalty on this
         # runtime (see models/emulator.py predict section).
         def make_lowrank_block(e, i0, i1):
+            """PC-space Woodbury likelihood (exact; round-5 reduction).
+
+            With ``cov(x) = C0' + A^T diag(v) A`` (``C0' = cov_trunc +
+            diag(exp var)``, A fixed) and ``mean(x) = gp_mean @ A +
+            shift``, every n-space piece of the likelihood collapses into
+            PC space: expand around ``p0``, the C0'^-1-metric projection
+            of the data residual onto rowspace(A), so the cross term
+            vanishes (``A C0'^-1 r_perp = 0``) and, with ``d = gp_mean -
+            p0`` and ``M = A C0'^-1 A^T``::
+
+                y C0'^-1 y^T = d M d^T + const2   (const2 = r_perp's
+                                                   residual, precomputed)
+                u = y C0'^-1 A^T = d M
+
+            The (m, n_e) observable mean, the exp-block subtraction and
+            the O(n_e^2)-per-walker ``c0_inv`` matvec never exist on the
+            device -- the whole per-walker epilogue beyond the GP predict
+            is O(npc^2), and the block state drops the (n_e, n_e)/(npc,
+            n_e) device matrices.  Same exact likelihood as the
+            reference's stitched Cholesky (src/mcmc.py:23-65, 214),
+            algebraically reduced; pinned by
+            test_chain_log_posterior_matches_manual.
+            """
             a_mat, cov_trunc = e.lowrank_parts()
             a64 = np.asarray(a_mat, dtype=np.float64)
             c0 = np.asarray(cov_trunc, dtype=np.float64) + np.diag(
@@ -262,28 +285,35 @@ class Chain:
             g = a64 @ c0_inv                     # (npc, n)
             m_mat = g @ a64.T                    # (npc, npc)
             npc = a64.shape[0]
+            shift = np.asarray(e.scaler.mean, dtype=np.float64)
+            r0 = shift - expdata_np[i0:i1].astype(np.float64)
+            # expansion point: kills the cross term (A c0_inv r_perp = 0),
+            # so q0 = d M d^T + const2 is a sum of two nonnegative pieces
+            # -- strictly LESS f32 cancellation than the old (mean - exp)
+            # subtraction path
+            p0 = -np.linalg.solve(m_mat, g @ r0)
+            r_perp = r0 + p0 @ a64
+            const2 = float(r_perp @ c0_inv @ r_perp)
             bstate = {
                 "emu": e.predict_state,
-                "exp_block": jnp.asarray(expdata_np[i0:i1]),
-                "c0_inv": jnp.asarray(c0_inv, dtype=dtype),
-                "g": jnp.asarray(g, dtype=dtype),
+                "p0": jnp.asarray(p0, dtype=dtype),
                 "m": jnp.asarray(m_mat, dtype=dtype),
+                "const2": jnp.asarray(const2, dtype=dtype),
                 "logdet_c0": jnp.asarray(logdet_c0, dtype=dtype),
                 "eye_npc": jnp.asarray(np.eye(npc, dtype=np_dtype)),
             }
             # reverse-mode-optimized predict when the emulator provides it
             # (halves the gradient's matmul cost for HMC/Langevin; identical
             # values and reverse gradients -- see models/gp._norm_mean_var)
-            predict_pc = getattr(
-                e, "predict_pc_pure_fastgrad", None
-            ) or e.predict_pc_pure
+            predict_raw = getattr(
+                e, "predict_pc_raw_pure_fastgrad", None
+            ) or e.predict_pc_raw_pure
 
             def block_ll(bs, x_safe):
-                mean, v = predict_pc(bs["emu"], x_safe)  # (b, n), (b, npc)
-                y = mean - bs["exp_block"]
-                t = y @ bs["c0_inv"]                     # (b, n)  [MXU]
-                q0 = jnp.sum(y * t, axis=1)
-                u = y @ bs["g"].T                        # (b, npc)
+                gp_mean, v = predict_raw(bs["emu"], x_safe)  # (b, npc) x2
+                d = gp_mean - bs["p0"]
+                u = d @ bs["m"]                              # (b, npc)
+                q0 = jnp.sum(d * u, axis=1) + bs["const2"]
                 # floor strictly above 0: d/dv sqrt(v) at the max(v, 0)
                 # clamp is +inf, so an f32 PC variance that cancels to <= 0
                 # near a training point would inject NaN into HMC/Langevin
@@ -338,7 +368,9 @@ class Chain:
             return block_ll, bstate
 
         def pick_block(e, i0, i1):
-            if getattr(e, "has_lowrank_cov", False):
+            if getattr(e, "has_lowrank_cov", False) and hasattr(
+                e, "predict_pc_raw_pure"
+            ):
                 return make_lowrank_block(e, i0, i1)
             if getattr(e, "perform_no_PCA_", False) or getattr(
                 e, "exp_and_cov_diagonal_", False
@@ -865,7 +897,7 @@ class Chain:
         self,
         nsteps: int = 500,
         nwalkers: int = 256,
-        nburnsteps: int | str = 128,
+        nburnsteps: int | str = "auto",
         n_leapfrog: int | str | None = None,
         nthin: int = 1,
         seed: int = 0,
@@ -875,10 +907,10 @@ class Chain:
         mesh=None,
         resume: bool = False,
         warm_start=None,
-        scheme: str = "mh",
+        scheme: str = "auto",
         window: int | None = None,
         persist: float = 0.0,
-        warmup_walkers: int | None = None,
+        warmup_walkers: int | str | None = "auto",
     ):
         """Preconditioned Hamiltonian MC (beyond-reference sampler).
 
@@ -920,21 +952,31 @@ class Chain:
         ``warm_start.final_state`` rather than fresh prior draws, since no
         burn-in runs when adaptation is skipped.
 
-        ``scheme``: production transition kernel -- ``"mh"`` (classic
-        endpoint Metropolis), ``"windowed"`` (Neal 1994 windowed HMC:
-        window-sum accept/reject plus Boltzmann selection within the
-        chosen window -- same gradient cost, higher acceptance, and
-        rejections resample the start window instead of repeating the
-        current point), or ``"multinomial"`` (full-trajectory Boltzmann
-        baseline; its distance-agnostic selection measurably shortens
-        moves, prefer ``"windowed"``).  ``warmup_walkers`` runs the
-        adaptation phases on a walker subset and tiles the warmed state
-        up for production -- cuts the warmup gradient bill
-        proportionally; see :func:`.hmc.run_hmc`.  ``window`` sizes the windowed
+        ``scheme``: production transition kernel.  The default ``"auto"``
+        resolves itself from the adapted acceptance: at >= 0.75 it runs
+        the measured-best configuration -- ``"windowed"`` (Neal 1994
+        windowed HMC) with Horowitz persistent momentum (persist 0.7) --
+        and falls back to classic endpoint MH otherwise, so the
+        no-knob call gets the headline-bench kernel whenever the
+        posterior supports it.  Explicit choices: ``"mh"`` (classic
+        endpoint Metropolis), ``"windowed"`` (window-sum accept/reject
+        plus Boltzmann selection within the chosen window -- same
+        gradient cost, higher acceptance, and rejections resample the
+        start window instead of repeating the current point), or
+        ``"multinomial"`` (full-trajectory Boltzmann baseline; its
+        distance-agnostic selection measurably shortens moves, prefer
+        ``"windowed"``).  ``warmup_walkers`` runs the adaptation phases
+        on a walker subset and tiles the warmed state up for production
+        -- cuts the warmup gradient bill proportionally; the default
+        ``"auto"`` resolves to ``min(256, nwalkers)`` (the measured
+        flagship optimum), ``None`` keeps the full batch; see
+        :func:`.hmc.run_hmc`.  ``window`` sizes the windowed
         scheme's accept/reject windows (default ``min(2, (L+1)//2)``, the
-        measured flagship optimum).  ``persist`` (windowed only) enables
-        partial momentum refresh between steps (Horowitz generalized HMC;
-        0.0 = classic full refresh).  See :func:`.hmc.run_hmc`.
+        measured flagship optimum).  ``persist`` (windowed/auto only)
+        enables partial momentum refresh between steps (Horowitz
+        generalized HMC; 0.0 = classic full refresh, which under
+        ``"auto"`` means "pick 0.7 when windowed is chosen").  See
+        :func:`.hmc.run_hmc`.
         """
         from .hmc import run_hmc
 
@@ -991,6 +1033,19 @@ class Chain:
             )
             key = jax.random.PRNGKey(seed)
         mesh, _, _ = self._mesh_tools(devices, mesh, nwalkers)
+        if isinstance(warmup_walkers, str):
+            if warmup_walkers != "auto":
+                raise ValueError(
+                    f"warmup_walkers must be an int, None, or 'auto', "
+                    f"got {warmup_walkers!r}"
+                )
+            # measured flagship optimum: a 256-walker adaptation subset
+            # (tiled up for production) cuts the warmup gradient bill
+            # without hurting tau; clamp to the actual batch, and keep
+            # mesh divisibility when sharded
+            warmup_walkers = min(256, nwalkers)
+            if mesh is not None and warmup_walkers % mesh.size != 0:
+                warmup_walkers = None  # full batch: always divisible here
         res = run_hmc(
             log_post, x0, nsteps, key,
             state=like_state, lo=self.min, hi=self.max,
@@ -1023,6 +1078,8 @@ class Chain:
         prior=None,
         devices: int | None = None,
         mesh=None,
+        resume: bool = False,
+        checkpoint: bool = True,
     ):
         """Flow-preconditioned SMC with pocoMC semantics
         (reference: src/mcmc.py:752-819).
@@ -1034,7 +1091,15 @@ class Chain:
         with no explicit ``devices``/``mesh`` requests ``min(pool,
         available)`` devices when the particle counts divide evenly, and
         logs + falls back to single-device otherwise (reference scripts
-        passing ``pool=12`` keep working unchanged)."""
+        passing ``pool=12`` keep working unchanged).
+
+        ``checkpoint`` (default on): the sampler state is atomically
+        serialized to ``smc_checkpoint.pkl`` next to ``mcmc_path`` after
+        every completed iteration; ``resume=True`` continues a killed run
+        from that state (same knobs required -- a mismatch raises), with
+        an evolution identical to the uninterrupted run.  This mirrors
+        the reference's chain-resume axis (src/mcmc.py:354-364) for the
+        one sampler whose production runs take minutes of wall clock."""
         from .smc import run_smc
         from ..utils.priors import ScipyPrior
 
@@ -1068,6 +1133,10 @@ class Chain:
         ll_fn = self.device_fns["log_likelihood_traceable"]
         like_state = self._like_state
         mesh, _, _ = self._mesh_tools(devices, mesh)
+        ckpt_path = (
+            self.mcmc_path.parent / "smc_checkpoint.pkl" if checkpoint
+            else None
+        )
         result = run_smc(
             ll_fn,
             jnp.asarray(self.min, dtype=self._dtype),
@@ -1083,6 +1152,8 @@ class Chain:
             seed=random_state,
             custom_prior=prior,
             mesh=mesh,
+            checkpoint_path=ckpt_path,
+            resume=resume,
         )
         logger.info("Log evidence: %s", result["logz"])
         logger.info("Log evidence error: %s", result["logz_err"])
@@ -1101,6 +1172,9 @@ class Chain:
             "logz_source": result["logz_source"],
             "logz_is": result["logz_is"],
             "logz_err_is": result["logz_err_is"],
+            # PSIS generalized-Pareto tail index of the IS evidence weights
+            # (None when n_evidence=0 or the tail was too small to fit)
+            "logz_khat": result["logz_khat"],
         }
         self.chain = chain_data["chain"]
         with open(self.mcmc_path, "wb") as f:

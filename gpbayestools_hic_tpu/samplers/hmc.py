@@ -70,6 +70,19 @@ class HMCResult(NamedTuple):
     warmup_steps: int = 0     # adaptation steps actually run (both phases
                               # combined; 0 for a warm start, excludes the
                               # n_leapfrog="auto" probe)
+    scheme: str = "mh"        # production kernel actually run (the
+                              # resolved branch under scheme="auto")
+    persist: float = 0.0      # production momentum persistence actually run
+
+
+# scheme="auto" resolution: windowed trajectory sampling with Horowitz
+# persistent momentum is the measured-best production kernel on the
+# flagship posterior (~8-10% over endpoint MH at persist=0.7), but
+# persistence only pays when acceptance is high (a rejection REVERSES the
+# persistent momentum, so at low acceptance the ballistic drift never
+# builds up).  The adapted acceptance decides the branch.
+_AUTO_ACC_MIN = 0.75
+_AUTO_PERSIST = 0.7
 
 
 @lru_cache(maxsize=64)
@@ -610,9 +623,11 @@ def _adaptive_phase(
     ``_WARMUP_ACC_TOL`` of ``target_accept`` (at least
     ``_WARMUP_MIN_CHUNKS`` chunks, at most ``_WARMUP_MAX_CHUNKS``).
 
-    Returns ``(xs_all, u_final, log_eps_bar, nsteps_done)`` with ``xs_all``
-    the full (nsteps_done, nwalkers, ndim) x-space sample stack (the metric
-    estimate in :func:`run_hmc` uses its second half).
+    Returns ``(xs_all, u_final, log_eps_bar, nsteps_done, last_acc)`` with
+    ``xs_all`` the full (nsteps_done, nwalkers, ndim) x-space sample stack
+    (the metric estimate in :func:`run_hmc` uses its second half) and
+    ``last_acc`` the final chunk's mean acceptance (drives the
+    ``scheme="auto"`` branch choice).
     """
     xs_chunks = []
     u, da = u0, None
@@ -659,7 +674,8 @@ def _adaptive_phase(
             _WARMUP_MAX_CHUNKS * _WARMUP_CHUNK,
             delta_bar, _WARMUP_EPS_TOL, acc, target_accept, _WARMUP_ACC_TOL,
         )
-    return np.concatenate(xs_chunks, axis=0), u, jnp.asarray(da[2]), nsteps_done
+    return (np.concatenate(xs_chunks, axis=0), u, jnp.asarray(da[2]),
+            nsteps_done, acc)
 
 
 def run_hmc(
@@ -762,7 +778,13 @@ def run_hmc(
 
     ``scheme``: the PRODUCTION transition kernel (see
     :func:`_hmc_scan_trajectory`; warmup always adapts under ``"mh"``,
-    whose acceptance statistic dual averaging needs).  ``"mh"`` (default)
+    whose acceptance statistic dual averaging needs).  ``"auto"`` picks
+    the kernel from the adapted acceptance: at >= 0.75 it runs the
+    measured-best ``"windowed"`` kernel with Horowitz persistent momentum
+    (``persist=0.7`` unless the caller set a nonzero value), else it
+    falls back to plain endpoint MH (persistence loses at low acceptance
+    -- each rejection reverses the persistent momentum).  The resolved
+    branch is reported as ``result.scheme``/``result.persist``.  ``"mh"``
     is classic HMC -- integrate ``n_leapfrog`` steps forward, Metropolis
     accept/reject the endpoint.  ``"windowed"`` is Neal (1994) windowed
     HMC: accept/reject the ``window``-state far END of the trajectory
@@ -790,15 +812,15 @@ def run_hmc(
     windows for exactly this pairing).  ``0.0`` (default) is the classic
     full refresh.
     """
-    if scheme not in ("mh", "multinomial", "windowed"):
+    if scheme not in ("mh", "multinomial", "windowed", "auto"):
         raise ValueError(
-            f"scheme must be 'mh', 'windowed', or 'multinomial', "
+            f"scheme must be 'auto', 'mh', 'windowed', or 'multinomial', "
             f"got {scheme!r}"
         )
     if not 0.0 <= persist < 1.0:
         raise ValueError(f"persist must be in [0, 1), got {persist}")
-    if persist > 0.0 and scheme != "windowed":
-        raise ValueError("persist > 0 requires scheme='windowed'")
+    if persist > 0.0 and scheme not in ("windowed", "auto"):
+        raise ValueError("persist > 0 requires scheme='windowed' (or 'auto')")
     # resolve/validate the window BEFORE any warmup runs: a bad window must
     # not cost the caller two adaptation phases before raising
     if scheme == "windowed" and not isinstance(n_leapfrog, str):
@@ -909,6 +931,9 @@ def run_hmc(
         ))
         log_eps = jnp.asarray(np.log(warm_start.step_size), dtype)
         n_warm_total = 0
+        # no adaptation runs: the previous run's production acceptance is
+        # the best available proxy for the scheme="auto" branch choice
+        adapted_acc = float(np.mean(np.asarray(warm_start.acceptance)))
         if auto_l:
             n_leapfrog = int(warm_start.n_leapfrog)
     else:
@@ -921,7 +946,7 @@ def run_hmc(
         x0w = x0[:n_warm_walk]
         u0 = shard(jnp.asarray(_x_to_u(x0w, lo_np, width_np, mu0, chol0).astype(dtype)))
         if auto_warmup:
-            xs_np, _, log_eps, n_done = _adaptive_phase(
+            xs_np, _, log_eps, n_done, _ = _adaptive_phase(
                 log_prob_fn, state, tf, u0, k_a, log_eps0,
                 n_leapfrog=l_warm, bounded=bounded,
                 target_accept=target_accept, traj_jitter=traj_jitter,
@@ -947,19 +972,23 @@ def run_hmc(
         xf = xs_np[-1].astype(np.float64)
         u0 = shard(jnp.asarray(_x_to_u(xf, lo_np, width_np, mu_z, chol_z).astype(dtype)))
         if auto_warmup:
-            _, uf, log_eps, n_done_b = _adaptive_phase(
+            _, uf, log_eps, n_done_b, adapted_acc = _adaptive_phase(
                 log_prob_fn, state, tf, u0, k_b, log_eps,
                 n_leapfrog=l_warm, bounded=bounded,
                 target_accept=target_accept, traj_jitter=traj_jitter,
             )
         else:
-            _, _, _, uf, log_eps = _hmc_scan(
+            _, _, accs_b, uf, log_eps = _hmc_scan(
                 log_prob_fn, state, tf, u0, k_b, log_eps,
                 nsteps=warmup, n_leapfrog=l_warm, adapt=True,
                 bounded=bounded, target_accept=target_accept,
                 traj_jitter=traj_jitter,
             )
             n_done_b = warmup
+            # settled acceptance under the final metric: mean over the
+            # last quarter of phase B (early steps are still adapting)
+            accs_np = np.asarray(accs_b)
+            adapted_acc = float(np.mean(accs_np[-max(len(accs_np) // 4, 1):]))
         n_warm_total = n_done + n_done_b
 
         # ---- optional probe: calibrate the production trajectory length
@@ -985,6 +1014,23 @@ def run_hmc(
             # walker owns its RNG lane) and decorrelate within ~tau steps
             uf = shard(uf[jnp.arange(nwalkers) % n_warm_walk])
 
+    # ---- resolve scheme="auto" now that the adapted acceptance is known:
+    # windowed + persistent momentum is the measured-best kernel, but only
+    # when acceptance is high enough for persistence to pay (rejections
+    # reverse the persistent momentum); otherwise classic endpoint MH
+    persist_eff = float(persist)
+    if scheme == "auto":
+        if adapted_acc >= _AUTO_ACC_MIN:
+            scheme = "windowed"
+            if persist_eff == 0.0:
+                persist_eff = _AUTO_PERSIST
+        else:
+            scheme, persist_eff = "mh", 0.0
+        logger.info(
+            "HMC scheme='auto': adapted acceptance %.3f -> %s"
+            " (persist %.2f)", adapted_acc, scheme, persist_eff,
+        )
+
     # ---- production: fixed eps
     if scheme in ("multinomial", "windowed"):
         if scheme == "multinomial":
@@ -1003,7 +1049,7 @@ def run_hmc(
         xs, lps, accs, _ = _hmc_scan_trajectory(
             log_prob_fn, state, tf, uf, k_run, log_eps,
             nsteps=nsteps, n_leapfrog=n_leapfrog, bounded=bounded,
-            window=w_eff, persist=float(persist),
+            window=w_eff, persist=persist_eff,
         )
     else:
         xs, lps, accs, _, _ = _hmc_scan(
@@ -1022,4 +1068,6 @@ def run_hmc(
         precond_mu=mu_z,
         n_leapfrog=int(n_leapfrog),
         warmup_steps=int(n_warm_total),
+        scheme=scheme,
+        persist=persist_eff if scheme == "windowed" else 0.0,
     )

@@ -43,16 +43,25 @@ docstring at src/mcmc.py:755-780 documents the knobs):
 6.  Evidence: the persistent-sampling estimate
     ``Z_beta = (1/N) sum_j w_j(beta)`` with a batch-bootstrap standard
     error (:func:`_ps_logz_err`), plus, when ``n_evidence > 0``, an
-    importance-sampling refinement with flow draws (pocoMC's default)
-    whose error is the standard IS delta-method standard error of log Z.
-    The primary ``logz``/``logz_err`` pair is chosen by
-    :func:`_select_evidence`: the tighter of the two when they agree, the
-    PS estimate with an inflated error (plus a warning) when they
-    disagree beyond 3 sigma -- the flow-tail failure mode where the IS
-    error cannot see its own bias (measured on the 17-dim flagship).
+    importance-sampling refinement (pocoMC's default).  The IS proposal is
+    DEFENSIVE: a mixture of the refit flow pushed from a heavy-tailed
+    multivariate-t latent base (``evidence_base_dof``; the t-tails widen
+    the proposal along the flow's learned geometry, exactly where a
+    Gaussian-base flow undercovers a sharp posterior) and an
+    ``evidence_defensive_frac`` component of the prior restricted to the
+    box (Hesterberg's defensive mixture: it bounds every weight by
+    ``L_max / frac``, so the right tail of the weight distribution cannot
+    run away).  The weights are then Pareto-smoothed (PSIS, Vehtari et
+    al.) and the GPD tail index ``khat`` is reported: ``khat > 0.7``
+    flags the estimate as unreliable independently of the PS
+    cross-check.  The primary ``logz``/``logz_err`` pair is chosen by
+    :func:`_select_evidence`: the tighter of the two when they agree (and
+    khat is healthy), the PS estimate otherwise -- with the error
+    inflated to half the gap when the two disagree beyond 3 sigma.
     ``logz_source`` names the chosen estimator; ``logz_ps``/``logz_is``
-    (+errors) always report both.  A repeat-seed calibration test pins
-    the reported error against actual scatter (test_smc.py).
+    (+errors) and ``logz_khat`` always report the full picture.  A
+    repeat-seed calibration test pins the reported error against actual
+    scatter (test_smc.py).
 
 Returns the reference's chain contract: ``samples (n, d), weights, logl,
 logp, logz, logz_err`` (src/mcmc.py:816-819) -- with REAL importance
@@ -480,8 +489,128 @@ def _ps_logz_err(lw1, counts, rng, n_boot: int = 256) -> float:
 EVIDENCE_REFIT_MULT = 4
 EVIDENCE_REFIT_MIN = 1000
 
+# PSIS reliability ceiling: a fitted GPD tail index above this means the
+# importance-weight distribution has too heavy a right tail for the
+# estimate (and its delta-method error) to be trusted (Vehtari et al.,
+# "Pareto Smoothed Importance Sampling", JMLR 2024 -- k < 0.7 is the
+# published finite-variance-in-practice threshold)
+EVIDENCE_KHAT_MAX = 0.7
 
-def _select_evidence(logz_ps, err_ps, logz_is, err_is):
+
+def _gpd_fit(x: np.ndarray) -> tuple[float, float]:
+    """Fit a generalized Pareto (k, sigma) to exceedances ``x`` (ascending).
+
+    Zhang & Stephens (2009) profile-posterior estimator (the method the
+    PSIS paper prescribes): parametrize by ``b = k / sigma``, place the
+    quantile-derived grid prior on ``b``, weight grid points by profile
+    likelihood, and read ``k`` from the posterior-mean ``b``.  A weak
+    Gaussian prior ``k ~ N(0.5, 1/sqrt(2 n))`` regularizes small tails.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    prior_bs, prior_k = 3.0, 10.0
+    m_est = 30 + int(np.sqrt(n))
+    b = 1.0 - np.sqrt(m_est / (np.arange(1, m_est + 1, dtype=np.float64) - 0.5))
+    b /= prior_bs * x[max(int(n / 4 + 0.5) - 1, 0)]
+    b += 1.0 / x[-1]
+    k = np.mean(np.log1p(-b[:, None] * x), axis=1)
+    log_lik = n * (np.log(-b / k) - k - 1.0)
+    w = 1.0 / np.sum(np.exp(log_lik - log_lik[:, None]), axis=1)
+    keep = w >= 10 * np.finfo(float).eps
+    b, w = b[keep], w[keep]
+    b_post = np.sum(b * w / w.sum())
+    k_post = float(np.mean(np.log1p(-b_post * x)))
+    sigma = -k_post / b_post
+    k_post = (n * k_post + prior_k * 0.5) / (n + prior_k)
+    return float(k_post), float(sigma)
+
+
+def _psis_smooth(log_w: np.ndarray) -> tuple[np.ndarray, float]:
+    """Pareto-smoothed importance weights plus the tail index ``khat``.
+
+    Fits a GPD to the ``M = min(n/5, 3 sqrt(n))`` largest weights
+    (exceedances over the (n-M)-th order statistic) and replaces them with
+    the expected order statistics of the fit, capped at the raw maximum
+    (Vehtari et al. 2024, algorithm 1).  Smoothing tames the variance the
+    heaviest realized weights inject; ``khat`` diagnoses whether the tail
+    was represented at all (``khat > 0.7`` = unreliable).  Returns the
+    input unchanged with ``khat = nan`` when the tail is too small to fit
+    (< 5 points) or degenerate (all exceedances equal).
+    """
+    log_w = np.asarray(log_w, dtype=np.float64)
+    n = log_w.shape[0]
+    m_tail = min(n // 5, int(3.0 * np.sqrt(n)))
+    if m_tail < 5:
+        return log_w, float("nan")
+    order = np.argsort(log_w)
+    tail_idx = order[n - m_tail:]
+    log_max = log_w[order[-1]]
+    if not np.isfinite(log_max):
+        return log_w, float("nan")
+    # weight space, scaled so the max raw weight is 1 (overflow-safe)
+    w_tail = np.exp(log_w[tail_idx] - log_max)
+    cutoff = np.exp(log_w[order[n - m_tail - 1]] - log_max)
+    exceed = w_tail - cutoff
+    if exceed[-1] <= 0 or not np.all(np.isfinite(exceed)):
+        return log_w, float("nan")
+    k, sigma = _gpd_fit(np.maximum(exceed, 1e-300))
+    if not np.isfinite(k) or sigma <= 0:
+        return log_w, float("nan")
+    # expected order statistics of the fitted GPD, capped at the raw max
+    p = (np.arange(1, m_tail + 1) - 0.5) / m_tail
+    if abs(k) < 1e-12:
+        q = -sigma * np.log1p(-p)
+    else:
+        q = sigma / k * (np.power(1.0 - p, -k) - 1.0)
+    smoothed = np.minimum(cutoff + q, 1.0)
+    out = log_w.copy()
+    out[tail_idx] = np.log(smoothed) + log_max
+    return out, float(k)
+
+
+@partial(jax.jit, static_argnames=("config", "n", "d"))
+def _draw_flow_t(flow_params, key, nu, *, config: FlowConfig, n: int, d: int):
+    """Draw ``n`` samples from the flow with a multivariate-t(nu) latent
+    base: ``z = xi * sqrt(nu / W)`` with ``W ~ chi2_nu`` (the Gaussian
+    scale-mixture form), pushed through the flow inverse.  Heavier latent
+    tails widen the proposal along the flow's learned geometry -- exactly
+    the directions a Gaussian-base flow undercovers."""
+    k_xi, k_g = jax.random.split(key)
+    dtype = jnp.result_type(nu)
+    xi = jax.random.normal(k_xi, (n, d), dtype)
+    g = jax.random.gamma(k_g, 0.5 * nu, (n,), dtype)  # W = 2 g ~ chi2_nu
+    z = xi * jnp.sqrt(0.5 * nu / g)[:, None]
+    u, _ = flow_inverse(flow_params, z, config)
+    return u
+
+
+@partial(jax.jit, static_argnums=(0, 1), static_argnames=("config",))
+def _evidence_eval(
+    log_likelihood, log_prior_fn, state, flow_params, u_all, lo, hi,
+    log_prior_x, nu, *, config: FlowConfig,
+):
+    """One device program for the evidence draws: particle evaluation plus
+    the flow-t proposal log-density ``log q_t(u) = log t_nu(z(u)) +
+    log|dz/du|`` at every draw (flow AND prior components are scored under
+    both mixture members, so everything goes through one forward pass)."""
+    from jax.scipy.special import gammaln
+
+    _, logl, logp_u, _ = _eval_u(
+        log_likelihood, log_prior_fn, state, u_all, lo, hi, log_prior_x
+    )
+    z, logdet_zu = flow_forward(flow_params, u_all, config)
+    d = u_all.shape[1]
+    const = (
+        gammaln(0.5 * (nu + d))
+        - gammaln(0.5 * nu)
+        - 0.5 * d * (jnp.log(nu) + jnp.log(jnp.asarray(np.pi, z.dtype)))
+    )
+    z2 = jnp.sum(z**2, axis=1)
+    log_qt = const - 0.5 * (nu + d) * jnp.log1p(z2 / nu) + logdet_zu
+    return logl, logp_u, log_qt
+
+
+def _select_evidence(logz_ps, err_ps, logz_is, err_is, khat=None):
     """Robust primary-evidence selection between the persistent-sampling
     and the flow-importance-sampling estimates.
 
@@ -500,20 +629,59 @@ def _select_evidence(logz_ps, err_ps, logz_is, err_is):
       estimate is declared unreliable: return the PS value with the error
       inflated to at least half the disagreement (the claimed errors are
       provably too small at that point);
+    - if ``khat`` (the PSIS generalized-Pareto tail index of the IS
+      weights) exceeds :data:`EVIDENCE_KHAT_MAX`, the IS weight tail is
+      under-represented and its delta-method error meaningless even when
+      the central values happen to agree: return the PS pair and flag;
     - otherwise return whichever estimate claims the smaller error.
 
     Returns ``(logz, logz_err, source, is_unreliable)`` with source in
     {"ps", "is"}; ``is_unreliable`` is True exactly in the
-    beyond-3-sigma branch (the caller's warning keys off it so the
-    tolerance rule lives in one place).
+    beyond-3-sigma / bad-khat branches (the caller's warning keys off it
+    so the tolerance rule lives in one place).
     """
     diff = abs(float(logz_is) - float(logz_ps))
     tol = 3.0 * float(np.hypot(err_is, err_ps))
     if diff > tol:
         return float(logz_ps), max(float(err_ps), 0.5 * diff), "ps", True
+    if khat is not None and np.isfinite(khat) and khat > EVIDENCE_KHAT_MAX:
+        return float(logz_ps), float(err_ps), "ps", True
     if err_is <= err_ps:
         return float(logz_is), float(err_is), "is", False
     return float(logz_ps), float(err_ps), "ps", False
+
+
+def _draw_prior_in_box(custom_prior, rng, n, lo_np, hi_np):
+    """Draw ``n`` prior samples strictly inside the box.
+
+    Uniform-box prior (``custom_prior is None``): direct draws, mass
+    fraction 1.  Custom prior: REJECTION-sample into the box instead of
+    clipping -- clipped draws pile up exactly on the box faces, so the
+    batch would no longer be prior-distributed and every downstream
+    importance weight would be silently biased.  The accepted fraction
+    estimates the prior mass inside the box (the truncation normalizer).
+    Returns ``(draws (n, d), frac_in)``.
+    """
+    if custom_prior is None:
+        return rng.uniform(lo_np, hi_np, (n, lo_np.shape[0])), 1.0
+    kept, n_try, n_in = [], 0, 0
+    while sum(a.shape[0] for a in kept) < n:
+        if n_try >= 1000 * n:
+            raise ValueError(
+                "custom_prior places less than ~0.1% of its mass inside "
+                "the sampling box [prior_lo, prior_hi]; check the "
+                "parameter ranges against the prior"
+            )
+        draw = np.atleast_2d(np.asarray(custom_prior.rvs(n)))
+        m = np.all((draw > lo_np) & (draw < hi_np), axis=1)
+        n_try += draw.shape[0]
+        n_in += int(m.sum())
+        kept.append(draw[m])
+    x = np.concatenate(kept, axis=0)[:n]
+    # margin only guards the logit transform against exact-boundary
+    # round-off; the draws themselves are strictly inside
+    x = np.clip(x, lo_np + 1e-9, hi_np - 1e-9)
+    return x, n_in / n_try
 
 
 def _systematic_resample(rng, log_w, n):
@@ -525,6 +693,58 @@ def _systematic_resample(rng, log_w, n):
         np.asarray(log_w, dtype=np.float64), nan=-1e300, neginf=-1e300
     )
     return systematic_resample_indices(rng, np.exp(log_w - log_w.max()), n)
+
+
+# --------------------------------------------------------- checkpoint/resume
+
+
+def _key_to_host(key):
+    """jax PRNG key -> picklable host tuple (handles typed + legacy keys)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        return ("typed", np.asarray(jax.random.key_data(key)))
+    return ("raw", np.asarray(key))
+
+
+def _key_from_host(t):
+    kind, data = t
+    if kind == "typed":
+        return jax.random.wrap_key_data(jnp.asarray(data))
+    return jnp.asarray(data)
+
+
+def _save_smc_checkpoint(path, payload: dict) -> None:
+    """Atomic pickle write (tmp + rename): a kill mid-write must leave
+    either the previous checkpoint or the new one, never a torn file."""
+    import os
+    import pickle
+
+    path = str(path)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def _load_smc_checkpoint(path, expect_knobs: dict):
+    """Load + validate an SMC checkpoint; raises on a knob mismatch (a
+    resumed run with different particle counts / kernel / seed would
+    silently corrupt the persistent-sampling mixture weights)."""
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    got = payload.get("knobs", {})
+    bad = {
+        k: (got.get(k), v) for k, v in expect_knobs.items()
+        if got.get(k) != v
+    }
+    if bad:
+        raise ValueError(
+            f"SMC checkpoint at {path} was written with different settings "
+            f"(stored vs requested): {bad}; delete the checkpoint or rerun "
+            "with the original knobs"
+        )
+    return payload
 
 
 # -------------------------------------------------------------------- driver
@@ -551,6 +771,10 @@ def run_smc(
     flow_fit_patience: int = 25,
     max_iterations: int = 400,
     mesh=None,
+    evidence_defensive_frac: float = 0.1,
+    evidence_base_dof: float = 5.0,
+    checkpoint_path=None,
+    resume: bool = False,
 ) -> dict:
     """Run the preconditioned SMC sampler; see module docstring.
 
@@ -569,6 +793,20 @@ def run_smc(
     the evidence weights.  Objects with only a numpy ``logpdf`` (e.g.
     pocomc.Prior) cannot be traced into the device programs -- they are
     rejected rather than silently sampling under the wrong prior.
+
+    ``evidence_defensive_frac``/``evidence_base_dof``: the defensive IS
+    evidence proposal (module docstring item 6) -- the fraction of the
+    ``n_evidence`` draws taken from the box-restricted prior, and the
+    latent multivariate-t dof of the flow component (lower = heavier
+    proposal tails).
+
+    ``checkpoint_path``: when set, the FULL driver state (persistent
+    history, beta ladder, per-iteration normalizers, rng/key streams, flow
+    parameters, rho) is atomically pickled there after every completed
+    iteration; ``resume=True`` restores it and continues the run exactly
+    where it stopped -- the resumed evolution is bit-for-bit the one an
+    uninterrupted run would have produced.  A checkpoint written with
+    different knobs is rejected loudly.
 
     Returns weighted posterior samples (ALL persistent-sampling particles;
     use ``weights`` for any expectation) once the beta=1 history ESS reaches
@@ -621,65 +859,110 @@ def run_smc(
                 "programs and would silently be replaced by the uniform box"
             )
         log_prior_fn = custom_prior.log_prior_jax
-        # Rejection-sample the prior INTO the box instead of clipping:
-        # clipped draws pile up exactly on the box faces, so batch 0 would
-        # no longer be prior-distributed and every persistent-sampling
-        # weight (and the evidence) would be silently biased.  Rejection
-        # keeps batch 0 exactly ~ pi restricted to the box; the accepted
-        # fraction estimates the prior mass inside the box, which enters
-        # the mixture as batch 0's log-normalizer below.
-        kept, n_try, n_in = [], 0, 0
-        while sum(a.shape[0] for a in kept) < n_prior:
-            if n_try >= 1000 * n_prior:
-                raise ValueError(
-                    "custom_prior places less than ~0.1% of its mass inside "
-                    "the sampling box [prior_lo, prior_hi]; check the "
-                    "parameter ranges against the prior"
-                )
-            draw = np.atleast_2d(np.asarray(custom_prior.rvs(n_prior)))
-            m = np.all((draw > lo_np) & (draw < hi_np), axis=1)
-            n_try += draw.shape[0]
-            n_in += int(m.sum())
-            kept.append(draw[m])
-        x0 = np.concatenate(kept, axis=0)[:n_prior]
-        prior_frac_in = n_in / n_try
-        if prior_frac_in < 0.999:
+
+    ckpt_knobs = {
+        "n_prior": n_prior, "n_active": n_active,
+        "n_effective": n_effective, "n_total": n_total,
+        "sample": sample, "seed": seed, "ndim": ndim,
+    }
+    restored = None
+    if resume and checkpoint_path is not None:
+        try:
+            restored = _load_smc_checkpoint(checkpoint_path, ckpt_knobs)
+        except FileNotFoundError:
+            logger.info(
+                "resume=True but no SMC checkpoint at %s; starting fresh",
+                checkpoint_path,
+            )
+
+    if restored is None:
+        # Rejection-sampled into the box (see _draw_prior_in_box): batch 0
+        # is exactly ~ pi restricted to the box; the accepted fraction
+        # estimates the prior mass inside, which enters the mixture as
+        # batch 0's log-normalizer below.
+        x0, prior_frac_in = _draw_prior_in_box(
+            custom_prior, rng, n_prior, lo_np, hi_np
+        )
+        if custom_prior is not None and prior_frac_in < 0.999:
             logger.warning(
                 "custom prior has ~%.1f%% of its mass outside the sampling "
                 "box; initial draws were rejection-sampled into the box and "
                 "the evidence accounts for the truncation (log mass %.4f)",
                 100.0 * (1.0 - prior_frac_in), np.log(prior_frac_in),
             )
-        # margin only guards the logit transform against exact-boundary
-        # round-off; the draws themselves are strictly inside
-        x0 = np.clip(x0, lo_np + 1e-9, hi_np - 1e-9)
+        u0 = _shard(
+            jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype))
+        )
+        _, logl0, _, logp_x0 = _eval_u(
+            ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
+        )
+
+        # persistent history (host side; the per-iteration MCMC phase is one
+        # device program over the n_active particles)
+        u_h = [np.asarray(u0, dtype=np.float64)]
+        logl_h = [np.asarray(logl0, dtype=np.float64)]
+        logp_h = [np.asarray(logp_x0, dtype=np.float64)]
+        # batch 0's mixture component is the prior restricted to the box,
+        # whose log-normalizer relative to the full prior is log(mass
+        # inside) -- the rejection-sampling acceptance fraction estimates
+        # exactly that.
+        betas, logzs, counts = [0.0], [float(np.log(prior_frac_in))], [n_prior]
+
+        key, k_flow = jax.random.split(key)
+        flow_params = init_flow(k_flow, ndim, flow_config, dtype)
+        rho = jnp.asarray(0.5, dtype)
+        beta = 0.0
+        iteration = 0
+        total_steps = 0
     else:
-        x0 = rng.uniform(lo_np, hi_np, (n_prior, ndim))
-        prior_frac_in = 1.0
-    u0 = _shard(jnp.asarray(_to_unbounded_np(x0, lo_np, hi_np).astype(np_dtype)))
-    _, logl0, _, logp_x0 = _eval_u(
-        ll_fn, log_prior_fn, state, u0, prior_lo, prior_hi, log_prior_x
-    )
+        # full-state restore: the resumed run replays the EXACT evolution
+        # an uninterrupted run would have produced (rng/key/flow/rho all
+        # continue from the last completed iteration)
+        u_h = list(restored["u_h"])
+        logl_h = list(restored["logl_h"])
+        logp_h = list(restored["logp_h"])
+        betas = list(restored["betas"])
+        logzs = list(restored["logzs"])
+        counts = list(restored["counts"])
+        beta = float(restored["beta"])
+        iteration = int(restored["iteration"])
+        total_steps = int(restored["total_steps"])
+        prior_frac_in = float(restored["prior_frac_in"])
+        rng = restored["rng"]
+        key = _key_from_host(restored["key"])
+        rho = jnp.asarray(restored["rho"], dtype)
+        flow_params = jax.tree.map(
+            lambda a: jnp.asarray(a), restored["flow_params"]
+        )
+        logger.info(
+            "resumed SMC from checkpoint: iteration %d, beta %.4f, "
+            "%d history particles", iteration, beta,
+            sum(a.shape[0] for a in u_h),
+        )
 
-    # persistent history (host side; the per-iteration MCMC phase is one
-    # device program over the n_active particles)
-    u_h = [np.asarray(u0, dtype=np.float64)]
-    logl_h = [np.asarray(logl0, dtype=np.float64)]
-    logp_h = [np.asarray(logp_x0, dtype=np.float64)]
-    # batch 0's mixture component is the prior restricted to the box, whose
-    # log-normalizer relative to the full prior is log(mass inside) -- the
-    # rejection-sampling acceptance fraction estimates exactly that.
-    betas, logzs, counts = [0.0], [float(np.log(prior_frac_in))], [n_prior]
-
-    key, k_flow = jax.random.split(key)
-    flow_params = init_flow(k_flow, ndim, flow_config, dtype)
     flow_weights = _shard(jnp.asarray(np.ones(n_active, np_dtype)))
-    rho = jnp.asarray(0.5, dtype)
     cap = jnp.asarray(n_max_steps, jnp.int32)
 
-    beta = 0.0
-    iteration = 0
-    total_steps = 0
+    def save_checkpoint():
+        """Persist the full driver state after a completed iteration (no-op
+        without ``checkpoint_path``)."""
+        if checkpoint_path is None:
+            return
+        _save_smc_checkpoint(checkpoint_path, {
+            "version": 1,
+            "knobs": ckpt_knobs,
+            "u_h": u_h, "logl_h": logl_h, "logp_h": logp_h,
+            "betas": betas, "logzs": logzs, "counts": counts,
+            "beta": beta, "iteration": iteration,
+            "total_steps": total_steps,
+            "prior_frac_in": prior_frac_in,
+            "rng": rng,
+            "key": _key_to_host(key),
+            "rho": np.asarray(jax.device_get(rho)),
+            "flow_params": jax.tree.map(
+                np.asarray, jax.device_get(flow_params)
+            ),
+        })
 
     def history():
         return np.concatenate(logl_h), np.concatenate(u_h)
@@ -756,6 +1039,7 @@ def run_smc(
             "flow loss=%.2f, logz=%.3f", iteration, beta, steps, acc,
             rho_val, flow_loss, logz_new,
         )
+        save_checkpoint()
     if beta < 1.0:
         logger.warning(
             "SMC: beta schedule did not converge in %d iterations", max_iterations
@@ -782,6 +1066,7 @@ def run_smc(
             "SMC posterior iter %d: ESS %.0f / %d, steps=%d, accept=%.3f",
             iteration, ess1, n_total, steps, acc,
         )
+        save_checkpoint()
         hl, hu = history()
 
     hp = np.concatenate(logp_h)
@@ -805,7 +1090,7 @@ def run_smc(
     # ------------------------------------------------------------- evidence
     logz_err_ps = _ps_logz_err(lw1, counts, rng)
     logz, logz_err = logz_ps, logz_err_ps
-    logz_is = logz_err_is = None
+    logz_is = logz_err_is = logz_khat = None
     logz_source = "ps"
     if n_evidence and n_evidence > 0:
         # refit the flow on a large weighted resample of the FULL history so
@@ -825,48 +1110,99 @@ def run_smc(
             config=flow_config, steps=flow_fit_steps,
             patience=flow_fit_patience,
         )
+        # Defensive mixture proposal (see module docstring item 6):
+        # n_flow draws from the refit flow with a t(nu) latent base plus
+        # n_def draws from the prior restricted to the box.  Every draw is
+        # scored under BOTH mixture components.
+        if not 0.0 <= evidence_defensive_frac < 1.0:
+            raise ValueError(
+                f"evidence_defensive_frac must be in [0, 1), got "
+                f"{evidence_defensive_frac}"
+            )
+        n_def = int(round(evidence_defensive_frac * n_evidence))
+        n_flow = n_evidence - n_def
+        nu_ev = jnp.asarray(float(evidence_base_dof), dtype)
         key, k_ev = jax.random.split(key)
-        z = _shard(jax.random.normal(k_ev, (n_evidence, ndim), dtype))
-        u_ev, logdet_uz = flow_inverse(flow_params, z, flow_config)
-        x_ev, logl_ev, logp_u_ev, _ = _eval_u(
-            ll_fn, log_prior_fn, state, u_ev, prior_lo, prior_hi, log_prior_x
+        u_parts = []
+        if n_flow > 0:
+            u_flow = _draw_flow_t(
+                flow_params, k_ev, nu_ev, config=flow_config,
+                n=n_flow, d=ndim,
+            )
+            u_parts.append(np.asarray(jax.device_get(u_flow), np.float64))
+        if n_def > 0:
+            x_def, _ = _draw_prior_in_box(
+                custom_prior, rng, n_def, lo_np, hi_np
+            )
+            u_parts.append(_to_unbounded_np(x_def, lo_np, hi_np))
+        u_all = _shard(jnp.asarray(
+            np.concatenate(u_parts, axis=0).astype(np_dtype)
+        ))
+        logl_ev, logp_u_ev, log_qt = _evidence_eval(
+            ll_fn, log_prior_fn, state, flow_params, u_all,
+            prior_lo, prior_hi, log_prior_x, nu_ev, config=flow_config,
         )
-        # q(u) = N(z) / |du/dz|  =>  log q = logN(z) - logdet_uz
-        log_n = -0.5 * jnp.sum(z**2, axis=1) - 0.5 * ndim * jnp.log(
-            2.0 * jnp.pi
+        logl_np = np.asarray(logl_ev, np.float64)
+        logp_u_np = np.asarray(logp_u_ev, np.float64)
+        log_qt_np = np.asarray(log_qt, np.float64)
+        # defensive component density: the prior restricted to the box is
+        # p_u(u) / frac_in in u-space (prior_frac_in from the init batch)
+        comps = []
+        if n_flow > 0:
+            comps.append(np.log(n_flow / n_evidence) + log_qt_np)
+        if n_def > 0:
+            comps.append(
+                np.log(n_def / n_evidence) + logp_u_np
+                - np.log(prior_frac_in)
+            )
+        log_q = (
+            comps[0] if len(comps) == 1
+            else np.logaddexp(comps[0], comps[1])
         )
-        log_q = log_n - logdet_uz
-        log_w_ev = np.asarray(logl_ev + logp_u_ev - log_q, dtype=np.float64)
+        log_w_ev = logl_np + logp_u_np - log_q
         # non-finite weights (flow-tail overflow, NaN from extreme draws)
         # contribute zero mass; they must not poison the estimate
         log_w_ev = np.where(np.isfinite(log_w_ev), log_w_ev, -np.inf)
         if np.all(~np.isfinite(log_w_ev)):
             logger.warning("evidence IS: no finite weights; keeping PS estimate")
         else:
-            m = log_w_ev.max()
-            wv = np.exp(log_w_ev - m)
+            # Pareto-smooth the weight tail and read off the GPD index:
+            # smoothing tames the variance the heaviest realized weights
+            # inject; khat > EVIDENCE_KHAT_MAX means the tail was not
+            # represented and the estimate is untrustworthy regardless
+            log_w_sm, khat = _psis_smooth(log_w_ev)
+            logz_khat = None if np.isnan(khat) else float(khat)
+            m = log_w_sm.max()
+            wv = np.exp(log_w_sm - m)
             logz_is = float(m + np.log(np.mean(wv)))
             # the standard IS delta-method standard error of log Z-hat:
             # Var[log Zhat] ~ Var[w] / (n E[w]^2); draws are iid from the
-            # flow, so this is a calibrated (conditional-on-proposal) error
-            # -- calibrated ONLY while the weight tail is represented; the
-            # cross-check against the PS estimate below catches the
-            # heavy-tail regime where it is not
+            # defensive mixture, and the PSIS smoothing + khat gate bound
+            # the heavy-tail regime where this error underestimates
             logz_err_is = float(
                 np.std(wv) / (np.mean(wv) * np.sqrt(n_evidence))
             )
             logz, logz_err, logz_source, is_unreliable = _select_evidence(
-                logz_ps, logz_err_ps, logz_is, logz_err_is
+                logz_ps, logz_err_ps, logz_is, logz_err_is, logz_khat
             )
             if is_unreliable:
                 logger.warning(
-                    "evidence: IS estimate %.3f +- %.3f disagrees with the "
-                    "persistent-sampling estimate %.3f +- %.3f beyond 3 "
-                    "sigma -- the flow proposal's tails undercover the "
-                    "posterior, so the IS estimate (and its error) is "
-                    "unreliable; reporting the PS estimate with the error "
-                    "inflated to %.3f",
-                    logz_is, logz_err_is, logz_ps, logz_err_ps, logz_err,
+                    "evidence: IS estimate %.3f +- %.3f (khat %s) is "
+                    "unreliable against the persistent-sampling estimate "
+                    "%.3f +- %.3f (>3-sigma disagreement, or weight-tail "
+                    "index above %.2f) -- reporting the PS estimate with "
+                    "error %.3f",
+                    logz_is, logz_err_is,
+                    "n/a" if logz_khat is None else f"{logz_khat:.2f}",
+                    logz_ps, logz_err_ps, EVIDENCE_KHAT_MAX, logz_err,
+                )
+            else:
+                logger.info(
+                    "evidence: IS %.3f +- %.3f (khat %s) vs PS %.3f +- %.3f"
+                    " -- source %s",
+                    logz_is, logz_err_is,
+                    "n/a" if logz_khat is None else f"{logz_khat:.2f}",
+                    logz_ps, logz_err_ps, logz_source,
                 )
 
     return {
@@ -881,6 +1217,7 @@ def run_smc(
         "logz_err_ps": float(logz_err_ps),
         "logz_is": None if logz_is is None else float(logz_is),
         "logz_err_is": None if logz_err_is is None else float(logz_err_is),
+        "logz_khat": logz_khat,
         "beta_iterations": iteration,
         "ess": float(ess_final),
         "total_mcmc_steps": total_steps,

@@ -531,6 +531,57 @@ def test_hmc_multinomial_ks_against_analytic_gaussian():
         assert p > 1e-3, (d, p)
 
 
+def test_hmc_scheme_auto_picks_windowed_at_high_acceptance():
+    """scheme="auto" on a well-conditioned target (adapted acceptance ~0.8)
+    must resolve to the measured-best windowed + persistent-momentum
+    kernel, report the resolved branch, and still sample the right law."""
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (48, 2), jnp.float64)
+    res = run_hmc(log_prob, x0, 400, jax.random.PRNGKey(1), state=(),
+                  n_leapfrog=6, warmup=96, scheme="auto")
+    assert res.scheme == "windowed"
+    assert res.persist == pytest.approx(0.7)
+    samples = np.asarray(res.chain).reshape(-1, 2)
+    assert np.abs(samples.mean(0)).max() < 0.08
+    assert np.abs(samples.std(0) - 1.0).max() < 0.08
+    # an explicit nonzero persist wins over the 0.7 default
+    res2 = run_hmc(log_prob, x0, 30, jax.random.PRNGKey(2), state=(),
+                   n_leapfrog=6, warmup=64, scheme="auto", persist=0.4)
+    assert res2.scheme == "windowed" and res2.persist == pytest.approx(0.4)
+
+
+def test_hmc_scheme_auto_falls_back_to_mh_at_low_acceptance():
+    """With the step size adapted toward a low acceptance target (< 0.75),
+    persistence cannot pay (rejections flip the momentum): auto must fall
+    back to the endpoint-Metropolis kernel with no persistence."""
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(3), (48, 2), jnp.float64)
+    res = run_hmc(log_prob, x0, 60, jax.random.PRNGKey(4), state=(),
+                  n_leapfrog=6, warmup=96, scheme="auto", target_accept=0.55)
+    assert res.scheme == "mh"
+    assert res.persist == 0.0
+
+
+def test_hmc_scheme_auto_warm_start_uses_previous_acceptance():
+    """A warm start runs no adaptation; auto keys off the previous run's
+    production acceptance instead (windowed acceptance ~0.9 here)."""
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (32, 2), jnp.float64)
+    first = run_hmc(log_prob, x0, 100, jax.random.PRNGKey(6), state=(),
+                    n_leapfrog=6, warmup=96, scheme="auto")
+    res = run_hmc(log_prob, first.final_state, 30, jax.random.PRNGKey(7),
+                  state=(), n_leapfrog=6, scheme="auto", warm_start=first)
+    assert res.warmup_steps == 0
+    assert res.scheme == ("windowed" if float(np.mean(np.asarray(
+        first.acceptance))) >= 0.75 else "mh")
+
+
 def test_hmc_unknown_scheme_raises():
     with pytest.raises(ValueError, match="scheme must be"):
         run_hmc(

@@ -411,6 +411,34 @@ def test_fastbwd_acceptance_safe_on_illconditioned_posterior(rng):
 
 
 @pytest.mark.slow
+def test_scheme_auto_safe_on_illconditioned_posterior(rng):
+    """The scheme="auto" default must stay safe off-flagship: on the hard
+    1e6-condition posterior with bf16 gradients it must resolve to SOME
+    branch (windowed+persist when the adapted acceptance supports it, else
+    endpoint MH), produce a finite in-support chain, and not collapse
+    acceptance -- the no-knob path a run_MCMC_HMC user now gets."""
+    from gpbayestools_hic_tpu.samplers.hmc import run_hmc
+
+    log_prob, fs = _illconditioned_posterior(
+        np.random.default_rng(7), "default"
+    )
+    x0 = jnp.asarray(
+        np.random.default_rng(8).uniform(0.3, 0.7, (32, 4)), jnp.float32
+    )
+    res = run_hmc(log_prob, x0, 128, jax.random.PRNGKey(9), state=fs,
+                  lo=np.zeros(4), hi=np.ones(4), n_leapfrog=6,
+                  warmup="auto", scheme="auto")
+    assert res.scheme in ("windowed", "mh")
+    # the branch rule itself: persistence only with the windowed kernel
+    assert (res.persist > 0) == (res.scheme == "windowed")
+    chain = np.asarray(res.chain)
+    assert np.all(np.isfinite(chain))
+    assert chain.min() >= 0.0 and chain.max() <= 1.0
+    acc = float(np.mean(np.asarray(res.acceptance)))
+    assert acc > 0.3, (res.scheme, acc)
+
+
+@pytest.mark.slow
 def test_persist_degrades_gracefully_on_illconditioned_posterior(rng):
     """The persist=0.7 production guidance needs acceptance ~0.8+ (each
     rejection flips the persistent momentum).  On the same hard posterior,

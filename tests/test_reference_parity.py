@@ -120,16 +120,23 @@ def _import_reference_mcmc():
     EnsembleSampler base src/mcmc.py subclasses at module level) suffice."""
     import types
 
+    stubbed = []
     for name in ("emcee", "pocomc"):
         if name not in sys.modules:
             stub = types.ModuleType(name)
             stub.EnsembleSampler = type("EnsembleSampler", (), {})
             sys.modules[name] = stub
+            stubbed.append(name)
     sys.path.insert(0, "/root/reference")
     try:
         import src.mcmc as ref_mcmc
     finally:
         sys.path.remove("/root/reference")
+        # the stubs exist only so src.mcmc can import; leaving them in
+        # sys.modules would hand any LATER same-process import the stub
+        # instead of a real library on machines that have one (ADVICE r4)
+        for name in stubbed:
+            sys.modules.pop(name, None)
     return ref_mcmc
 
 

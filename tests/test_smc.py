@@ -197,6 +197,10 @@ def test_smc_logz_error_calibration_repeat_seeds():
         errs.append(r["logz_err"])
         logzs_ps.append(r["logz_ps"])
         errs_ps.append(r["logz_err_ps"])
+        # the defensive estimator's tail diagnostic must be healthy on the
+        # calibrated target in EVERY repeat (an occasional khat excursion
+        # would mean the t-tail/defensive mixture is not doing its job)
+        assert r["logz_khat"] is not None and r["logz_khat"] < 0.7, r["logz_khat"]
 
     logzs, errs = np.asarray(logzs), np.asarray(errs)
     logzs_ps, errs_ps = np.asarray(logzs_ps), np.asarray(errs_ps)
@@ -492,6 +496,153 @@ def test_smc_custom_prior_mass_outside_box(caplog):
     )
 
 
+def test_psis_smooth_recovers_tail_index():
+    """khat must estimate the true GPD tail index of the weight
+    distribution, and smoothing must only touch the tail (non-tail weights
+    unchanged, max weight reduced)."""
+    from gpbayestools_hic_tpu.samplers.smc import _psis_smooth
+
+    rng = np.random.default_rng(0)
+    k_true = 0.5
+    # w = exp(k * Exp(1)) has survival P(w > t) = t^(-1/k): GPD index k
+    log_w = k_true * rng.exponential(size=5000)
+    smoothed, khat = _psis_smooth(log_w)
+    assert abs(khat - k_true) < 0.12, khat
+    # the tail is the M largest; everything else is untouched
+    m_tail = min(len(log_w) // 5, int(3 * np.sqrt(len(log_w))))
+    order = np.argsort(log_w)
+    np.testing.assert_array_equal(
+        smoothed[order[: len(log_w) - m_tail]],
+        log_w[order[: len(log_w) - m_tail]],
+    )
+    # smoothing never exceeds the raw max (the GPD quantiles are capped
+    # there) and replaces the tail with a strictly ordered smooth ramp
+    assert smoothed.max() <= log_w.max() + 1e-12
+    tail_sorted = smoothed[order[-m_tail:]]
+    assert np.all(np.diff(tail_sorted) >= 0)
+    assert not np.array_equal(tail_sorted, log_w[order[-m_tail:]])
+
+
+def test_psis_smooth_light_tail_khat_negative():
+    """Bounded (uniform-like) weights have a negative GPD index: khat must
+    come out well under the 0.7 unreliability ceiling."""
+    from gpbayestools_hic_tpu.samplers.smc import _psis_smooth
+
+    rng = np.random.default_rng(1)
+    log_w = np.log(rng.uniform(0.5, 1.5, size=4000))
+    _, khat = _psis_smooth(log_w)
+    assert np.isfinite(khat) and khat < 0.3, khat
+
+
+def test_psis_smooth_tiny_tail_is_identity():
+    from gpbayestools_hic_tpu.samplers.smc import _psis_smooth
+
+    log_w = np.array([0.0, 1.0, 2.0, 0.5, 1.5])
+    out, khat = _psis_smooth(log_w)
+    np.testing.assert_array_equal(out, log_w)
+    assert np.isnan(khat)
+
+
+def test_evidence_flow_t_density_and_draws():
+    """The evidence proposal's log q_t must be a NORMALIZED density: at an
+    identity-initialized flow it must equal the multivariate-t logpdf, and
+    _draw_flow_t must sample that same distribution (moment check)."""
+    from scipy.stats import multivariate_t
+
+    from gpbayestools_hic_tpu.samplers.smc import (
+        _draw_flow_t, _evidence_eval,
+    )
+
+    d, nu = 3, 5.0
+    params = init_flow(jax.random.PRNGKey(0), d, CFG, jnp.float64)
+    u = jax.random.normal(jax.random.PRNGKey(1), (64, d), jnp.float64) * 1.5
+    # identity flow at init: z == u, logdet == 0
+    z, ld = flow_forward(params, u, CFG)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(u), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-10)
+
+    def logl(state, x, finite):
+        return jnp.zeros(x.shape[0])
+
+    lo, hi = jnp.full(d, -30.0), jnp.full(d, 30.0)
+    _, _, log_qt = _evidence_eval(
+        logl, None, (), params, u, lo, hi,
+        jnp.asarray(0.0, jnp.float64), jnp.asarray(nu, jnp.float64),
+        config=CFG,
+    )
+    expected = multivariate_t.logpdf(
+        np.asarray(u), loc=np.zeros(d), shape=np.eye(d), df=nu
+    )
+    np.testing.assert_allclose(np.asarray(log_qt), expected, rtol=1e-8)
+
+    draws = np.asarray(_draw_flow_t(
+        params, jax.random.PRNGKey(2), jnp.asarray(nu, jnp.float64),
+        config=CFG, n=4000, d=d,
+    ))
+    # standard t(nu): mean 0, var nu/(nu-2), heavier-than-normal tails
+    assert np.abs(draws.mean(axis=0)).max() < 0.15
+    np.testing.assert_allclose(
+        draws.var(axis=0), nu / (nu - 2.0), rtol=0.25
+    )
+
+
+def test_smc_checkpoint_knob_mismatch_rejected(tmp_path):
+    from gpbayestools_hic_tpu.samplers.smc import (
+        _load_smc_checkpoint, _save_smc_checkpoint,
+    )
+
+    path = tmp_path / "ck.pkl"
+    knobs = {"n_prior": 100, "n_active": 50, "sample": "tpcn", "seed": 1}
+    _save_smc_checkpoint(path, {"version": 1, "knobs": knobs, "beta": 0.5})
+    assert _load_smc_checkpoint(path, knobs)["beta"] == 0.5
+    with pytest.raises(ValueError, match="different settings"):
+        _load_smc_checkpoint(path, {**knobs, "n_active": 64})
+
+
+@pytest.mark.slow
+def test_smc_checkpoint_resume_exact(tmp_path):
+    """A run killed after iteration k and resumed from its checkpoint must
+    reproduce the uninterrupted run EXACTLY (full driver state -- history,
+    rng/key streams, flow params, rho -- is serialized every iteration)."""
+    mu = jnp.asarray([0.4, 0.6])
+    s = 0.05
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+
+    lo, hi = jnp.zeros(2), jnp.ones(2)
+    knobs = dict(
+        n_effective=400, n_active=200, n_prior=800,
+        n_max_steps=25, n_total=2000, n_evidence=800, seed=7,
+        flow_config=CFG, flow_fit_steps=150,
+    )
+    full = run_smc(logl, lo, hi, **knobs)
+
+    # "kill" after 2 iterations: max_iterations=2 stops both loops early;
+    # the checkpoint then holds the state after iteration 2 -- exactly the
+    # state a SIGKILL at that point would have left behind
+    ck = tmp_path / "smc_checkpoint.pkl"
+    partial_run = run_smc(
+        logl, lo, hi, **knobs, max_iterations=2, checkpoint_path=ck
+    )
+    assert ck.exists()
+    assert partial_run["beta_iterations"] == 2
+    assert full["beta_iterations"] > 2  # genuinely interrupted mid-run
+
+    resumed = run_smc(
+        logl, lo, hi, **knobs, checkpoint_path=ck, resume=True
+    )
+    assert resumed["beta_iterations"] == full["beta_iterations"]
+    np.testing.assert_allclose(resumed["samples"], full["samples"], rtol=1e-12)
+    np.testing.assert_allclose(resumed["logl"], full["logl"], rtol=1e-12)
+    np.testing.assert_allclose(resumed["weights"], full["weights"], rtol=1e-9)
+    assert resumed["logz"] == pytest.approx(full["logz"], rel=1e-9)
+    assert resumed["logz_err"] == pytest.approx(full["logz_err"], rel=1e-6)
+    assert resumed["ess"] == pytest.approx(full["ess"], rel=1e-9)
+
+
 def test_select_evidence_rule():
     """_select_evidence: tighter estimator wins when they agree; a >3-sigma
     disagreement declares the IS estimate unreliable (flow-tail failure,
@@ -513,6 +664,16 @@ def test_select_evidence_rule():
     # exactly at the 3-sigma boundary: not declared a failure
     z, e, src, bad = _select_evidence(0.0, 1.0, 2.9, 0.0)
     assert src == "is" and not bad
+    # agreeing central values but an unreliable weight tail (khat > 0.7):
+    # the IS error is meaningless, fall back to PS and flag
+    z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1, 0.9)
+    assert (z, e, src, bad) == (10.0, 0.5, "ps", True)
+    # healthy khat keeps the tighter-wins rule
+    z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1, 0.3)
+    assert (z, e, src, bad) == (10.2, 0.1, "is", False)
+    # no khat available (tiny n_evidence): rule unchanged
+    z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1, None)
+    assert (z, e, src, bad) == (10.2, 0.1, "is", False)
 
 
 def test_run_smc_reports_both_evidence_estimators():
@@ -538,6 +699,10 @@ def test_run_smc_reports_both_evidence_estimators():
     assert abs(result["logz_is"]) < 0.5, result["logz_is"]
     chosen = {"ps": result["logz_ps"], "is": result["logz_is"]}
     assert result["logz"] == chosen[result["logz_source"]]
+    # the PSIS tail diagnostic of the defensive proposal is reported and
+    # healthy on this easy calibrated target
+    assert result["logz_khat"] is not None
+    assert result["logz_khat"] < 0.7, result["logz_khat"]
 
 
 def test_fit_flow_rejects_zero_steps_and_dynamic_clamps():
