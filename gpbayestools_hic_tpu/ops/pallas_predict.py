@@ -578,6 +578,100 @@ _bwd_cts_fast_p = _make_partitioned(
 )
 
 
+# ------------------------------------------------------- custom batching
+#
+# jax.vmap has no batching rule for custom_partitioning, so a vmapped
+# caller (PTLMC's per-chain L-BFGS pre-opt vmaps the whole posterior --
+# found by the round-5 bench PTLMC stage on real TPU) would die with
+# NotImplementedError.  The op is batch-parallel in the walker axis m by
+# construction, so the EXACT rule is: merge the vmap axis into m
+# (B-major -- each lane owns a contiguous m-block), run the op once on
+# the concatenated walkers, split the outputs back.  Wrapped INSIDE the
+# custom-VJP bodies (autodiff never crosses custom_vmap, which does not
+# support it; vmap-of-grad reaches these through custom_vjp's own
+# batching rule).
+
+
+def _vmap_over_walkers(fn, m_operands: dict, out_m_axes: tuple):
+    """Wrap a partitioned kernel call in a merge-into-m custom_vmap rule.
+
+    ``m_operands``: {operand index: m-axis in the UNBATCHED shape} --
+    exactly the batch-parallel operands the Shardy rules declare;
+    ``out_m_axes``: m-axis per output.  GP-state operands must be
+    unbatched (they are replicated in every caller)."""
+    from jax.custom_batching import custom_vmap
+
+    wrapped = custom_vmap(fn)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        bad = [
+            i for i, b in enumerate(in_batched) if b and i not in m_operands
+        ]
+        if bad:
+            raise NotImplementedError(
+                f"fused predict vmap: operands {bad} (GP state) cannot be "
+                "batched -- only the walker-carrying operands can"
+            )
+        # per-lane m is already lane-aligned; the MERGED axis must also
+        # divide the kernel's walker tile (tm = min(_TM, m)), else the
+        # grid under-covers and part of the output buffer is never
+        # written (e.g. 3 lanes x 128 = 384 with tm 256).  Pad with zero
+        # query columns (finite garbage outputs, sliced away below).
+        m_lane = args[min(m_operands)].shape[m_operands[min(m_operands)] + 1]
+        m_merged = axis_size * m_lane
+        m_target = (
+            m_merged if m_merged <= _TM else _round_up(m_merged, _TM)
+        )
+        merged = []
+        for i, (a, batched) in enumerate(zip(args, in_batched)):
+            if i not in m_operands:
+                merged.append(a)
+                continue
+            ax = m_operands[i]
+            if not batched:
+                # lane-constant m-operand (e.g. a cotangent from a
+                # lane-independent loss term): replicate it per lane so
+                # the merged kernel operand still has the full m_target
+                # width -- passing it through unmerged hands the kernel a
+                # wrong-shaped block (found as NaNs under vmap-of-grad)
+                a = jnp.broadcast_to(a[None], (axis_size, *a.shape))
+            a = jnp.moveaxis(a, 0, ax)        # batch lands just before m
+            shp = a.shape
+            a = a.reshape(*shp[:ax], shp[ax] * shp[ax + 1], *shp[ax + 2:])
+            if m_target > m_merged:
+                pad = [(0, 0)] * a.ndim
+                pad[ax] = (0, m_target - m_merged)
+                a = jnp.pad(a, pad)
+            merged.append(a)
+        outs = fn(*merged)
+        is_tuple = isinstance(outs, tuple)
+        split = []
+        for o, ax in zip(outs if is_tuple else (outs,), out_m_axes):
+            if m_target > m_merged:
+                o = lax.slice_in_dim(o, 0, m_merged, axis=ax)
+            shp = o.shape
+            o = o.reshape(
+                *shp[:ax], axis_size, shp[ax] // axis_size, *shp[ax + 1:]
+            )
+            split.append(jnp.moveaxis(o, ax, 0))
+        if is_tuple:
+            return tuple(split), tuple(True for _ in split)
+        return split[0], True
+
+    return wrapped
+
+
+_fwd_values_pb = _vmap_over_walkers(_fwd_values_p, {5: 2}, (1, 1))
+_fwd_with_v_pb = _vmap_over_walkers(_fwd_with_v_p, {5: 2}, (1, 1, 2))
+_bwd_cts_pb = _vmap_over_walkers(
+    _bwd_cts_p, {5: 2, 6: 2, 7: 1, 8: 1}, (2,)
+)
+_bwd_cts_fast_pb = _vmap_over_walkers(
+    _bwd_cts_fast_p, {4: 2, 5: 2, 6: 1, 7: 1}, (2,)
+)
+
+
 # --------------------------------------------------------- public entry
 
 
@@ -615,7 +709,7 @@ def _make_fused_entry(fast_bwd: bool):
     def entry(fstate: dict, xq: jnp.ndarray):
         m = xq.shape[0]
         qs_aug = _build_qs_aug(fstate, xq, _m_pad_of(m))
-        mean, qf = _fwd_values_p(
+        mean, qf = _fwd_values_pb(
             fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
             fstate["g_hi"], fstate["g_lo"], qs_aug)
         return mean[:, :m].T, qf[:, :m].T
@@ -623,7 +717,7 @@ def _make_fused_entry(fast_bwd: bool):
     def fwd(fstate, xq):
         m = xq.shape[0]
         qs_aug = _build_qs_aug(fstate, xq, _m_pad_of(m))
-        mean, qf, v_aug = _fwd_with_v_p(
+        mean, qf, v_aug = _fwd_with_v_pb(
             fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
             fstate["g_hi"], fstate["g_lo"], qs_aug)
         return (mean[:, :m].T, qf[:, :m].T), (fstate, xq, qs_aug, v_aug)
@@ -637,12 +731,12 @@ def _make_fused_entry(fast_bwd: bool):
         ctm = jnp.zeros((b, m_pad), ct_mean.dtype).at[:, :m].set(ct_mean.T)
         ctq = jnp.zeros((b, m_pad), ct_qf.dtype).at[:, :m].set(ct_qf.T)
         if fast_bwd:
-            ct_qs_aug = _bwd_cts_fast_p(
+            ct_qs_aug = _bwd_cts_fast_pb(
                 fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
                 fstate["g_hi"], qs_aug, v_aug, ctm, ctq,
             )
         else:
-            ct_qs_aug = _bwd_cts_p(
+            ct_qs_aug = _bwd_cts_pb(
                 fstate["amp"], fstate["xs_hi"], fstate["xs_lo"],
                 fstate["g_hi"], fstate["g_lo"], qs_aug, v_aug, ctm, ctq,
             )

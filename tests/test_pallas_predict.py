@@ -105,6 +105,52 @@ def test_fused_gradient_matches_xla_autodiff(rng):
     np.testing.assert_allclose(g_fus, g_ref, atol=5e-4 * max(scale, 1.0))
 
 
+def test_fused_vmap_merges_into_walker_axis(rng):
+    """jax.vmap over the fused op must work (PTLMC's per-chain L-BFGS
+    pre-opt vmaps the whole posterior -- the round-5 bench found the
+    missing custom_partitioning batching rule on real TPU) and equal the
+    unbatched call per lane; vmap-of-grad must match per-lane grads."""
+    x, params, linv, alpha, fs, xq = _mk_problem(rng, m=12)
+    lanes = jnp.stack([xq[i:i + 1] for i in range(5)])   # (5, 1, d)
+
+    vm_mean, vm_qf = jax.vmap(lambda q: pp.fused_pc_predict(fs, q))(lanes)
+    for i in range(5):
+        m1, q1 = pp.fused_pc_predict(fs, lanes[i])
+        np.testing.assert_allclose(np.asarray(vm_mean[i]), np.asarray(m1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(vm_qf[i]), np.asarray(q1),
+                                   rtol=1e-6, atol=1e-6)
+
+    # wider lanes (merged axis is a multiple of every lane's padded m)
+    lanes3 = jnp.stack([xq[0:3], xq[3:6], xq[6:9]])      # (3, 3, d)
+    vm3, _ = jax.vmap(lambda q: pp.fused_pc_predict(fs, q))(lanes3)
+    for i in range(3):
+        m1, _ = pp.fused_pc_predict(fs, lanes3[i])
+        np.testing.assert_allclose(np.asarray(vm3[i]), np.asarray(m1),
+                                   rtol=1e-6, atol=1e-6)
+
+    def loss(q):
+        mn, qf = pp.fused_pc_predict_fastbwd(fs, q)
+        return jnp.sum(jnp.sin(mn)) + 1e-2 * jnp.sum(qf)
+
+    g_vm = jax.vmap(jax.grad(loss))(lanes)
+    for i in range(5):
+        g1 = jax.grad(loss)(lanes[i])
+        np.testing.assert_allclose(np.asarray(g_vm[i]), np.asarray(g1),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_vmap_rejects_batched_state(rng):
+    """Batching the GP state has no merge-into-m rule: loud error, not a
+    silent wrong answer."""
+    _, _, _, _, fs, xq = _mk_problem(rng, m=8)
+    fs_b = jax.tree.map(lambda a: jnp.stack([a, a]), fs)
+    with pytest.raises(NotImplementedError, match="cannot be"):
+        jax.vmap(lambda f, q: pp.fused_pc_predict(f, q))(
+            fs_b, jnp.stack([xq, xq])
+        )
+
+
 def test_fastbwd_values_identical_gradient_close(rng):
     """fused_pc_predict_fastbwd: the forward is the SAME program (values
     identical), and the 1-pass bf16 backward lands within bf16-noise of the
