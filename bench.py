@@ -647,7 +647,8 @@ def bench_smc(chain, knobs=SMC_BENCH):
         f"logz={out['logz']:.2f}+-{out['logz_err']:.3f} "
         f"(source {out['logz_source']}, "
         f"PS {out['logz_ps']:.2f}+-{out['logz_err_ps']:.3f}, "
-        f"IS {out['logz_is']}+-{out['logz_err_is']}, khat {khat})")
+        f"IS {out['logz_is']}+-{out['logz_err_is']}, khat {khat}, "
+        f"bridge {out.get('logz_bridge')}+-{out.get('logz_err_bridge')})")
     # posterior clustering on an unweighted resample (C18 parity)
     from gpbayestools_hic_tpu.utils import resample_weighted
 
@@ -718,6 +719,7 @@ _RECORD_FIELDS = (
     "smc_wall_s", "smc_logz", "smc_logz_err", "smc_ess", "smc_scale",
     "smc_logz_source", "smc_logz_ps", "smc_logz_err_ps",
     "smc_logz_is", "smc_logz_err_is", "smc_logz_khat",
+    "smc_logz_bridge", "smc_logz_err_bridge",
 )
 
 
@@ -861,7 +863,9 @@ def main():
                 smc_logz_err_ps=rnd3(out["logz_err_ps"]),
                 smc_logz_is=rnd3(out["logz_is"]),
                 smc_logz_err_is=rnd3(out["logz_err_is"]),
-                smc_logz_khat=rnd3(out.get("logz_khat")))
+                smc_logz_khat=rnd3(out.get("logz_khat")),
+                smc_logz_bridge=rnd3(out.get("logz_bridge")),
+                smc_logz_err_bridge=rnd3(out.get("logz_err_bridge")))
     else:
         em.emit("smc", smc_scale="skipped")
 

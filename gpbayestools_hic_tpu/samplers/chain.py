@@ -1175,6 +1175,10 @@ class Chain:
             # PSIS generalized-Pareto tail index of the IS evidence weights
             # (None when n_evidence=0 or the tail was too small to fit)
             "logz_khat": result["logz_khat"],
+            # optimal-bridge refinement (robust to flow undercoverage --
+            # bounded integrands; see smc._bridge_logz)
+            "logz_bridge": result["logz_bridge"],
+            "logz_err_bridge": result["logz_err_bridge"],
         }
         self.chain = chain_data["chain"]
         with open(self.mcmc_path, "wb") as f:

@@ -275,8 +275,13 @@ def test_chain_run_pocomc(tmp_path, rng, training_pickle_factory):
     )
     with open(chain.mcmc_path, "rb") as f:
         data = pickle.load(f)
-    for k in ("chain", "weights", "logl", "logp", "logz", "logz_err"):
+    for k in ("chain", "weights", "logl", "logp", "logz", "logz_err",
+              "logz_source", "logz_ps", "logz_err_ps", "logz_is",
+              "logz_err_is", "logz_khat", "logz_bridge", "logz_err_bridge"):
         assert k in data
+    # checkpointing is on by default: the sampler state file sits next to
+    # the chain pickle (run_pocoMC(resume=True) continues from it)
+    assert (chain.mcmc_path.parent / "smc_checkpoint.pkl").exists()
     # persistent sampling: the run terminates once the weight ESS reaches
     # n_total, so at least that many (weighted) samples come back
     assert data["chain"].shape[0] >= 2000 and data["chain"].shape[1] == 2
@@ -543,47 +548,91 @@ def test_psis_smooth_tiny_tail_is_identity():
     assert np.isnan(khat)
 
 
-def test_evidence_flow_t_density_and_draws():
-    """The evidence proposal's log q_t must be a NORMALIZED density: at an
-    identity-initialized flow it must equal the multivariate-t logpdf, and
-    _draw_flow_t must sample that same distribution (moment check)."""
+def test_evidence_t_proposal_density_and_draws():
+    """The analytic evidence proposal: _t_proposal_logpdf must equal
+    scipy's multivariate-t, _t_proposal_draw must sample that density
+    (moment check), and the moment-matched fit must reproduce a weighted
+    sample's mean/covariance exactly."""
     from scipy.stats import multivariate_t
 
     from gpbayestools_hic_tpu.samplers.smc import (
-        _draw_flow_t, _evidence_eval,
+        _fit_t_proposal, _t_proposal_draw, _t_proposal_logpdf,
     )
 
+    rng = np.random.default_rng(0)
     d, nu = 3, 5.0
-    params = init_flow(jax.random.PRNGKey(0), d, CFG, jnp.float64)
-    u = jax.random.normal(jax.random.PRNGKey(1), (64, d), jnp.float64) * 1.5
-    # identity flow at init: z == u, logdet == 0
-    z, ld = flow_forward(params, u, CFG)
-    np.testing.assert_allclose(np.asarray(z), np.asarray(u), atol=1e-10)
-    np.testing.assert_allclose(np.asarray(ld), 0.0, atol=1e-10)
-
-    def logl(state, x, finite):
-        return jnp.zeros(x.shape[0])
-
-    lo, hi = jnp.full(d, -30.0), jnp.full(d, 30.0)
-    _, _, log_qt = _evidence_eval(
-        logl, None, (), params, u, lo, hi,
-        jnp.asarray(0.0, jnp.float64), jnp.asarray(nu, jnp.float64),
-        config=CFG,
-    )
-    expected = multivariate_t.logpdf(
-        np.asarray(u), loc=np.zeros(d), shape=np.eye(d), df=nu
-    )
-    np.testing.assert_allclose(np.asarray(log_qt), expected, rtol=1e-8)
-
-    draws = np.asarray(_draw_flow_t(
-        params, jax.random.PRNGKey(2), jnp.asarray(nu, jnp.float64),
-        config=CFG, n=4000, d=d,
-    ))
-    # standard t(nu): mean 0, var nu/(nu-2), heavier-than-normal tails
-    assert np.abs(draws.mean(axis=0)).max() < 0.15
+    cov = np.array([[1.0, 0.6, 0.0], [0.6, 2.0, 0.3], [0.0, 0.3, 0.5]])
+    mean = np.array([1.0, -2.0, 0.5])
+    u_hist = rng.multivariate_normal(mean, cov, size=6000)
+    log_w = np.zeros(len(u_hist))
+    prop = _fit_t_proposal(u_hist, log_w, nu)
+    # moment matching: the t's COVARIANCE (scale * nu/(nu-2)) equals the
+    # weighted sample covariance
+    scale = prop["chol"] @ prop["chol"].T
+    np.testing.assert_allclose(prop["mu"], u_hist.mean(0), atol=1e-10)
     np.testing.assert_allclose(
-        draws.var(axis=0), nu / (nu - 2.0), rtol=0.25
+        scale * nu / (nu - 2.0), np.cov(u_hist.T, bias=True), rtol=1e-8
     )
+    # exact density vs scipy
+    pts = rng.normal(size=(50, d)) * 2.0
+    expected = multivariate_t.logpdf(pts, loc=prop["mu"], shape=scale, df=nu)
+    np.testing.assert_allclose(_t_proposal_logpdf(prop, pts), expected,
+                               rtol=1e-10)
+    # draws follow the claimed density: mean + covariance (t with nu=5
+    # has finite covariance = scale * nu/(nu-2))
+    draws = _t_proposal_draw(rng, prop, 40000)
+    np.testing.assert_allclose(draws.mean(0), prop["mu"], atol=0.05)
+    np.testing.assert_allclose(
+        np.cov(draws.T, bias=True), scale * nu / (nu - 2.0),
+        atol=0.15, rtol=0.15,
+    )
+    # nonuniform weights move the fit
+    log_w2 = np.where(u_hist[:, 0] > 1.0, 0.0, -np.inf)
+    prop2 = _fit_t_proposal(u_hist, log_w2, nu)
+    assert prop2["mu"][0] > prop["mu"][0] + 0.5
+
+
+def test_bridge_logz_analytic_gaussian():
+    """Optimal bridge must recover a known normalizer from proposal and
+    posterior draws -- including a badly-mismatched proposal (shifted,
+    too narrow: the flow-undercoverage regime) where raw IS is biased
+    low with a confidently small error."""
+    from scipy.stats import norm
+
+    from gpbayestools_hic_tpu.samplers.smc import _bridge_err, _bridge_logz
+
+    rng = np.random.default_rng(0)
+    true_logz = 3.7   # target density: exp(true_logz) * N(x; 0, 1)
+
+    def run_case(q_mu, q_sd, n=4000):
+        xq = rng.normal(q_mu, q_sd, n)
+        xp = rng.normal(0.0, 1.0, n)
+
+        def lw(x):
+            return (true_logz + norm.logpdf(x, 0, 1)
+                    - norm.logpdf(x, q_mu, q_sd))
+
+        return lw(xq), lw(xp)
+
+    # well-matched proposal
+    lw_q, lw_p = run_case(0.0, 1.2)
+    z = _bridge_logz(lw_q, lw_p, 0.0)
+    assert abs(z - true_logz) < 0.05, z
+    err = _bridge_err(lw_q, lw_p, z, rng)
+    assert np.isfinite(err) and abs(z - true_logz) < 4 * max(err, 1e-3)
+
+    # undercovering proposal: q misses most of the posterior mass
+    lw_q, lw_p = run_case(2.5, 04.0e-1)
+    raw_is = lw_q.max() + np.log(np.mean(np.exp(lw_q - lw_q.max())))
+    z = _bridge_logz(lw_q, lw_p, raw_is)
+    err = _bridge_err(lw_q, lw_p, z, rng)
+    # raw IS is badly biased low here; the bridge is not
+    assert raw_is < true_logz - 0.5, raw_is
+    assert abs(z - true_logz) < max(5 * err, 0.3), (z, err)
+
+    # degenerate inputs return nan rather than garbage
+    assert np.isnan(_bridge_logz(np.array([]), lw_p, 0.0))
+    assert np.isnan(_bridge_logz(lw_q, lw_p, np.inf))
 
 
 def test_smc_checkpoint_knob_mismatch_rejected(tmp_path):
@@ -664,10 +713,21 @@ def test_select_evidence_rule():
     # exactly at the 3-sigma boundary: not declared a failure
     z, e, src, bad = _select_evidence(0.0, 1.0, 2.9, 0.0)
     assert src == "is" and not bad
-    # agreeing central values but an unreliable weight tail (khat > 0.7):
-    # the IS error is meaningless, fall back to PS and flag
+    # heavy weight tail (khat > 0.7): the IS delta-method error is
+    # inflated 3x BEFORE the cross-check and in the selected pair -- at
+    # 0.3 it still beats PS's 0.5 here, so the agreeing IS wins with the
+    # honest (inflated) error
     z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1, 0.9)
-    assert (z, e, src, bad) == (10.0, 0.5, "ps", True)
+    assert (z, src, bad) == (10.2, "is", False)
+    assert e == pytest.approx(0.3)
+    # ... and when PS is tighter than the inflated IS error, PS wins
+    z, e, src, bad = _select_evidence(10.0, 0.2, 10.2, 0.1, 0.9)
+    assert (z, e, src, bad) == (10.0, 0.2, "ps", False)
+    # the flagship failure shape WITH a bad khat: the inflated error
+    # still cannot cover a 5.4-unit gap -> dropped, PS flagged+inflated
+    z, e, src, bad = _select_evidence(760.3, 0.27, 754.8, 0.5, 1.98)
+    assert (z, src, bad) == (760.3, "ps", True)
+    assert e == pytest.approx(0.5 * 5.5, rel=1e-2)
     # healthy khat keeps the tighter-wins rule
     z, e, src, bad = _select_evidence(10.0, 0.5, 10.2, 0.1, 0.3)
     assert (z, e, src, bad) == (10.2, 0.1, "is", False)
@@ -692,17 +752,22 @@ def test_run_smc_reports_both_evidence_estimators():
         n_max_steps=25, n_total=2000, n_evidence=1000, seed=3,
         flow_config=CFG, flow_fit_steps=200,
     )
-    assert result["logz_source"] in ("ps", "is")
+    assert result["logz_source"] in ("ps", "is", "bridge")
     assert result["logz_is"] is not None and result["logz_err_is"] is not None
     # both estimators near the analytic logZ ~= 0 on this target
     assert abs(result["logz_ps"]) < 0.5, result["logz_ps"]
     assert abs(result["logz_is"]) < 0.5, result["logz_is"]
-    chosen = {"ps": result["logz_ps"], "is": result["logz_is"]}
-    assert result["logz"] == chosen[result["logz_source"]]
     # the PSIS tail diagnostic of the defensive proposal is reported and
     # healthy on this easy calibrated target
     assert result["logz_khat"] is not None
     assert result["logz_khat"] < 0.7, result["logz_khat"]
+    # the bridge refinement is computed and near the analytic logZ ~= 0
+    assert result["logz_bridge"] is not None
+    assert abs(result["logz_bridge"]) < 0.5, result["logz_bridge"]
+    assert result["logz_err_bridge"] is not None
+    chosen = {"ps": result["logz_ps"], "is": result["logz_is"],
+              "bridge": result["logz_bridge"]}
+    assert result["logz"] == chosen[result["logz_source"]]
 
 
 def test_fit_flow_rejects_zero_steps_and_dynamic_clamps():
