@@ -618,7 +618,20 @@ def _vmap_over_walkers(fn, m_operands: dict, out_m_axes: tuple):
         # grid under-covers and part of the output buffer is never
         # written (e.g. 3 lanes x 128 = 384 with tm 256).  Pad with zero
         # query columns (finite garbage outputs, sliced away below).
-        m_lane = args[min(m_operands)].shape[m_operands[min(m_operands)] + 1]
+        # m_lane must come from a BATCHED m-operand: an unbatched one
+        # (e.g. the qs_aug residual when only cotangents are vmapped
+        # through a stored vjp_fn) has no leading batch axis, so
+        # shape[ax + 1] would read past its rank.
+        batched_m = [
+            i for i, b in enumerate(in_batched) if b and i in m_operands
+        ]
+        if not batched_m:
+            raise NotImplementedError(
+                "fused predict vmap: at least one walker-carrying operand "
+                "must be batched"
+            )
+        i0 = batched_m[0]
+        m_lane = args[i0].shape[m_operands[i0] + 1]
         m_merged = axis_size * m_lane
         m_target = (
             m_merged if m_merged <= _TM else _round_up(m_merged, _TM)

@@ -37,10 +37,12 @@ import numpy as np
 
 def _result_dtype(x) -> np.dtype:
     dt = np.dtype(getattr(x, "dtype", np.float64))
-    # dt.kind == "f" also covers ml_dtypes floats (bfloat16, float8_*):
-    # np.issubdtype(bfloat16, np.floating) is False, so the subdtype test
-    # alone would silently upcast a bf16 input to float64 (ADVICE r4)
-    if dt.kind != "f":
+    # jnp.issubdtype (not np.issubdtype, and not dt.kind -- ml_dtypes
+    # floats register as structured 'V' kinds under numpy) recognizes
+    # bfloat16/float8 as floating, so a bf16 input keeps its dtype
+    # instead of silently upcasting to float64 (ADVICE r4; the first fix
+    # attempt used dt.kind == "f", which is ALSO False for bf16)
+    if not jnp.issubdtype(dt, jnp.floating):
         # integer/bool inputs must upcast (sklearn semantics): casting a
         # fitted scale like 0.816 to int silently truncates to 0, and
         # scaler_transform then divides by zero

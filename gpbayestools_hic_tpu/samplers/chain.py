@@ -1103,6 +1103,15 @@ class Chain:
         from .smc import run_smc
         from ..utils.priors import ScipyPrior
 
+        if resume and not checkpoint:
+            # run_smc's resume requires a checkpoint_path; silently
+            # restarting a killed production run from scratch is the one
+            # outcome this feature exists to prevent -- fail before any
+            # work happens
+            raise ValueError(
+                "resume=True requires checkpoint=True (the resume state "
+                "IS the checkpoint file)"
+            )
         if devices is None and mesh is None and isinstance(pool, int) and pool > 1:
             n_dev = min(pool, len(jax.devices()))
             if n_dev > 1 and all(

@@ -822,8 +822,15 @@ def run_hmc(
     if persist > 0.0 and scheme not in ("windowed", "auto"):
         raise ValueError("persist > 0 requires scheme='windowed' (or 'auto')")
     # resolve/validate the window BEFORE any warmup runs: a bad window must
-    # not cost the caller two adaptation phases before raising
-    if scheme == "windowed" and not isinstance(n_leapfrog, str):
+    # not cost the caller two adaptation phases before raising.  Under
+    # scheme="auto" an EXPLICIT window is validated too -- auto may
+    # resolve to the windowed kernel after warmup, and a nonsense window
+    # must not burn the adaptation phases first (or be silently ignored
+    # when auto happens to fall back to MH).
+    if (
+        not isinstance(n_leapfrog, str)
+        and (scheme == "windowed" or (scheme == "auto" and window is not None))
+    ):
         w_eff = window if window is not None else min(
             2, (int(n_leapfrog) + 1) // 2
         )

@@ -540,7 +540,12 @@ def _psis_smooth(log_w: np.ndarray) -> tuple[np.ndarray, float]:
     """
     log_w = np.asarray(log_w, dtype=np.float64)
     n = log_w.shape[0]
-    m_tail = min(n // 5, int(3.0 * np.sqrt(n)))
+    # the tail is sized from the FINITE weight count: with many exact-zero
+    # (-inf) draws a count-based tail would reach into them, and the GPD
+    # smoothing would fabricate positive mass for draws that contributed
+    # none (clamped 1e-300 pseudo-exceedances), biasing logz_is upward
+    n_fin = int(np.isfinite(log_w).sum())
+    m_tail = min(n_fin // 5, int(3.0 * np.sqrt(n_fin)))
     if m_tail < 5:
         return log_w, float("nan")
     order = np.argsort(log_w)
@@ -1004,10 +1009,24 @@ def run_smc(
             )
         log_prior_fn = custom_prior.log_prior_jax
 
+    # the full set of knobs that shape the RESUMED evolution: everything
+    # the per-iteration dynamics depend on, plus the parameter box (so two
+    # different Chains sharing a directory cannot resume from each other's
+    # state).  Evidence-phase knobs (n_evidence, defensive frac, dof) and
+    # max_iterations are deliberately EXCLUDED: resuming with different
+    # values there is a feature (recompute evidence / extend a capped run).
     ckpt_knobs = {
         "n_prior": n_prior, "n_active": n_active,
         "n_effective": n_effective, "n_total": n_total,
         "sample": sample, "seed": seed, "ndim": ndim,
+        "n_max_steps": n_max_steps,
+        "flow_fit_steps": flow_fit_steps,
+        "flow_fit_steps_warm": flow_fit_steps_warm,
+        "flow_fit_patience": flow_fit_patience,
+        "flow_config": str(flow_config),
+        "box_lo": tuple(float(v) for v in lo_np),
+        "box_hi": tuple(float(v) for v in hi_np),
+        "has_custom_prior": custom_prior is not None,
     }
     restored = None
     if resume and checkpoint_path is not None:
@@ -1288,9 +1307,11 @@ def run_smc(
             )
 
         log_w_ev = logl_np + logp_u_np - mix_logq(log_qt_np, logp_u_np)
-        # NaN weights (arithmetic garbage from extreme draws) contribute
-        # zero mass; they must not poison the estimate
-        log_w_ev = np.where(np.isnan(log_w_ev), -np.inf, log_w_ev)
+        # non-finite weights contribute zero mass: NaN is arithmetic
+        # garbage, and a +inf (an overflowing custom log-prior at a draw)
+        # would otherwise turn the PSIS mean into exp(inf - inf) = NaN
+        # and trip the cross-check with a spurious nan-vs-PS warning
+        log_w_ev = np.where(np.isfinite(log_w_ev), log_w_ev, -np.inf)
         if np.all(~np.isfinite(log_w_ev)):
             logger.warning("evidence IS: no finite weights; keeping PS estimate")
         else:
@@ -1322,9 +1343,7 @@ def run_smc(
             idx_p = _systematic_resample(rng, lw1, n_evidence)
             u_p_np = hu[idx_p]
             log_qt_p = _t_proposal_logpdf(t_prop, u_p_np)
-            logp_u_p = np.concatenate(logp_h)[idx_p] + _to_bounded_np(
-                u_p_np, lo_np, hi_np
-            )[1]
+            logp_u_p = hp[idx_p] + _to_bounded_np(u_p_np, lo_np, hi_np)[1]
             lw_p = hl[idx_p] + logp_u_p - mix_logq(log_qt_p, logp_u_p)
             logz_bridge = _bridge_logz(log_w_ev, lw_p, logz_ps)
             logz_err_bridge = (

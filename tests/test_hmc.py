@@ -582,6 +582,20 @@ def test_hmc_scheme_auto_warm_start_uses_previous_acceptance():
         first.acceptance))) >= 0.75 else "mh")
 
 
+def test_hmc_scheme_auto_validates_explicit_window_early():
+    """An explicit nonsense window under scheme='auto' must fail BEFORE
+    the adaptation phases run (round-5 review: it previously burned both
+    warmup phases first, or was silently ignored when auto fell back to
+    MH)."""
+    def log_prob(state, x):
+        return -0.5 * jnp.sum(x**2, axis=-1)
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (8, 2), jnp.float64)
+    with pytest.raises(ValueError, match="window"):
+        run_hmc(log_prob, x0, 4, jax.random.PRNGKey(1), state=(),
+                n_leapfrog=4, warmup=4, scheme="auto", window=5)
+
+
 def test_hmc_unknown_scheme_raises():
     with pytest.raises(ValueError, match="scheme must be"):
         run_hmc(

@@ -337,6 +337,22 @@ def test_scaler_pca_upcast_integer_inputs():
     assert np.issubdtype(np.asarray(pca.components).dtype, np.floating)
 
 
+def test_result_dtype_keeps_mldtypes_floats():
+    """bf16 inputs must keep their dtype, not silently upcast to f64
+    (ADVICE r4; the first fix used dt.kind == 'f', which is False for
+    ml_dtypes' structured 'V' kind -- caught by the round-5 review)."""
+    import ml_dtypes
+
+    from gpbayestools_hic_tpu.ops.scalers import _result_dtype
+
+    assert _result_dtype(np.zeros((4, 3), dtype=ml_dtypes.bfloat16)) == (
+        np.dtype(ml_dtypes.bfloat16)
+    )
+    assert _result_dtype(np.zeros(3, dtype=np.float32)) == np.float32
+    assert _result_dtype(np.zeros(3, dtype=np.int32)) == np.float64
+    assert _result_dtype(np.zeros(3, dtype=bool)) == np.float64
+
+
 def test_lbfgsb_never_returns_worse_than_start(rng):
     """The projected Armijo test clamps its directional term at zero, so a
     box-clipped uphill displacement can never be accepted as an 'Armijo

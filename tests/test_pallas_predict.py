@@ -140,6 +140,22 @@ def test_fused_vmap_merges_into_walker_axis(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_fused_vmap_of_stored_vjp_fn(rng):
+    """vmap of a STORED vjp_fn over multiple cotangents: the residuals
+    (qs_aug, v_aug) arrive UNBATCHED while the cotangents are batched --
+    m_lane must come from a batched operand (round-5 review: reading it
+    from the unbatched residual indexed past its rank)."""
+    _, _, _, _, fs, xq = _mk_problem(rng, m=8)
+    (mn, qf), vjp_fn = jax.vjp(lambda q: pp.fused_pc_predict(fs, q), xq)
+    cm = jnp.stack([jnp.ones_like(mn) * (i + 1.0) for i in range(3)])
+    cq = jnp.stack([jnp.full_like(qf, 0.1 * i) for i in range(3)])
+    g_vm = jax.vmap(lambda a, b: vjp_fn((a, b))[0])(cm, cq)
+    for i in range(3):
+        (g1,) = vjp_fn((cm[i], cq[i]))
+        np.testing.assert_allclose(np.asarray(g_vm[i]), np.asarray(g1),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_fused_vmap_rejects_batched_state(rng):
     """Batching the GP state has no merge-into-m rule: loud error, not a
     silent wrong answer."""

@@ -427,6 +427,25 @@ def test_smc_rwm_kernel():
     np.testing.assert_allclose(mean_w, mu, atol=0.03)
 
 
+def test_run_pocomc_resume_requires_checkpoint(tmp_path):
+    """resume=True with checkpoint=False must raise up front: silently
+    restarting a killed production run from scratch is the one outcome
+    the resume feature exists to prevent (round-5 review finding)."""
+    import pickle as pkl
+
+    from gpbayestools_hic_tpu.samplers import Chain
+
+    parfile = tmp_path / "p.txt"
+    parfile.write_text("p0: l, 0, 1\n")
+    with open(tmp_path / "exp.pkl", "wb") as f:
+        pkl.dump({"0": {"obs": np.array([[1.0], [0.1]])}}, f)
+    c = Chain(mcmc_path=str(tmp_path / "m" / "c.pkl"),
+              expdata_path=str(tmp_path / "exp.pkl"),
+              model_parafile=str(parfile))
+    with pytest.raises(ValueError, match="checkpoint"):
+        c.run_pocoMC(resume=True, checkpoint=False)
+
+
 def test_smc_rejects_n_active_above_n_effective():
     def logl(state, x, finite):
         return -jnp.sum(x**2, axis=1)
@@ -548,6 +567,32 @@ def test_psis_smooth_tiny_tail_is_identity():
     assert np.isnan(khat)
 
 
+def test_psis_smooth_zero_weight_majority_stays_zero():
+    """-inf (exact-zero) weights must NEVER be smoothed into positive
+    mass: with 90% zero-weight draws a count-based tail would reach into
+    them and the GPD fit would fabricate weight for draws that
+    contributed none (round-5 review finding).  The tail is sized from
+    the FINITE count instead."""
+    from gpbayestools_hic_tpu.samplers.smc import _psis_smooth
+
+    rng = np.random.default_rng(0)
+    n = 2000
+    log_w = np.full(n, -np.inf)
+    fin = rng.normal(size=120)
+    log_w[:120] = fin
+    out, khat = _psis_smooth(log_w)
+    # every zero-weight draw is untouched
+    assert np.all(np.isneginf(out[120:]))
+    # the finite weights' total mass is not inflated (cap at raw max)
+    assert out[:120].max() <= fin.max() + 1e-12
+    # a tiny finite set (< 25) cannot support a tail fit at all
+    log_w2 = np.full(n, -np.inf)
+    log_w2[:10] = rng.normal(size=10)
+    out2, khat2 = _psis_smooth(log_w2)
+    np.testing.assert_array_equal(out2, log_w2)
+    assert np.isnan(khat2)
+
+
 def test_evidence_t_proposal_density_and_draws():
     """The analytic evidence proposal: _t_proposal_logpdf must equal
     scipy's multivariate-t, _t_proposal_draw must sample that density
@@ -641,11 +686,20 @@ def test_smc_checkpoint_knob_mismatch_rejected(tmp_path):
     )
 
     path = tmp_path / "ck.pkl"
-    knobs = {"n_prior": 100, "n_active": 50, "sample": "tpcn", "seed": 1}
+    knobs = {"n_prior": 100, "n_active": 50, "sample": "tpcn", "seed": 1,
+             "flow_fit_steps": 300, "box_lo": (0.0, 0.0)}
     _save_smc_checkpoint(path, {"version": 1, "knobs": knobs, "beta": 0.5})
     assert _load_smc_checkpoint(path, knobs)["beta"] == 0.5
     with pytest.raises(ValueError, match="different settings"):
         _load_smc_checkpoint(path, {**knobs, "n_active": 64})
+    # dynamics-shaping knobs and the parameter box are part of the
+    # fingerprint (round-5 review: a different flow budget silently broke
+    # the bit-equality contract; a different Chain sharing the directory
+    # could resume from foreign state)
+    with pytest.raises(ValueError, match="different settings"):
+        _load_smc_checkpoint(path, {**knobs, "flow_fit_steps": 100})
+    with pytest.raises(ValueError, match="different settings"):
+        _load_smc_checkpoint(path, {**knobs, "box_lo": (0.0, -1.0)})
 
 
 @pytest.mark.slow
