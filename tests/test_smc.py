@@ -216,6 +216,44 @@ def test_smc_logz_error_calibration_repeat_seeds():
 
 
 @pytest.mark.slow
+def test_smc_banana_evidence_curved_posterior():
+    """Known evidence on a CURVED (banana) posterior -- the geometry that
+    stresses the moment-matched elliptical evidence proposal (this is a
+    2-d version of the flagship's curved-ridge regime where khat runs
+    hot).  The likelihood is a normalized density in the curved
+    coordinates, fully inside the box, so log Z ~= 0; the selected
+    estimate must cover it within its stated error."""
+    s1, s2, curv = 0.12, 0.02, 8.0
+
+    def logl(state, x, finite):
+        # normalized banana: y1 = x0 - 0.5, y2 = (x1 - 0.5) - curv*y1^2
+        y1 = x[:, 0] - 0.5
+        y2 = (x[:, 1] - 0.55) + curv * y1**2
+        return (
+            -0.5 * (y1 / s1) ** 2 - 0.5 * (y2 / s2) ** 2
+            - np.log(2 * np.pi * s1 * s2)
+        )
+
+    result = run_smc(
+        logl, jnp.zeros(2), jnp.ones(2),
+        n_effective=600, n_active=300, n_prior=1200,
+        n_max_steps=30, n_total=4000, n_evidence=2000, seed=11,
+        flow_config=RQS_CFG, flow_fit_steps=250,
+    )
+    # the curved ridge is covered: weighted mean on x0 ~ 0.5 and the
+    # posterior bends (x1 mean below the ridge apex)
+    mean_w = np.average(result["samples"], axis=0, weights=result["weights"])
+    assert abs(mean_w[0] - 0.5) < 0.03
+    # selected evidence covers the analytic logZ ~= 0 within 3 sigma
+    assert abs(result["logz"]) < 3.0 * result["logz_err"] + 0.05, (
+        result["logz"], result["logz_err"], result["logz_source"])
+    # every estimator pair is reported; PS itself is also calibrated here
+    assert abs(result["logz_ps"]) < 3.0 * result["logz_err_ps"] + 0.05
+    assert result["logz_is"] is not None
+    assert result["logz_bridge"] is not None
+
+
+@pytest.mark.slow
 def test_smc_bimodal_recovers_both_modes():
     """The flow-preconditioner + tempering must keep both modes."""
     m1 = jnp.asarray([0.25, 0.25])
