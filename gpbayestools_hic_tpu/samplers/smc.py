@@ -821,7 +821,19 @@ def _draw_prior_in_box(custom_prior, rng, n, lo_np, hi_np):
                 "the sampling box [prior_lo, prior_hi]; check the "
                 "parameter ranges against the prior"
             )
-        draw = np.atleast_2d(np.asarray(custom_prior.rvs(n)))
+        try:
+            # tie the draws to the run's seeded generator: scipy's rvs
+            # without random_state uses the GLOBAL numpy state, which made
+            # custom-prior runs non-reproducible run to run (and broke
+            # checkpoint-resume bit-equality)
+            draw = np.atleast_2d(np.asarray(
+                custom_prior.rvs(n, random_state=rng)
+            ))
+        except TypeError:
+            # duck-typed custom priors without the random_state kwarg:
+            # draws come from their own stream; such runs are only
+            # reproducible if that stream is seeded externally
+            draw = np.atleast_2d(np.asarray(custom_prior.rvs(n)))
         m = np.all((draw > lo_np) & (draw < hi_np), axis=1)
         n_try += draw.shape[0]
         n_in += int(m.sum())

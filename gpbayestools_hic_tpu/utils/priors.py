@@ -110,5 +110,13 @@ class ScipyPrior:
         """numpy convenience (pocoMC-compatible)."""
         return np.asarray(self.log_prior_jax(jnp.atleast_2d(jnp.asarray(x))))
 
-    def rvs(self, size: int) -> np.ndarray:
-        return np.stack([d.rvs(size=size) for d in self.dists], axis=1)
+    def rvs(self, size: int, random_state=None) -> np.ndarray:
+        """Draw ``size`` samples.  ``random_state`` (a numpy Generator)
+        makes the draws seed-deterministic -- without it scipy falls back
+        to the GLOBAL numpy state, which silently broke run-to-run
+        reproducibility (and checkpoint-resume bit-equality) of SMC runs
+        with custom priors (round-5 regression test)."""
+        return np.stack(
+            [d.rvs(size=size, random_state=random_state) for d in self.dists],
+            axis=1,
+        )

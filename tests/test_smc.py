@@ -784,6 +784,42 @@ def test_smc_checkpoint_resume_exact(tmp_path):
     assert resumed["ess"] == pytest.approx(full["ess"], rel=1e-9)
 
 
+@pytest.mark.slow
+def test_smc_checkpoint_resume_exact_custom_prior(tmp_path):
+    """Checkpoint/resume exactness must hold with a CUSTOM prior too: the
+    restored rng stream drives both the evidence-phase prior draws and
+    the defensive-mixture component, so a resumed run with a non-uniform
+    prior must reproduce the uninterrupted evolution."""
+    from scipy.stats import norm, uniform as sp_uniform
+
+    from gpbayestools_hic_tpu.utils.priors import ScipyPrior
+
+    s = 0.08
+    mu = jnp.asarray([0.5, 0.5])
+
+    def logl(state, x, finite):
+        return -0.5 * jnp.sum((x - mu) ** 2, axis=1) / s**2 - jnp.log(
+            2 * jnp.pi * s**2
+        )
+
+    prior = ScipyPrior([norm(loc=0.45, scale=0.15), sp_uniform(0, 1)])
+    knobs = dict(
+        n_effective=300, n_active=150, n_prior=600,
+        n_max_steps=20, n_total=1500, n_evidence=600, seed=9,
+        flow_config=CFG, flow_fit_steps=150, custom_prior=prior,
+    )
+    lo, hi = jnp.zeros(2), jnp.ones(2)
+    full = run_smc(logl, lo, hi, **knobs)
+    ck = tmp_path / "ck.pkl"
+    partial_run = run_smc(logl, lo, hi, **knobs, max_iterations=2,
+                          checkpoint_path=ck)
+    assert partial_run["beta_iterations"] == 2 < full["beta_iterations"]
+    resumed = run_smc(logl, lo, hi, **knobs, checkpoint_path=ck, resume=True)
+    np.testing.assert_allclose(resumed["samples"], full["samples"], rtol=1e-12)
+    assert resumed["logz"] == pytest.approx(full["logz"], rel=1e-9)
+    assert resumed["logp"].std() > 0.1  # the custom prior is really in play
+
+
 def test_select_evidence_rule():
     """_select_evidence: tighter estimator wins when they agree; a >3-sigma
     disagreement declares the IS estimate unreliable (flow-tail failure,
